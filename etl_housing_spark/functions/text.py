@@ -1,0 +1,71 @@
+"""Text-analysis expressions for the training-data pipeline surface
+(SURVEY.md §2.13: language-ID, quality scoring, token counting, document
+fingerprinting). All built-in Catalyst functions — array lambdas (filter/
+transform/aggregate) run JVM-side, no Python in the data path.
+
+The reference itself planned this layer: "Can use count vectorizer here…
+Use lemmetizer" (trulia_csv_to_nlp.ipynb:461-462, cell 12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny n-gram-heuristic stopword lists per language; the testdata vocabulary
+# is synthetic English-ish, so 'en' dominates — the *mechanism* (per-language
+# marker-token ratio) is what scales to a real lexicon
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the BPE-ish regex variant is
+    ``regexp_count(c, r'\\w+|[^\\w\\s]')`` — same shape, heavier regex)."""
+    return F.size(tokens(col))
+
+
+def stopword_count(col: Column | str, lang: str = "en") -> Column:
+    vocab = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda x: x.isin(vocab)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    return stopword_count(col, lang) / token_count(col)
+
+
+def predicted_lang(col: Column | str, threshold: float = 0.04) -> Column:
+    """N-gram-heuristic language ID: marker-token ratio vs threshold."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.replace(c, F.lit(" "), F.lit(""))) / token_count(c)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic: stopword density + length saturation.
+
+    Mirrors the standard pretraining-data filters (length / punctuation /
+    stopword ratios); weights are illustrative, the plumbing is the point.
+    """
+    length_sat = F.least(token_count(col) / F.lit(100.0), F.lit(1.0))
+    return stopword_ratio(col) * 0.4 + length_sat * 0.6
+
+
+def normalized(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 over normalized text — the deterministic
+    cross-run document id the reference never built (0-ToDo.md:54)."""
+    return F.md5(normalized(col))

@@ -1,0 +1,39 @@
+"""Vector expressions over ``array<float>`` embedding columns (SURVEY §2.13).
+
+Dot products and norms are ``zip_with``/``aggregate`` lambdas — JVM-side,
+per-row, no shuffle. For cross-engine exactness the reductions accumulate in
+DECIMAL(38,18): decimal addition is associative, so Spark's fold and
+DuckDB's SUM reach the identical exact value regardless of order, and the
+final cast to DOUBLE rounds identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# precision 28 (not 38): Spark widens p by 1 per addition and caps at 38 by
+# *reducing scale* — which would round each step. At (28,18) the addition
+# result keeps scale 18 exactly and the cast back is lossless for |x| < 1e10.
+_ACC = "decimal(28,18)"
+
+
+def _dec_sum(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast(_ACC), lambda acc, x: (acc + x.cast(_ACC)).cast(_ACC)
+    ).cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact-accumulated dot product of two float-array columns."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return _dec_sum(prods)
+
+
+def norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(_dec_sum(sq))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

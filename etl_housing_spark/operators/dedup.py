@@ -1,0 +1,224 @@
+"""Deduplication operators (SURVEY.md §2.13; reference TODO 0-ToDo.md:54
+"Figure out way to check for duplicates" — never built there).
+
+Four strategies, each with an explicit scale story:
+
+- ``exact_dedup``      — row_number over the dup key: one shuffle on the key.
+- ``ngram_jaccard``    — exact set-similarity via a shingle self-join:
+                         correct but O(pairs sharing a shingle); the
+                         ``max_df`` cap drops stop-shingles to keep the join
+                         key unskewed at scale.
+- ``minhash``          — MinHash signatures + LSH banding: the 100 TB path.
+                         Signature build is one explode+groupBy (linear);
+                         candidate generation joins on (band, bucket) so cost
+                         tracks true near-dups, not all pairs.
+- ``simhash``          — 32-bit SimHash + chunk-banding for Hamming-distance
+                         candidates.
+
+All hash functions are Spark's built-in ``hash``/``xxhash64`` (JVM murmur3 —
+deterministic across runs/executors), so these are rows-only queries: DuckDB
+cannot reproduce Spark's hash, but the *exact* jaccard verifier
+(``ngram_jaccard_pairs``) is oracle-checkable and q_neardup_ngram checks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (by order_col) per duplicate key — deterministic,
+    unlike dropDuplicates whose survivor is partition-dependent."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 1, max_df: int | None = None
+) -> DataFrame:
+    """Distinct n-gram shingles per document → (id, shingle) rows.
+
+    ``max_df`` drops shingles occurring in more than that many documents —
+    the standard stop-shingle cap that keeps the downstream join key from
+    skewing (a shingle in 10% of 1B docs would otherwise create a 10^16-pair
+    join bucket).
+    """
+    toks = F.split(F.col(text_col), " ")
+    if n == 1:
+        sh = F.explode(F.array_distinct(toks))
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        sh = F.explode(F.array_distinct(grams))
+    out = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    if max_df is not None:
+        freq = out.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        out = out.join(F.broadcast(freq.filter(F.col("df") <= max_df)), "sh").select("id", "sh")
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    intersection via self-join on shingle + count; union by inclusion-
+    exclusion. The division is BIGINT/BIGINT → identical doubles on any
+    engine, so this one IS oracle-checkable.
+    """
+    sh = shingles(df, id_col, text_col, n, max_df)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_size: int = 1
+) -> DataFrame:
+    """(id, sig: array<int>) — one explode + one groupBy with num_hashes
+    partial-aggregating MIN columns; fully map-side combinable, so the
+    shuffle carries one row per document regardless of text length."""
+    sh = shingles(df, id_col, text_col, shingle_size)
+    mins = [F.min(F.hash(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def _band_key(sig: Column, band: int, rows: int) -> Column:
+    return F.hash(F.slice(sig, band * rows + 1, rows))
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 1,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with signature-estimated jaccard.
+
+    banding: a pair collides if any band of the signature matches exactly —
+    the classic S-curve selectivity. Estimated jaccard = fraction of equal
+    signature positions; pairs below ``threshold`` are dropped after the
+    candidate join, so the expensive exact verify never runs on the long tail.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[_band_key(F.col("sig"), b, rows) for b in range(bands)])
+        ).alias("band", "bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    siga = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sigb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0))
+    est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+    return (
+        cand.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """32-bit SimHash over distinct tokens → (id, simhash: long).
+
+    Per-bit vote columns are plain SUMs over the exploded tokens — one
+    groupBy, map-side combinable. Token hash is Spark murmur3 (built-in)."""
+    toks = shingles(df, id_col, text_col, 1)
+    h = F.hash(F.col("sh"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    voted = toks.groupBy("id").agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return voted.select("id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32, chunks: int = 4
+) -> DataFrame:
+    """SimHash pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole banding: any pair within distance < chunks must agree on at
+    least one of the ``chunks`` bit-chunks, so candidates come from an
+    equi-join on (chunk_idx, chunk_value) — never a cross join."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = simhash(df, id_col, text_col, bits)
+    chunked = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk", "cval"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

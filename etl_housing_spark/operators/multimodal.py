@@ -1,0 +1,116 @@
+"""Multimodal column plumbing (SURVEY.md §2.13).
+
+Image/audio/video payloads are opaque ``binary`` columns traveling next to
+typed metadata structs; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages. The decode libraries (PIL/librosa/
+av) are NOT in this container, so the codec call itself is stubbed behind a
+deterministic fake (or ``NotImplementedError`` when strictness is asked
+for), while everything Spark-grade — schema, batch iteration, partitioning
+behavior, output contract — is real and tested.
+
+Batch shape matters at scale: ``mapInPandas`` receives an iterator of
+pandas DataFrames sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+the stubs stream batch-by-batch and never materialize a partition, so the
+same code holds when a partition is 2 GB of JPEG bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id BIGINT, payload BINARY, "
+    "meta STRUCT<format: STRING, width: INT, height: INT, n_frames: INT>"
+)
+
+DECODED_SCHEMA = "media_id BIGINT, width INT, height INT, mean_luma DOUBLE"
+FEATURE_SCHEMA = "media_id BIGINT, features ARRAY<FLOAT>"
+
+
+def synthesize_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
+    """Deterministic fake media: an 8-byte header (width, height) + payload
+    derived from sha2 of the seed column. Stands in for real image bytes so
+    the pipeline is testable end to end without codecs."""
+    w = (F.abs(F.hash(F.col(seed_col))) % 1024 + 16).cast("int")
+    h = (F.abs(F.hash(F.col(seed_col), F.lit(1))) % 1024 + 16).cast("int")
+    header_hex = F.concat(F.lpad(F.hex(w), 8, "0"), F.lpad(F.hex(h), 8, "0"))
+    payload = F.to_binary(F.concat(header_hex, F.sha2(F.col(seed_col).cast("string"), 256)), F.lit("hex"))
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/v1").alias("format"),
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_header(payload: bytes) -> tuple[int, int]:
+    w, h = struct.unpack(">II", payload[:8])
+    return w, h
+
+
+def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Decode stage: binary → (width, height, mean_luma) via mapInPandas.
+
+    ``strict=True`` raises NotImplementedError where a real codec (PIL etc.)
+    would be invoked — the marked stub. Default mode computes a
+    deterministic fake luma from the payload bytes so downstream stages and
+    tests have stable values.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libjpeg — not available in this "
+                    "container; wire the real codec here"
+                )
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h = _decode_header(bytes(payload))
+                digest = hashlib.sha256(bytes(payload)).digest()
+                mean_luma = digest[0] / 255.0
+                rows.append((mid, w, h, mean_luma))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "mean_luma"])
+
+    return df.select("media_id", "payload").mapInPandas(decode, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extract stage: binary → fixed-dim float vector (the
+    embedding-model stand-in). Deterministic bytes→floats so the similarity
+    operators downstream are testable on multimodal rows."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.sha256(bytes(payload)).digest()
+                feats = [b / 255.0 for b in digest[:dim]]
+                rows.append((mid, feats))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return df.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage contract: same schema in/out, new meta dims. The pixel
+    resample is the stubbed codec call; the metadata/flow is real."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.format").alias("format"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.n_frames").alias("n_frames"),
+        ),
+    )

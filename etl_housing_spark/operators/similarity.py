@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (SURVEY.md §2.13).
+
+Three tiers, increasing scale:
+
+- ``topk_bruteforce``   — exact linear scan: one broadcast of the query
+                          vector(s), one pass, TakeOrderedAndProject. The
+                          right answer up to ~10^8 vectors × small k.
+- ``lsh_neardup_pairs`` — random-hyperplane LSH bucketing for all-pairs
+                          near-dup: candidates only within a bucket, recall
+                          traded for the end of the O(n²) cross join.
+- ``ivf_topk``          — IVF-style: coarse cells from a trained/assigned
+                          quantizer (here: the label column or LSH bucket),
+                          query probes ``nprobe`` nearest cells only.
+
+Scoring uses functions.vectors (zip_with/aggregate — JVM lambdas); at
+very high dimensionality a vectorized Pandas UDF over Arrow batches becomes
+competitive, but at d=64 the built-ins win by skipping serialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "dot",
+) -> DataFrame:
+    """Exact top-k vs one stored vector: broadcast the query row, score every
+    vector, TakeOrderedAndProject keeps k per partition then merges — no
+    full sort, no shuffle of the scored set."""
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    scored = emb.crossJoin(F.broadcast(q))
+    score = {
+        "dot": V.dot(F.col(vec_col), F.col("__q")),
+        "cosine": V.cosine(F.col(vec_col), F.col("__q")),
+    }[metric]
+    return (
+        scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def topk_many(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch top-k: broadcast the (small) query set, score, row_number ≤ k
+    per query. The scored relation never materializes beyond the window."""
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(V.dot(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, dim: int, planes: int = 8, seed: int = 42):
+    """Random-hyperplane signature → int bucket in [0, 2^planes).
+
+    Hyperplanes are generated driver-side from a fixed seed and inlined as
+    literal arrays — deterministic across runs and executors (no RAND() in
+    the plan). sign(v·h_p) contributes bit p."""
+    hps = _hyperplanes(dim, planes, seed)
+    bucket = F.lit(0)
+    for p, hp in enumerate(hps):
+        h = F.array(*[F.lit(float(x)) for x in hp])
+        bit = F.when(V.dot(vec_col, h) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine near-dup pairs, candidates restricted to equal LSH buckets.
+
+    With b hyperplanes, P(same bucket) = (1 - θ/π)^b — high-cosine pairs
+    survive, the O(n²) bulk never joins. Recall is tunable via multiple
+    tables (union over seeds) — one table here, documented tradeoff."""
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+    cos = V.cosine(F.col("l.v"), F.col("r.v"))
+    return cand.select(
+        F.col("l.id").alias("id_a"),
+        F.col("r.id").alias("id_b"),
+        F.round(cos, 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style top-k: vectors are pre-assigned to coarse cells
+    (``cell_col`` — a trained quantizer's assignment; the testdata ``label``
+    column stands in). Centroids are computed once (tiny aggregate),
+    the query probes its ``nprobe`` nearest cells, and the scan touches only
+    those partitions — the inverted-file pruning that makes ANN linear in
+    the probed fraction instead of the corpus.
+    """
+    # centroids: per-cell mean vector (|cells| rows — broadcastable)
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    exploded = emb.select(cell_col, F.posexplode(vec_col).alias("i", "x"))
+    centroids = (
+        exploded.groupBy(cell_col, "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(cell_col, F.transform("pairs", lambda s: s["cx"]).alias("centroid"))
+    )
+    _ = dim_idx  # (kept simple: posexplode path above)
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
+    probed = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(cell_col, V.dot(F.col("centroid"), F.col("__q")).alias("cscore"))
+        .orderBy(F.desc("cscore"))
+        .limit(nprobe)
+        .select(cell_col)
+    )
+    pruned = emb.join(F.broadcast(probed), cell_col)
+    scored = pruned.crossJoin(F.broadcast(q))
+    return (
+        scored.select(F.col(id_col), F.round(V.dot(F.col(vec_col), F.col("__q")), 6).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

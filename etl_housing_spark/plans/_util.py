@@ -1,0 +1,40 @@
+"""Cross-engine numeric helpers for oracle-exact aggregation.
+
+Floating-point SUM/AVG are order-dependent; Spark's partial+final aggregation
+and DuckDB's vectorized aggregation accumulate in different orders, so raw
+double sums differ in the last bits and fail a value-hash comparison. The
+fix used across the catalog: sum in DECIMAL (exact, associative, order-free),
+then cast the finished sum to DOUBLE — both engines round the identical exact
+decimal to the identical nearest double. Division for averages then happens
+once, on identical operands, giving bit-identical results.
+
+At 100 TB scale this costs nothing extra: decimal sums are still one
+partial+final HashAggregate, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent SUM(double) == DuckDB CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Exact-sum average: decimal-sum cast double, divided by count once."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"{sql_dsum(expr)} / COUNT({expr})"

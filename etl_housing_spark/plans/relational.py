@@ -1,0 +1,626 @@
+"""Relational core of the query catalog (SURVEY.md §2.1-2.7, §2.11).
+
+Each query id carries: the Spark-first implementation (lazy DataFrame
+expressions, Catalyst-optimizable end to end) and the ANSI-SQL oracle string
+DuckDB executes on the same parquet tables. Reference provenance is cited
+per query (file:line into /root/reference).
+
+Scale notes are inline: every join states its strategy, every aggregate is
+partial+final, every checked query ends deterministic (explicit keys or
+order-insensitive sets).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, ts_lit
+from ._util import davg, dsum, sql_davg, sql_dsum
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary. Exercises scan → filter →
+# project → group-agg → sort in one plan (SURVEY.md §7.1). The groupBy
+# aggregation is a two-phase HashAggregate (map-side partial combine), so at
+# 100 TB the shuffle carries only |groups| × |aggs| rows per partition.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-shaped pricing summary (flagship; scan+filter+agg+sort)",
+    tags=("agg", "bench"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= ts_lit(li, "l_shipdate", "2000-12-01 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2; reference trulia_scrape.py:161,169,
+# load_save_sql.ipynb cells 3-5, mongo.ipynb cell 9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_project",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    description="column projection + drop (P1/P2; load_save_sql.ipynb:39,228) — pruned scan",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # select-then-drop mirrors the reference's explicit column list followed
+    # by drop(columns='apt_id'); Catalyst collapses both into one ReadSchema.
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .drop("o_orderstatus")
+    )
+
+
+@query(
+    "q_filter_eq",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    description="equality predicate (P5; mongo.ipynb find author='Bill') — pushed to scan",
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "q_filter_ne",
+    oracle="SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'O'",
+    description="!= predicate (P3; trulia_scrape.py:161 sqft != '')",
+)
+def q_filter_ne(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "O")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@query(
+    "q_filter_notcontains",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE NOT COALESCE(contains(text, 'vector'), FALSE)
+    """,
+    description="negated contains with explicit null-handling (P4; trulia_scrape.py:169 ~contains('-'), na=False)",
+)
+def q_filter_notcontains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # reference: df[~df.price.str.contains('-', na=False)] — NULL text must
+    # survive the filter as the pandas na=False kwarg dictates
+    return docs.filter(
+        ~F.coalesce(F.col("text").contains("vector"), F.lit(False))
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_masked_update",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_size > 25 THEN p_retailprice * 1.1 ELSE p_retailprice END AS adj_price
+    FROM part
+    """,
+    description="conditional masked update (P6; trulia_scrape.py:162-163 df.loc[mask]=...)",
+)
+def q_masked_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_size") > 25, F.col("p_retailprice") * 1.1)
+        .otherwise(F.col("p_retailprice"))
+        .alias("adj_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_count",
+    oracle="SELECT COUNT(*) AS n FROM lineitem",
+    description="row count (A3; trulia_scrape.py:200 len(...))",
+)
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_groupby_avg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sql_davg('o_totalprice')} AS avg_total,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="grouped avg+count (A5; 0-ToDo.md:49 'SQL Stats' — avg price per group)",
+    tags=("bench",),
+)
+def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(davg("o_totalprice").alias("avg_total"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT {sql_davg('c_acctbal')} AS mean_bal,
+           sqrt({sql_dsum('c_acctbal * c_acctbal')} / COUNT(c_acctbal)
+                - pow({sql_davg('c_acctbal')}, 2)) AS std_bal,
+           COUNT(c_acctbal) AS n
+    FROM customer
+    """,
+    description="mean+stddev profile (A2/A4; np.mean/np.std trulia_csv_to_nlp.ipynb cell 29). "
+    "stddev via exact decimal sums of x and x² so both engines compute identical doubles",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("c_acctbal")
+    mean = davg(c)
+    return load_table(spark, sf_dir, "customer").agg(
+        mean.alias("mean_bal"),
+        F.sqrt(dsum(c * c) / F.count(c) - F.pow(mean, F.lit(2))).alias("std_bal"),
+        F.count(c).alias("n"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    description="distinct (A6; dedup TODO 0-ToDo.md:54)",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="rollup hierarchy totals (A7)",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k / sampling (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_sort",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+    description="full sort desc (O1/O2; sort_values cells 17,35) — range-partitioned exchange at scale",
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@query(
+    "q_limit",
+    oracle="SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderkey LIMIT 10",
+    description="head/limit with deterministic order (O4; df.head() cell 19)",
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    description="top-k (O6; ranked coefficients cells 35-36) — TakeOrderedAndProject, no full sort",
+    tags=("bench",),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_sample",
+    oracle=None,  # nondeterministic across engines — rows-only check (⊘, O5)
+    description="random sample, seeded (O5; df.sample(10) cells 9,16)",
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").sample(fraction=0.1, seed=42)
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.7; U1/U2 pd.concat & df.append)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    description="union-all accumulation (U1/U2; pd.concat cell 8, df.append cell 6)",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+    a = o.filter(F.col("o_orderstatus") == "F").drop("o_orderstatus")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").drop("o_orderstatus")
+    return a.unionByName(b)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    description="set difference (U3; anti-join shape of the dedup TODO)",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    b = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_orderkey")
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3 — declared capability; the reference has none).
+# Strategy is explicit per query: broadcast for small dims, sort-merge for
+# fact-fact; at 100 TB the broadcast avoids shuffling the fact table
+# entirely, and SMJ shuffles both sides exactly once on the join key.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT p.p_brand, {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+    description="broadcast hash equi-join fact⋈dim (lineitem⋈part) + grouped revenue",
+    tags=("join", "bench"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_join_sortmerge",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items, {sql_dsum('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    description="shuffle sort-merge join fact⋈fact (lineitem⋈orders, MERGE hint) — "
+    "the large-large strategy that scales when neither side broadcasts",
+    tags=("join", "bench"),
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+    """,
+    description="left-semi join: customers having a big order (S13/D1 building block)",
+    tags=("join",),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "leftsemi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="left-anti join: customers with no orders",
+    tags=("join",),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "leftanti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_upsert_antijoin",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey, c_acctbal FROM updates
+    UNION ALL
+    SELECT c.c_custkey, c.c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+    """,
+    description="MERGE-style upsert as anti-join + union (S13 mongoengine .save(); fixes the "
+    "duplicate-append flaw of load_save_sql.ipynb:228). Plain-Spark form of Delta MERGE INTO",
+    tags=("join",),
+)
+def q_upsert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    updates = target.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    kept = target.join(updates.select("c_custkey"), "c_custkey", "leftanti")
+    return updates.unionByName(kept)
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.5 — declared for top-k-per-group analytics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    description="top-3 per group via row_number (W; 'top-k cheapest per zipcode' analog)",
+    tags=("window", "bench"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    description="running total per customer (W; cumulative frame). Decimal accumulation "
+    "keeps the running sum exact and engine-independent",
+    tags=("window",),
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Reshape / encode (SURVEY §2.9 — get_dummies / pivot)
+# --------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "q_onehot_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+    description="one-hot/pivot on column values (R2; pd.get_dummies cell 18) with a fixed "
+    "vocabulary — the two-pass dynamic form lives in operators.encode.get_dummies",
+)
+def q_onehot_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (group, value) pair is absent; COUNT(CASE) gives 0
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _STATUSES],
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming-shaped batch forms (SURVEY §2.11) — the streaming/ package runs
+# the same aggregations via readStream+availableNow; these batch forms are
+# the oracle-checkable half of the batch⇄stream equivalence pair.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_window_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="tumbling 1h window agg (daily scrape volume analog; cron evidence "
+    "logs/scraper.log:827-842). Batch twin of streaming.jobs.tumbling_counts",
+    tags=("window", "bench"),
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - (k.k * INTERVAL '15 minutes') AS window_start,
+           COUNT(*) AS n_events
+    FROM events, range(0, 4) k(k)
+    GROUP BY 1
+    """,
+    description="sliding 1h/15m window counts — each event lands in 4 overlapping windows; "
+    "oracle expands the overlap with a range join",
+    tags=("window",),
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id, CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INTEGER) AS k
+    FROM events
+    """,
+    description="JSON field extraction (advanced.ipynb:104-117 payload traversal; "
+    "events.props is the JSON column)",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Partitioned CSV round-trip (S3/S4: daily_scrape/{city}/{date}.csv).
+# Values survive the round-trip, so the oracle is simply the source table —
+# a genuine value-checked test of the partitioned sink+source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders",
+    description="partitioned CSV sink + partition-discovery source round-trip "
+    "(S3/S4; trulia_scrape.py:182-188 + trulia_csv_to_nlp.ipynb cells 6-8)",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.partitioned_csv import read_partitioned_csv, write_partitioned_csv
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    out = tempfile.mkdtemp(prefix="ehs_csv_rt_")
+    # partition column analog of {city}/{date}: o_orderstatus directories
+    write_partitioned_csv(o, out, partition_cols=["o_orderstatus"])
+    back = read_partitioned_csv(spark, out, data_schema="o_orderkey BIGINT, o_orderpriority STRING")
+    return back.select("o_orderkey", "o_orderstatus", "o_orderpriority")

@@ -1,0 +1,114 @@
+"""Text-analysis queries over the documents table (SURVEY.md §2.13).
+
+The DuckDB oracles mirror each heuristic with list lambdas / regexps so the
+value-hash validates the text pipeline end to end. Ratios and scores are
+rational numbers computed by one identical double division on both engines —
+bit-identical without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as T
+from .registry import query
+
+_STOPSET_SQL = "['the', 'a', 'of', 'and', 'to']"  # == functions.text.STOPWORDS['en']
+
+
+@query(
+    "q_token_counts",
+    oracle="""
+    SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) t
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    description="token counting: top-20 vocabulary (§2.13 text analysis; the count-vectorizer "
+    "plan of trulia_csv_to_nlp.ipynb cell 12) — explode+groupBy, partial-agg friendly",
+    tags=("text", "bench"),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOPSET_SQL}, x))) AS n_stop,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents)
+    SELECT doc_id,
+           n_stop / n_tok AS en_ratio,
+           CASE WHEN n_stop / n_tok >= 0.04 THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM t
+    """,
+    description="language-ID heuristic: marker-token ratio (§2.13)",
+    tags=("text",),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.stopword_ratio("text").alias("en_ratio"),
+        T.predicted_lang("text").alias("pred_lang"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOPSET_SQL}, x))) AS n_stop,
+             length(replace(text, ' ', '')) AS n_alpha
+      FROM documents)
+    SELECT doc_id,
+           n_tok AS n_tokens,
+           n_alpha / n_tok AS avg_token_len,
+           n_stop / n_tok AS stop_ratio,
+           (n_stop / n_tok) * 0.4 + least(n_tok / 100.0, 1.0) * 0.6 AS quality
+    FROM t
+    """,
+    description="quality scoring: length/stopword/token-shape heuristics (§2.13)",
+    tags=("text",),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+    FROM documents
+    """,
+    description="document fingerprint: md5 of normalized text (§2.13; solves the cross-table "
+    "id TODO, 0-ToDo.md:54)",
+    tags=("text",),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    )

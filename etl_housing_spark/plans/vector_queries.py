@@ -1,0 +1,105 @@
+"""Similarity-search queries over the embeddings table (SURVEY.md §2.13).
+
+The DuckDB oracle reproduces the dot product positionally (range join on the
+element index) with the same DECIMAL(38,18) exact accumulation the Spark
+side uses, so scores hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import vectors as V
+from ..operators import similarity as S
+from .registry import query
+
+_DOT_DEC = (
+    "CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.__q[i.i] AS DOUBLE)"
+    " AS DECIMAL(38,18))) AS DOUBLE)"
+)
+
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS __q FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_DOT_DEC} AS dot
+      FROM embeddings e, q, range(1, 65) i(i)
+      GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(dot, 6) AS score
+    FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    description="brute-force similarity top-k vs a stored query vector (§2.13) — "
+    "broadcast query + linear scan + TakeOrderedAndProject",
+    tags=("vector", "bench"),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_bruteforce(emb, query_id=0, k=10)
+
+
+_NORM_DEC = (
+    "sqrt(CAST(SUM(CAST(CAST({t}.embedding[i.i] AS DOUBLE) * CAST({t}.embedding[i.i] AS DOUBLE)"
+    " AS DECIMAL(38,18))) AS DOUBLE))"
+)
+
+
+@query(
+    "q_embed_neardup",
+    oracle=f"""
+    WITH norms AS (
+      SELECT t.vec_id, {_NORM_DEC.format(t="t")} AS nrm
+      FROM embeddings t, range(1, 65) i(i) GROUP BY t.vec_id),
+    dots AS (
+      SELECT e.vec_id AS id_a, q.vec_id AS id_b,
+             CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      FROM embeddings e, embeddings q, range(1, 65) i(i)
+      WHERE e.vec_id < q.vec_id
+      GROUP BY e.vec_id, q.vec_id)
+    SELECT id_a, id_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM dots d JOIN norms na ON d.id_a = na.vec_id JOIN norms nb ON d.id_b = nb.vec_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+    description="embedding-cosine near-dup pairs, exact all-pairs form (§2.13). The scale "
+    "path is operators.similarity.lsh_neardup_pairs (q_embed_neardup_lsh, rows-only)",
+    tags=("vector",),
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = V.dot(F.col("va"), F.col("vb")) / (V.norm(F.col("va")) * V.norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.4)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    )
+
+
+@query(
+    "q_embed_neardup_lsh",
+    oracle=None,  # Spark-hash-free but recall-lossy by design — rows-only (⊘)
+    description="embedding near-dup via random-hyperplane LSH buckets — the O(n²)-free "
+    "scale path; candidates only within a bucket",
+    tags=("vector",),
+)
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_neardup_pairs(emb, threshold=0.4, planes=8)
+
+
+@query(
+    "q_ann_ivf",
+    oracle=None,  # approximate by construction (probed subset) — rows-only (⊘)
+    description="IVF-style ANN top-k: coarse-cell pruning via centroid probe (§2.13)",
+    tags=("vector",),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, query_id=0, k=10, nprobe=2)

@@ -1,0 +1,108 @@
+"""Warehouse: the engine's persisted-relation layer (SURVEY.md §2.1 S6-S8).
+
+The reference persists to a SQLite table with an AUTOINCREMENT surrogate key
+and TEXT-typed measure columns (housing.db DDL; load_save_sql.ipynb cells
+5-10). That design has two flaws the engine fixes:
+
+1. **Type erasure** — SQLite TEXT affinity loses the numeric types the
+   cleaning pipeline established. The warehouse stores parquet: schema
+   travels with the data.
+2. **No idempotence** — re-running the append cell duplicates rows
+   (load_save_sql.ipynb:228) and the apt_id question was never solved
+   (0-ToDo.md:54 "How to keep track of apartment id across DB tables").
+   The warehouse derives a *deterministic natural key* (sha2 of the business
+   key) so `upsert` is idempotent, and works across tables and runs —
+   unlike ``monotonically_increasing_id``, which is partition-relative.
+
+JDBC (the literal SQLite path) is supported when a driver jar is present;
+``jdbc_available`` gates it so environments without the jar fall back to
+parquet transparently.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_surrogate_key(df: DataFrame, business_cols: list[str], key_col: str = "row_key") -> DataFrame:
+    """Stable surrogate key: sha2 over the business columns.
+
+    Replaces SQLite AUTOINCREMENT (S8): deterministic across runs and
+    executors, which autoincrement/monotonically_increasing_id are not.
+    """
+    return df.withColumn(
+        key_col, F.sha2(F.concat_ws("", *[F.col(c).cast("string") for c in business_cols]), 256)
+    )
+
+
+class ParquetWarehouse:
+    """Directory-of-parquet-tables warehouse with append/overwrite/upsert."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self._path(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite",
+              partition_cols: list[str] | None = None) -> None:
+        w = df.write.mode(mode)
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(self._path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def append(self, df: DataFrame, table: str) -> None:
+        """The reference's if_exists='append' — intentionally non-idempotent."""
+        df.write.mode("append").parquet(self._path(table))
+
+    def upsert(self, df: DataFrame, table: str, key_cols: list[str]) -> None:
+        """Idempotent MERGE: keep target rows whose key is absent from the
+        update set (left-anti join), union the updates, rewrite.
+
+        Plain-Spark equivalent of Delta/Iceberg ``MERGE INTO`` (SURVEY §2.1
+        S13); at scale this is one shuffle on the key columns. The rewrite is
+        staged through an in-memory materialization here for simplicity —
+        a production deployment would write to a staging path and swap.
+        """
+        if not self.exists(table):
+            self.write(df, table, mode="overwrite")
+            return
+        target = self.read(table)
+        kept = target.join(df.select(*key_cols).distinct(), key_cols, "leftanti")
+        merged = df.unionByName(kept).persist()
+        merged.count()  # materialize before overwriting the files being read
+        try:
+            self.write(merged, table, mode="overwrite")
+        finally:
+            merged.unpersist()
+
+
+def jdbc_available(spark: SparkSession, driver_class: str = "org.sqlite.JDBC") -> bool:
+    """True when a JDBC driver class is loadable in the JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """``spark.read.jdbc`` wrapper (S6). Catalyst pushes projections and
+    filters into the generated SQL, the optimization the reference performed
+    by hand with its explicit column list (load_save_sql.ipynb:57-60)."""
+    return spark.read.format("jdbc").option("url", url).option("dbtable", table).options(**options).load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """``df.write.jdbc`` append sink (S7)."""
+    df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
