@@ -318,7 +318,7 @@ def q_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="exact dedup keep-first (D1/§2.13; 0-ToDo.md:54 apt_id dedup TODO) — "
     "row_number over the dup key, deterministic keeper",
-    tags=("dedup",),
+    tags=("dedup", "bench"),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang", "source").orderBy("doc_id")

@@ -35,7 +35,7 @@ from .registry import query
     """,
     description="exact token-set Jaccard near-dup pairs ≥ 0.9 (§2.13 n-gram Jaccard) — "
     "shingle self-join with inclusion-exclusion union",
-    tags=("dedup", "bench"),
+    tags=("dedup",),
 )
 def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
