@@ -1,0 +1,55 @@
+"""ML pipeline smoke tests (SURVEY.md §5.2 item 6): pipeline fits, r2 is
+finite, coefficient table has exactly len(features) rows — the automated
+version of the reference's manual cells 29-34 checks."""
+
+from __future__ import annotations
+
+import math
+
+from etl_housing_spark.ml import (
+    build_pipeline,
+    coefficient_table,
+    cv_fit,
+    evaluate_r2,
+    prepare_part_features,
+)
+from etl_housing_spark.catalog import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_pipeline_fit_predict_r2(spark):
+    df, features = prepare_part_features(load_table(spark, SF_SMOKE, "part"))
+    train, test = df.randomSplit([0.75, 0.25], seed=7)
+    model = build_pipeline(features).fit(train)
+    r2 = evaluate_r2(model, test)
+    assert math.isfinite(r2) and r2 <= 1.0
+
+
+def test_coefficient_table_shape(spark):
+    df, features = prepare_part_features(load_table(spark, SF_SMOKE, "part"))
+    model = build_pipeline(features).fit(df)
+    coefs = coefficient_table(spark, model, features)
+    rows = coefs.collect()
+    assert len(rows) == len(features)
+    assert set(coefs.columns) == {"feature", "coefficient"}
+    # ranked desc (M8 sort surface)
+    vals = [r.coefficient for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_cv_selects_from_grid(spark):
+    df, features = prepare_part_features(load_table(spark, SF_SMOKE, "part"))
+    cvm = cv_fit(df, features, alphas=(0.1, 10.0), num_folds=2, seed=7)
+    assert len(cvm.avgMetrics) == 2
+    best_reg = cvm.bestModel.stages[-1].getRegParam()
+    assert best_reg in (0.1, 10.0)
+
+
+def test_ml_query_registered(spark):
+    from etl_housing_spark.plans import all_queries
+
+    spec = all_queries()["q_ml_price_coeffs"]
+    assert spec.oracle is None  # rows-only ⊘
+    out = spec.fn(spark, SF_SMOKE)
+    assert out.count() > 0
