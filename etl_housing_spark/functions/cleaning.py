@@ -6,12 +6,15 @@ passes; here each step is a ``Column`` expression and the composed pipeline
 data — Catalyst's CollapseProject does what the reference could not.
 
 Cast semantics (SURVEY §7.6 hard part #1): pandas ``astype`` fails fast on
-dirty input, Spark non-ANSI ``cast`` silently nulls. ``validate_casts``
-restores fail-fast parity as a post-condition count assert instead of
-enabling ANSI mode globally.
+dirty input. Under ANSI mode (the Spark 4 default) ``cast`` throws too, so
+``clean_listings`` has fail-fast parity natively; ``validate_casts`` restores
+it for non-ANSI sessions or explicit ``try_cast`` paths as a post-condition
+count assert.
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -129,13 +132,10 @@ def validate_casts(df: DataFrame, raw: DataFrame, cols: dict[str, str], key: str
         raw.select(key, *cols)
         .join(df.select(key, *[F.col(c).alias(f"__{c}") for c in cols]), key)
         .where(
-            F.greatest(
-                *[
-                    (F.col(c).isNotNull() & F.col(f"__{c}").isNull()).cast("int")
-                    for c in cols
-                ]
+            functools.reduce(
+                Column.__or__,
+                [F.col(c).isNotNull() & F.col(f"__{c}").isNull() for c in cols],
             )
-            == 1
         )
     )
     n = bad.count()

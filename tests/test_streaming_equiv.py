@@ -1,0 +1,48 @@
+"""Batch ⇄ stream equivalence (SURVEY.md §5.2 item 4, §2.11).
+
+The same windowed aggregation computed via ``read`` and via ``readStream`` +
+``trigger(availableNow)`` over the same files must produce identical rows —
+the Structured Streaming re-expression of "cron job appends daily, consumer
+re-reads the folder" is only correct if incremental == full recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_housing_spark.catalog import load_table
+from etl_housing_spark.streaming.jobs import (
+    dedup_events,
+    read_events_stream,
+    run_available_now,
+    tumbling_counts,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _as_sorted_tuples(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_tumbling_counts_stream_equals_batch(spark):
+    stream_out = run_available_now(
+        tumbling_counts(read_events_stream(spark, SF_SMOKE)), name="t_equiv"
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    cols = ["window_start", "event_type", "n_events"]
+    assert _as_sorted_tuples(stream_out, cols) == _as_sorted_tuples(batch, cols)
+    assert stream_out.count() > 0
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    stream_out = run_available_now(
+        dedup_events(read_events_stream(spark, SF_SMOKE)), name="t_dedup"
+    )
+    batch_n = load_table(spark, SF_SMOKE, "events").dropDuplicates(["event_id"]).count()
+    assert stream_out.count() == batch_n
