@@ -1,0 +1,201 @@
+"""Operator-family unit tests on tiny inline DataFrames (SURVEY.md §5.2
+item 3): dedup, similarity, encode, multimodal plumbing — nulls, planted
+duplicates, determinism, batch contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_housing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    simhash_near_dups,
+)
+from etl_housing_spark.operators.encode import get_dummies, keyword_flags
+from etl_housing_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    resize_stub,
+    synthesize_media,
+)
+from etl_housing_spark.operators.similarity import (
+    ivf_topk,
+    lsh_neardup_pairs,
+    topk_bruteforce,
+    topk_many,
+)
+
+# ---------------------------------------------------------------- dedup ----
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different text about spark engines and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "id long, k string, v long"
+    )
+    out = exact_dedup(df, ["k"], "id").orderBy("id").collect()
+    assert [(r.id, r.k) for r in out] == [(1, "a"), (3, "b")]
+
+
+def test_shingles_max_df_caps_hot_keys(docs):
+    # 'the' appears in 3 docs; with max_df=2 it must vanish from the output
+    out = shingles(docs, "doc_id", "text", n=1, max_df=2)
+    assert out.filter(F.col("sh") == "the").count() == 0
+    assert out.filter(F.col("sh") == "spark").count() == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 4) in got  # near-dup + exact dup
+    assert not any(3 in p for p in got)  # unrelated doc never pairs
+
+
+def test_minhash_near_dups(docs):
+    pairs = minhash_near_dups(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs always collide, est_jaccard = 1.0
+    assert not any(3 in p for p in got)
+    exact = pairs.filter((F.col("id_a") == 1) & (F.col("id_b") == 4)).collect()[0]
+    assert exact.est_jaccard == 1.0
+
+
+def test_simhash_near_dups(docs):
+    sh = {r.id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[4]  # identical text → identical simhash
+    pairs = simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got
+
+
+# ----------------------------------------------------------- similarity ----
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0, 0.0], "a"),  # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0], "b"),
+        (4, [0.0, 0.0, 1.0, 0.0], "b"),
+        (5, [1.0, 0.0, 0.0, 0.1], "a"),  # close to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+
+
+def test_topk_bruteforce_cosine_self_first(emb):
+    out = topk_bruteforce(emb, query_id=1, k=3, metric="cosine").collect()
+    assert out[0].vec_id == 1 and out[0].score == 1.0
+    assert {r.vec_id for r in out} == {1, 2, 5}
+
+
+def test_topk_many_per_query_k(spark, emb):
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "query_id long, query_vec array<float>",
+    )
+    out = topk_many(emb, queries, k=2)
+    counts = {r.query_id: r.n for r in out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {100: 2, 200: 2}
+    top_for_200 = out.filter(F.col("query_id") == 200).orderBy(F.desc("score")).first()
+    assert top_for_200.vec_id == 3
+
+
+def test_lsh_neardup_finds_close_pair(emb):
+    pairs = lsh_neardup_pairs(emb, threshold=0.9, planes=4, dim=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # 1 and 2 have cosine ≈ 0.994 and identical hyperplane signs
+    assert (1, 2) in got
+    assert not any(4 in p for p in got)
+
+
+def test_ivf_topk_prunes_to_probed_cells(emb):
+    # query vector 1 lives in cell 'a'; nprobe=1 must keep results within 'a'
+    out = ivf_topk(emb, query_id=1, k=5, nprobe=1, cell_col="label").collect()
+    assert {r.vec_id for r in out} <= {1, 2, 5}
+    # nprobe=2 widens to the full corpus (both cells probed)
+    out2 = ivf_topk(emb, query_id=1, k=5, nprobe=2, cell_col="label")
+    assert out2.count() == 5
+
+
+# ---------------------------------------------------------------- encode ----
+
+
+def test_keyword_flags_order_sensitive_strip(spark):
+    # 'dog park' must be tested before 'dog' or the strip changes the flags —
+    # mirrors the reference's fixed keyword order (F15)
+    df = spark.createDataFrame([(1, "Dog Park and pool")], "id long, details string")
+    out = keyword_flags(df, "details", ["dog park", "dog", "pool"]).collect()[0]
+    assert out.dog_park == 1 and out.pool == 1
+    assert out.dog == 0  # stripped by 'dog park' before the 'dog' test
+
+
+def test_get_dummies_drop_first(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "id long, c string")
+    out = get_dummies(df, "c", drop_first=True)
+    assert "c_x" not in out.columns  # min value dropped (pandas parity)
+    rows = {r.id: (r.c_y, r.c_z) for r in out.collect()}
+    assert rows == {1: (0, 0), 2: (1, 0), 3: (0, 1)}
+
+
+# ------------------------------------------------------------ multimodal ----
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    base = spark.createDataFrame([(i, f"seed{i}") for i in range(20)], "id long, s string")
+    return synthesize_media(base, "id", "s")
+
+
+def test_media_schema(media):
+    t = dict(media.dtypes)
+    assert t["payload"] == "binary"
+    assert t["meta"].startswith("struct<format:string,width:int,height:int")
+
+
+def test_decode_matches_meta(media):
+    decoded = decode_media(media)
+    joined = decoded.join(media.select("media_id", "meta"), "media_id")
+    bad = joined.filter(
+        (F.col("width") != F.col("meta.width")) | (F.col("height") != F.col("meta.height"))
+    )
+    assert bad.count() == 0
+    lumas = [r.mean_luma for r in decoded.collect()]
+    assert all(0.0 <= x <= 1.0 for x in lumas)
+
+
+def test_decode_strict_is_marked_stub(media):
+    with pytest.raises(Exception, match="real image decode"):
+        decode_media(media, strict=True).collect()
+
+
+def test_extract_features_shape(media):
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert all(len(r.features) == 8 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.features)
+    # deterministic: same payload → same features
+    again = {r.media_id: r.features for r in extract_features(media, dim=8).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_resize_stub_rewrites_meta_only(media):
+    out = resize_stub(media, 64, 64)
+    r = out.first()
+    assert r.meta.width == 64 and r.meta.height == 64 and r.meta.format == "fake/v1"
+    assert out.count() == media.count()
