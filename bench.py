@@ -50,8 +50,7 @@ def main() -> None:
         df = specs[name].fn(spark, sf_dir)
         if explain:
             print(f"==== {name}", file=sys.stderr)
-            print(df._sc is not None and df._jdf.queryExecution().explainString("formatted"),
-                  file=sys.stderr)
+            df.explain(mode="formatted")
             continue
         t0 = time.perf_counter()
         materialize(df)
