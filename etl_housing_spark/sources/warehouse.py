@@ -87,6 +87,29 @@ class ParquetWarehouse:
             merged.unpersist()
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into ``num_buckets``
+    files by ``bucket_cols`` at write time.
+
+    Two tables bucketed identically on their join key sort-merge-join with
+    NO shuffle exchange on either side — the write pre-pays the exchange
+    once, every subsequent join reads it for free (asserted in
+    tests/test_scale_techniques.py). This is the 100 TB answer for a
+    fact⋈fact join that repeats across pipelines.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def jdbc_available(spark: SparkSession, driver_class: str = "org.sqlite.JDBC") -> bool:
     """True when a JDBC driver class is loadable in the JVM."""
     try:

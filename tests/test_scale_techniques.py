@@ -1,0 +1,123 @@
+"""Scale-technique tests (SCALE.md): skew salting preserves join semantics
+and spreads hot keys; bucketed tables join without shuffle exchanges; the
+JDBC source/sink round-trips through a real embedded driver (Derby — the
+SQLite stand-in available in this container's Spark jars)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_housing_spark.operators.skew import salted_join
+from etl_housing_spark.sources.warehouse import (
+    jdbc_available,
+    read_jdbc,
+    write_bucketed_table,
+    write_jdbc,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+# ----------------------------------------------------------------- skew ----
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (90% of fact rows) + a tail
+    fact = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 != 0, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame([(1, "hot"), (20, "cold"), (30, "cold")], "k long, name string")
+
+    plain = fact.join(dim, "k").groupBy("name").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(fact, dim, ["k"]).groupBy("name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = spark.range(0, 1000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    dim = spark.createDataFrame([(1, "hot")], "k long, name string")
+    out = salted_join(fact, dim, ["k"], buckets=8)
+    # salt must have actually fanned the single key out (join key cardinality 8)
+    n_salts = (
+        fact.withColumn("s", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(8)))
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+    assert out.count() == 1000  # semantics intact
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    dim = spark.createDataFrame([(1, "a")], "k long, name string")
+    out = salted_join(fact, dim, ["k"], buckets=4, how="left").collect()
+    byk = {r.k: r.name for r in out}
+    assert byk == {1: "a", 2: None}
+
+
+# ------------------------------------------------------------- bucketing ----
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # managed tables land in ./spark-warehouse (static conf; gitignored)
+    li = spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("orderkey"), F.col("id").alias("qty")
+    )
+    o = spark.range(0, 500).select(
+        F.col("id").alias("orderkey"), (F.col("id") % 5).alias("priority")
+    )
+    write_bucketed_table(li, "b_lineitem", ["orderkey"], num_buckets=8, sort_cols=["orderkey"])
+    write_bucketed_table(o, "b_orders", ["orderkey"], num_buckets=8, sort_cols=["orderkey"])
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.hint("merge").join(bo, "orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # bucketed scans pre-partition both sides: no shuffle exchange anywhere
+        assert "Exchange" not in plan
+        assert joined.count() == 5000
+        # control: the same join over unbucketed frames DOES shuffle
+        control = _plan(li.hint("merge").join(o, "orderkey"))
+        assert "Exchange" in control
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+# ------------------------------------------------------------------ jdbc ----
+
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_jdbc_roundtrip_with_pushdown(spark, tmp_path):
+    if not jdbc_available(spark, DERBY):
+        pytest.skip("no embedded JDBC driver in this Spark distribution")
+    url = f"jdbc:derby:{tmp_path}/housingdb;create=true"
+    df = spark.createDataFrame(
+        [(1, "a1", 800), (2, "a2", 900), (3, "b1", 700)], "apt_id int, name string, price int"
+    )
+    write_jdbc(df, url, "apartments", mode="overwrite", driver=DERBY)
+    back = read_jdbc(spark, url, "apartments", driver=DERBY)
+    assert back.count() == 3
+    # S6: projection + predicate push into the generated SQL (JDBCRelation)
+    q = back.select("name").filter(F.col("price") > 750)
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "price" in plan
+    assert q.count() == 2
+    # S7 append sink: reference's non-idempotent if_exists='append'
+    write_jdbc(df, url, "apartments", mode="append", driver=DERBY)
+    assert read_jdbc(spark, url, "apartments", driver=DERBY).count() == 6
