@@ -31,6 +31,31 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# alnum runs + individual punctuation marks — the BPE-pretokenizer shape
+# (explicit char classes, identical semantics in Java and DuckDB regex)
+BPE_ISH_PATTERN = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: alnum runs and each punctuation char counted as
+    boundaries, the way a byte-level BPE pre-tokenizer splits."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def rolling_fingerprint(col: Column | str, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Polynomial rolling hash over the token stream of normalized text:
+    h = (h*base + crc32(token)) % mod — one array fold, JVM-side, no UDF.
+    Order-sensitive (unlike the md5 ``fingerprint``), so token permutations
+    get distinct fingerprints."""
+    toks = tokens(normalized(col))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * base + F.crc32(F.encode(x, "utf-8")), F.lit(mod)),
+    )
+
+
 def stopword_count(col: Column | str, lang: str = "en") -> Column:
     vocab = STOPWORDS[lang]
     return F.size(F.filter(tokens(col), lambda x: x.isin(vocab)))

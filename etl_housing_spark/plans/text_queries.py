@@ -112,3 +112,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp")
     )
+
+
+@query(
+    "q_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS n_bpe,
+           len(string_split(text, ' ')) AS n_ws
+    FROM documents
+    """,
+    description="token counting, BPE-ish regex vs whitespace (§2.13 text analysis) — "
+    "regexp_extract_all stays inside codegen, no Python tokenizer in the scan",
+    tags=("text",),
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe"),
+        T.token_count("text").alias("n_ws"),
+    )
+
+
+@query(
+    "q_rolling_fingerprint",
+    oracle=None,  # crc32 has no DuckDB twin — rows-only ⊘; law-tested in tests/test_text_functions.py
+    description="order-sensitive polynomial rolling-hash fingerprint over the token stream "
+    "(§2.13 document fingerprinting) — array fold, JVM-side",
+    tags=("text",),
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.rolling_fingerprint("text").alias("rfp")
+    )
