@@ -160,6 +160,42 @@ def minhash_near_dups(
     )
 
 
+def minhash_near_dups_mllib(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_features: int = 1 << 16,
+    num_tables: int = 8,
+    max_jaccard_distance: float = 0.3,
+) -> DataFrame:
+    """MLlib-backed near-dup pairs: HashingTF shingle vectors → MinHashLSH →
+    ``approxSimilarityJoin`` (library alternative to the hand-rolled
+    ``minhash_near_dups``; same banding idea, OR-amplified over
+    ``num_tables`` hash tables, distance = 1 - jaccard).
+
+    The MLlib path is the off-the-shelf choice when sparse-vector features
+    already exist (e.g. a CountVectorizer pipeline); the hand-rolled one
+    keeps the shuffle payload at num_hashes ints/doc and composes with
+    plain DataFrame ops. Both are O(candidates), never O(n²).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__toks")
+    tf = HashingTF(inputCol="__toks", outputCol="__vec", numFeatures=num_features, binary=True)
+    vecs = tf.transform(tok.transform(df.select(id_col, text_col)))
+    # MinHashLSH requires at least one non-zero entry per vector
+    vecs = vecs.filter(F.size("__toks") > 0)
+    lsh = MinHashLSH(inputCol="__vec", outputCol="__hashes", numHashTables=num_tables, seed=7)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, max_jaccard_distance, distCol="jdist")
+    a_id, b_id = F.col(f"datasetA.{id_col}"), F.col(f"datasetB.{id_col}")
+    return (
+        pairs.filter(a_id < b_id)
+        .select(a_id.alias("id_a"), b_id.alias("id_b"), (1 - F.col("jdist")).alias("jaccard"))
+        .distinct()
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """32-bit SimHash over distinct tokens → (id, simhash: long).
 

@@ -199,3 +199,13 @@ def test_resize_stub_rewrites_meta_only(media):
     r = out.first()
     assert r.meta.width == 64 and r.meta.height == 64 and r.meta.format == "fake/v1"
     assert out.count() == media.count()
+
+
+def test_minhash_mllib_agrees_with_handrolled(docs):
+    from etl_housing_spark.operators.dedup import minhash_near_dups_mllib
+
+    pairs = minhash_near_dups_mllib(docs, "doc_id", "text", max_jaccard_distance=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs: distance 0, always found
+    assert (1, 2) in got  # near-dup within the distance budget
+    assert not any(3 in p for p in got)
