@@ -12,6 +12,10 @@ Methodology:
   transfer — measures the engine, not toPandas);
 - one tiny warmup pass first so JVM/codegen warmup isn't billed to the
   first query;
+- headline "value"/"queries" = first timed pass (includes per-query
+  planning + codegen — what a one-shot run pays); "queries_warm"/
+  "warm_total" = a second pass of the identical plans (steady-state
+  engine throughput, the number comparable across data sizes);
 - session: local[$SPARK_GRAFT_CPUS], AQE on, shuffle partitions = cores
   (BASELINE.md configuration notes).
 
@@ -46,6 +50,7 @@ def main() -> None:
     materialize(specs["q_groupby_avg"].fn(spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in sorted(specs):
         df = specs[name].fn(spark, sf_dir)
         if explain:
@@ -56,7 +61,10 @@ def main() -> None:
         materialize(df)
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
-        print(f"{name}: {dt:.3f}s", file=sys.stderr)
+        t1 = time.perf_counter()
+        materialize(specs[name].fn(spark, sf_dir))
+        warm[name] = round(time.perf_counter() - t1, 4)
+        print(f"{name}: {dt:.3f}s (warm {warm[name]:.3f}s)", file=sys.stderr)
 
     if not explain:
         total = round(sum(timings.values()), 4)
@@ -65,6 +73,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "queries_warm": warm,
+            "warm_total": round(sum(warm.values()), 4),
             "sf": sf,
         }))
     spark.stop()

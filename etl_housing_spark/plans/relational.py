@@ -624,3 +624,55 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_partitioned_csv(o, out, partition_cols=["o_orderstatus"])
     back = read_partitioned_csv(spark, out, data_schema="o_orderkey BIGINT, o_orderpriority STRING")
     return back.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="cube: all grouping-set combinations (A7 companion to q_rollup) — "
+    "one Expand + one HashAggregate, still partial+final at scale",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    description="set intersection (U3): customers with both finished and open orders — "
+    "left-semi under the hood, no full materialization",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific — rows-only ⊘; the exact
+    # twin q_distinct is the hash-checked one. tests/test_approx.py bounds the
+    # relative error instead.
+    description="approx_count_distinct (A6 scale path): HLL sketch, one pass, "
+    "mergeable partials — the 100 TB answer when exact distinct's shuffle "
+    "isn't worth it",
+    tags=("agg",),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
