@@ -102,6 +102,46 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame_payload BINARY"
+
+
+def frame_sample(df: DataFrame, every_n: int = 2, strict: bool = False) -> DataFrame:
+    """Frame-sample stage: one row per sampled frame index (video → frames).
+
+    The frame *indices* come from typed metadata (``meta.n_frames``) via a
+    pure Catalyst explode — no Python touches rows that only need the index
+    math. The per-frame byte extraction is the codec boundary: stubbed as a
+    deterministic slice of the payload (``strict=True`` raises where
+    PyAV/ffmpeg would be wired in). Output cardinality = Σ ceil(n_frames/
+    every_n), each row carrying its own payload slice — the shape a frame-
+    level embedding stage consumes.
+    """
+    sampled = df.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "real frame decode requires PyAV/ffmpeg — not available in this "
+                    "container; wire the demuxer here"
+                )
+            rows = []
+            for mid, payload, idx in zip(pdf["media_id"], pdf["payload"], pdf["frame_idx"]):
+                b = bytes(payload)
+                # deterministic fake frame bytes: rotate the payload by index
+                k = (int(idx) * 7) % max(len(b), 1)
+                rows.append((mid, int(idx), b[k:] + b[:k]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_payload"])
+
+    return sampled.mapInPandas(cut, FRAME_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage contract: same schema in/out, new meta dims. The pixel
     resample is the stubbed codec call; the metadata/flow is real."""
