@@ -209,3 +209,19 @@ def test_minhash_mllib_agrees_with_handrolled(docs):
     assert (1, 4) in got  # identical docs: distance 0, always found
     assert (1, 2) in got  # near-dup within the distance budget
     assert not any(3 in p for p in got)
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    # known-overlap token sets: |A∩B| = 30, |A∪B| = 70 → J = 3/7 ≈ 0.4286
+    shared = [f"s{i}" for i in range(30)]
+    a_only = [f"a{i}" for i in range(20)]
+    b_only = [f"b{i}" for i in range(20)]
+    df = spark.createDataFrame(
+        [(1, " ".join(shared + a_only)), (2, " ".join(shared + b_only))],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dups(df, "doc_id", "text", num_hashes=64, bands=32, threshold=0.0)
+    est = pairs.collect()[0].est_jaccard
+    true_j = 30 / 70
+    # 64-hash signature: stddev ≈ sqrt(J(1-J)/64) ≈ 0.062; allow 3σ
+    assert abs(est - true_j) < 0.19
