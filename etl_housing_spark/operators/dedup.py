@@ -160,6 +160,70 @@ def minhash_near_dups(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id) with
+    cluster_id = min member id (the canonical survivor).
+
+    Iterative min-label propagation: each round joins the current label
+    assignment to the (symmetrized) edge list and takes the min neighbor
+    label — the alternating large-star/small-star idea reduced to its
+    min-propagation core. Convergence in O(diameter) rounds; near-dup
+    clusters are almost always tiny cliques, so 2-3 rounds in practice
+    (``max_iters`` bounds pathology). Each iteration is one shuffle on id;
+    the label frame is checkpoint-persisted per round so the lineage does
+    not grow unboundedly — the standard guard for iterative DataFrame
+    algorithms at scale.
+
+    Input: pairs with columns (id_a, id_b) from any of the near-dup
+    operators. Output covers only ids that appear in at least one pair
+    (singletons are their own cluster by definition — union them in from
+    the corpus if a total assignment is needed).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
+    )
+    for _ in range(max_iters):
+        # propagate: my new label = min(my label, min over neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_labels, "id", "left")
+            .select("id", F.least("cluster_id", "nbr_min").alias("cluster_id"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonicalize(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
+    """Keep one row per near-dup cluster (the min-id canonical member) plus
+    every row that is in no cluster — the end-to-end dedup output."""
+    keep = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    unclustered = df.join(clusters.select(F.col("id").alias(id_col)), id_col, "leftanti")
+    return df.join(keep, id_col, "leftsemi").unionByName(unclustered)
+
+
 def minhash_near_dups_mllib(
     df: DataFrame,
     id_col: str,

@@ -63,3 +63,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=None,  # iterative min-label propagation — not SQL-expressible;
+    # convergence + canonicalization laws tested in tests/test_operators.py
+    description="near-dup clustering: minhash pairs → connected components "
+    "(iterative min-label propagation, persisted per round) → canonical "
+    "min-id survivor per cluster (§2.13 dedup; the full pipeline a training "
+    "corpus dedup runs after pair generation)",
+    tags=("dedup",),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import canonicalize, dedup_clusters, minhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dups(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.9)
+    return canonicalize(docs, dedup_clusters(pairs), "doc_id").select("doc_id", "lang", "source")

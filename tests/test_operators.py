@@ -225,3 +225,32 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
     true_j = 30 / 70
     # 64-hash signature: stddev ≈ sqrt(J(1-J)/64) ≈ 0.062; allow 3σ
     assert abs(est - true_j) < 0.19
+
+
+def test_dedup_clusters_chain_converges(spark):
+    from etl_housing_spark.operators.dedup import canonicalize, dedup_clusters
+
+    # chain 1-2-3-4 (diameter 3: needs >1 propagation round) + island 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    labels = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in canonicalize(corpus, dedup_clusters(pairs), "doc_id").collect()
+    )
+    assert kept == [1, 10, 99]  # canonical per cluster + untouched singleton
+
+
+def test_dedup_clusters_end_to_end_with_minhash(docs):
+    from etl_housing_spark.operators.dedup import canonicalize, dedup_clusters
+
+    pairs = minhash_near_dups(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.9)
+    kept = canonicalize(docs, dedup_clusters(pairs), "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 2, 3]  # 4 (exact dup of 1) collapsed into 1
