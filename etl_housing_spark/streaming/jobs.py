@@ -78,3 +78,31 @@ def _has_agg(df: DataFrame) -> bool:
         return "Aggregate" in df._jdf.queryExecution().analyzed().toString()  # type: ignore[union-attr]
     except Exception:
         return True
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins the (small, broadcast)
+    static dimension — no streaming state at all, the planner re-reads the
+    dim per batch. The enrichment shape every event pipeline needs."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def upsert_each_batch(result: DataFrame, warehouse, table: str, key_cols: list[str],
+                      checkpoint: str) -> None:
+    """Incremental materialization: every micro-batch MERGEs into a
+    warehouse table via foreachBatch — re-running the stream over the same
+    files is idempotent (the correct form of the reference's duplicate-
+    appending to_sql(if_exists='append'), load_save_sql.ipynb:228).
+    """
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.upsert(batch_df, table, key_cols)
+
+    q = (
+        result.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

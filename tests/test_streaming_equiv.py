@@ -46,3 +46,33 @@ def test_stream_dedup_equals_batch_distinct(spark):
     )
     batch_n = load_table(spark, SF_SMOKE, "events").dropDuplicates(["event_id"]).count()
     assert stream_out.count() == batch_n
+
+
+def test_stream_static_join_enrichment(spark):
+    from etl_housing_spark.streaming.jobs import enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [("click", "ui"), ("purchase", "commerce")], "event_type string, category string"
+    )
+    enriched = enrich_with_dim(read_events_stream(spark, SF_SMOKE), dim, "event_type")
+    out = run_available_now(enriched, name="t_enrich")
+    batch = load_table(spark, SF_SMOKE, "events").join(dim, "event_type", "left")
+    assert out.count() == batch.count()
+    assert out.filter(F.col("category") == "ui").count() == batch.filter(
+        F.col("category") == "ui"
+    ).count()
+
+
+def test_foreachbatch_upsert_idempotent(spark, tmp_path):
+    from etl_housing_spark.sources.warehouse import ParquetWarehouse
+    from etl_housing_spark.streaming.jobs import upsert_each_batch
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    events = read_events_stream(spark, SF_SMOKE).select("event_id", "event_type", "value")
+    n_expected = load_table(spark, SF_SMOKE, "events").count()
+
+    upsert_each_batch(events, wh, "events_mat", ["event_id"], str(tmp_path / "ck1"))
+    assert wh.read("events_mat").count() == n_expected
+    # fresh checkpoint → files re-processed; upsert keeps the table stable
+    upsert_each_batch(events, wh, "events_mat", ["event_id"], str(tmp_path / "ck2"))
+    assert wh.read("events_mat").count() == n_expected
