@@ -1,0 +1,76 @@
+"""Physical-plan regression tests (SCALE.md evidence, frozen).
+
+The scale properties the engine is designed around must be visible in the
+executed plan — if a refactor reintroduces a shuffle, drops a pushed filter,
+or pulls a text expression into Python, these fail before any benchmark
+notices."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from etl_housing_spark.plans import all_queries
+
+from .conftest import SF_SMOKE
+
+SPECS = all_queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _q(spark, name):
+    return SPECS[name].fn(spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(_q(spark, "q_filter_eq"))
+    assert "PushedFilters" in plan and "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = _plan(_q(spark, "q_project"))
+    # only the three selected columns may reach the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_comment" not in read and "o_orderdate" not in read
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(_q(spark, "q_join_broadcast"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_join_sort_merges(spark):
+    plan = _plan(_q(spark, "q_join_sortmerge"))
+    assert "SortMergeJoin" in plan
+
+
+def test_topk_never_global_sorts(spark):
+    plan = _plan(_q(spark, "q_topk"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no full sort
+
+
+def test_text_path_is_python_free(spark):
+    for name in ("q_token_counts", "q_quality_score", "q_bpe_tokens", "q_lang_id"):
+        plan = _plan(_q(spark, name))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_vector_scoring_is_python_free(spark):
+    plan = _plan(_q(spark, "q_similarity_topk"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pricing_summary_partial_aggregates(spark):
+    # two-phase HashAggregate: partial before the exchange, final after
+    plan = _plan(_q(spark, "q_pricing_summary"))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum(" in plan
