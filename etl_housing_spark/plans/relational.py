@@ -192,20 +192,23 @@ def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_stats",
     oracle=f"""
     SELECT {sql_davg('c_acctbal')} AS mean_bal,
-           sqrt({sql_dsum('c_acctbal * c_acctbal')} / COUNT(c_acctbal)
-                - pow({sql_davg('c_acctbal')}, 2)) AS std_bal,
+           round(sqrt({sql_dsum('c_acctbal * c_acctbal')} / COUNT(c_acctbal)
+                 - pow({sql_davg('c_acctbal')}, 2)), 6) AS std_bal,
            COUNT(c_acctbal) AS n
     FROM customer
     """,
     description="mean+stddev profile (A2/A4; np.mean/np.std trulia_csv_to_nlp.ipynb cell 29). "
-    "stddev via exact decimal sums of x and x² so both engines compute identical doubles",
+    "stddev via exact decimal sums of x and x². The sum-of-squares decimal exceeds 2^53 "
+    "in unscaled units beyond ~sf0.05, where decimal→double conversion may differ by "
+    "1 ulp between engines — std_bal is rounded to 6 dp on both sides so the checked "
+    "value is conversion-independent at every scale factor",
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("c_acctbal")
     mean = davg(c)
     return load_table(spark, sf_dir, "customer").agg(
         mean.alias("mean_bal"),
-        F.sqrt(dsum(c * c) / F.count(c) - F.pow(mean, F.lit(2))).alias("std_bal"),
+        F.round(F.sqrt(dsum(c * c) / F.count(c) - F.pow(mean, F.lit(2))), 6).alias("std_bal"),
         F.count(c).alias("n"),
     )
 

@@ -254,3 +254,24 @@ def test_dedup_clusters_end_to_end_with_minhash(docs):
     kept = canonicalize(docs, dedup_clusters(pairs), "doc_id")
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [1, 2, 3]  # 4 (exact dup of 1) collapsed into 1
+
+
+def test_ivf_recall_on_testdata(spark):
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucket,
+        topk_bruteforce,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = {r.vec_id for r in topk_bruteforce(emb, query_id=0, k=10).collect()}
+    # probing every cell must reproduce the exact top-k whatever the quantizer
+    got_full = {r.vec_id for r in ivf_topk(emb, query_id=0, k=10, nprobe=100).collect()}
+    assert got_full == truth
+    # a GEOMETRIC quantizer (hyperplane buckets) keeps neighbors co-celled:
+    # probing 2 of 4 cells must beat the 25% a random split would give
+    cells = emb.withColumn("cell", lsh_bucket(F.col("embedding"), dim=64, planes=2))
+    got = {r.vec_id for r in ivf_topk(cells, query_id=0, k=10, nprobe=2, cell_col="cell").collect()}
+    recall = len(got & truth) / 10
+    assert recall >= 0.5
