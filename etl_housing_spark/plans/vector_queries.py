@@ -65,18 +65,27 @@ _NORM_DEC = (
     WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
     """,
     description="embedding-cosine near-dup pairs, exact all-pairs form (§2.13). The scale "
-    "path is operators.similarity.lsh_neardup_pairs (q_embed_neardup_lsh, rows-only)",
+    "path is operators.similarity.lsh_neardup_pairs (q_embed_neardup_lsh, rows-only). "
+    "Plan shape: norms precomputed per vector (O(n), not per pair), right side "
+    "broadcast, left side repartitioned so the O(n²) nested-loop compute spreads "
+    "across all cores — without the repartition the single-row-group scan makes "
+    "BroadcastNestedLoopJoin a one-task quadratic loop",
     tags=("vector",),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("embedding")
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = V.dot(F.col("va"), F.col("vb")) / (V.norm(F.col("va")) * V.norm(F.col("vb")))
+    par = spark.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    ).repartition(par)
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .filter(cos >= 0.4)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
     )
