@@ -24,6 +24,7 @@ Layout:
 - ``streaming``  — Structured Streaming jobs (availableNow ingest, windowed
                    aggs, watermark dedup)
 - ``ml``         — pyspark.ml price-model pipeline (reference's Ridge flow)
+- ``pipeline``   — config-driven ETL job composer (source→transforms→sink)
 """
 
 __version__ = "0.1.0"
