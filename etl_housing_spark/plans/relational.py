@@ -679,3 +679,71 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
     )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           round(quantile_cont(o_totalprice, 0.95), 6) AS p95_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="exact grouped percentiles (A2/A4 profile surface): percentile_cont "
+    "interpolation — identical sorted-interpolation semantics on both engines; "
+    "rounded 6dp so the one interpolation multiply is conversion-independent. "
+    "At 100 TB switch to approx_percentile (t-digest, mergeable partials)",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    description="ordered string aggregation (R-family reshape; the ' ,'.join(details) "
+    "shape lifted to groups): sort_array(collect_list) + array_join — deterministic "
+    "because the collected set is sorted before joining",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    description="histogram binning (A4 profile surface): fixed-width floor-division "
+    "buckets + count — one partial+final aggregate, the distributed form of "
+    "df.hist/df.describe (pure arithmetic binning: identical IEEE division on "
+    "both engines; width_bucket is absent from the oracle's DuckDB build)",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 20000).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
