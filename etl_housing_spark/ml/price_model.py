@@ -65,24 +65,43 @@ def prepare_part_features(part: DataFrame) -> tuple[DataFrame, list[str]]:
     return df, features
 
 
-def build_pipeline(features: list[str], reg_param: float = 1.0) -> Pipeline:
+def build_pipeline(
+    features: list[str],
+    reg_param: float = 1.0,
+    categorical: list[str] | None = None,
+) -> Pipeline:
     """VectorAssembler → StandardScaler(withMean, withStd) → ridge
-    (LinearRegression elasticNetParam=0 == L2-only, sklearn Ridge)."""
-    return Pipeline(
-        stages=[
-            VectorAssembler(inputCols=features, outputCol="raw_features"),
-            StandardScaler(
-                inputCol="raw_features", outputCol="features", withMean=True, withStd=True
-            ),
-            LinearRegression(
-                featuresCol="features",
-                labelCol="price",
-                elasticNetParam=0.0,
-                regParam=reg_param,
-                solver="normal",
-            ),
-        ]
-    )
+    (LinearRegression elasticNetParam=0 == L2-only, sklearn Ridge).
+
+    ``categorical`` columns go through StringIndexer → OneHotEncoder
+    (dropLast=True == the reference's ``get_dummies(drop_first=True)``,
+    trulia_csv_to_nlp.ipynb:1230) producing *sparse* vectors — the scale
+    form of the zipcode dummies: a 100k-zipcode column costs one sparse
+    entry per row, not 100k materialized columns.
+    """
+    from pyspark.ml.feature import OneHotEncoder, StringIndexer
+
+    categorical = categorical or []
+    stages: list = []
+    vec_inputs = list(features)
+    for c in categorical:
+        stages.append(StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep"))
+        stages.append(OneHotEncoder(inputCol=f"{c}_idx", outputCol=f"{c}_oh", dropLast=True))
+        vec_inputs.append(f"{c}_oh")
+    stages += [
+        VectorAssembler(inputCols=vec_inputs, outputCol="raw_features"),
+        StandardScaler(
+            inputCol="raw_features", outputCol="features", withMean=True, withStd=True
+        ),
+        LinearRegression(
+            featuresCol="features",
+            labelCol="price",
+            elasticNetParam=0.0,
+            regParam=reg_param,
+            solver="normal",
+        ),
+    ]
+    return Pipeline(stages=stages)
 
 
 def cv_fit(

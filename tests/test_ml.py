@@ -53,3 +53,20 @@ def test_ml_query_registered(spark):
     assert spec.oracle is None  # rows-only ⊘
     out = spec.fn(spark, SF_SMOKE)
     assert out.count() > 0
+
+
+def test_pipeline_with_categorical_onehot(spark):
+    """R2 at model scale: StringIndexer+OneHotEncoder (sparse) stands in for
+    get_dummies' materialized columns (trulia_csv_to_nlp.ipynb:1230)."""
+    part = load_table(spark, SF_SMOKE, "part")
+    df, features = prepare_part_features(part)
+    df = df.join(part.select("p_partkey", "p_brand"), "p_partkey")
+    model = build_pipeline(features, categorical=["p_brand"]).fit(df)
+    r2 = evaluate_r2(model, df)
+    import math
+
+    assert math.isfinite(r2)
+    lr = model.stages[-1]
+    n_containers = part.select("p_brand").distinct().count()
+    # numeric features + (cardinality+1 indexed, dropLast) one-hot slots
+    assert len(lr.coefficients) == len(features) + n_containers
