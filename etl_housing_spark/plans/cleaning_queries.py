@@ -328,3 +328,44 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("lang", "source", F.col("doc_id").alias("keep_id"))
     )
+
+
+@query(
+    "q_scrape_pipeline",
+    oracle=None,  # HTML parse stage is not SQL-expressible — rows-only ⊘;
+    # field-level extraction is golden-tested in tests/test_html_extract.py
+    description="the reference's entire production pipeline (trulia_scrape.py main(), "
+    "SURVEY §3.1) as one distributed flow: page snapshots (synthesized here from the "
+    "part table) → mapInPandas HTML extract → clean_listings → typed rows",
+    tags=("cleaning",),
+)
+def q_scrape_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import clean_listings
+    from ..sources.html_extract import SNAPSHOT_SCHEMA, extract_listings
+
+    part = load_table(spark, sf_dir, "part").limit(100)
+    page = F.concat(
+        F.lit('<html><body><span data-testid="home-details-summary-headline">'),
+        F.col("p_name"),
+        F.lit('</span><span data-testid="home-details-summary-city-state">1 Main St</span>'
+              '<span data-testid="home-details-summary-city-state">Austin, TX 78758</span>'
+              '<div data-testid="home-description-text-description-text">d</div>'
+              '<table data-testid="floor-plan-group"><tr>'
+              '<td class="FloorPlanTable__FloorPlanSMCell-sc-1ghu3y7-8">x</td>'
+              '<td class="FloorPlanTable__FloorPlanSMCell-sc-1ghu3y7-8">$'),
+        F.format_number(F.col("p_retailprice").cast("int"), 0),
+        F.lit('</td>'
+              '<td class="FloorPlanTable__FloorPlanFloorSpaceCell-sc-1ghu3y7-5">'),
+        (F.col("p_size") * 100).cast("string"),
+        F.lit(' sqft</td>'
+              '<td class="FloorPlanTable__FloorPlanFeaturesCell-sc-1ghu3y7-4">1bd</td>'
+              '<td class="FloorPlanTable__FloorPlanFeaturesCell-sc-1ghu3y7-4">1ba</td>'
+              '</tr></table></body></html>'),
+    )
+    snaps = part.select(
+        F.concat(F.lit("mem://part/"), F.col("p_partkey")).alias("url"),
+        page.alias("html"),
+        F.lit("2020-05-01").alias("fetch_date"),
+    )
+    _ = SNAPSHOT_SCHEMA  # snaps matches the crawler-landing contract (url, html, fetch_date)
+    return clean_listings(extract_listings(snaps)).orderBy("url")
