@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ml_queries,
         relational,
         streaming_queries,
+        timeseries_queries,
         text_queries,
         vector_queries,
     )

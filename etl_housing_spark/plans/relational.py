@@ -747,3 +747,39 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS — the explicit form completing the rollup/cube family
+# (A7): independent status-wise and priority-wise summaries plus the grand
+# total in a single scan. One Expand (3 replicas) + one partial+final
+# HashAggregate; at 100 TB this reads the fact table once instead of three
+# times — the whole point of grouping sets over UNION ALL of group-bys.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="explicit GROUPING SETS (A7 family): status-wise + priority-wise + grand "
+    "total in one scan — Expand + single partial+final HashAggregate, 1 read "
+    "instead of 3",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -146,3 +146,108 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", T.rolling_fingerprint("text").alias("rfp")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level TF-IDF term weighting — the count-vectorizer the reference
+# planned ("Can use count vectorizer here… Use lemmetizer",
+# trulia_csv_to_nlp.ipynb:461-462, cell 12) extended with the inverse-
+# document-frequency weighting any training-corpus term ranking uses.
+# Plan shape: explode → one partial+final aggregate keyed on token (tf and
+# df computed together), then a scalar log on the tiny aggregated result —
+# the expensive distributed part never touches a logarithm, so the one
+# libm-dependent operation runs on identical integer inputs in both
+# engines (rounded 6dp: a cross-libm 1-ulp wobble cannot move the 6th
+# decimal except exactly at a rounding boundary, which binary doubles of
+# these magnitudes never sit on).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    stats AS (
+      SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY token)
+    SELECT token, tf, df,
+           ROUND(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+    FROM stats ORDER BY tfidf DESC, token LIMIT 20
+    """,
+    description="corpus-level TF-IDF term ranking (§2.13 text analysis): tf+df in one "
+    "aggregate over the exploded token stream; log applied post-aggregation on "
+    "integer inputs so the distributed plan is libm-free",
+    tags=("text",),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar; the corpus cardinality is a plan constant
+    return (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "token")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the training-data hygiene pass every corpus pipeline runs
+# before anything else. The synthetic documents contain no PII, so the
+# query deterministically plants an email and a phone per row from doc_id
+# (same construction in the oracle) and then strips both with regexes that
+# mean the same thing in Java regex (Spark) and RE2 (DuckDB): character
+# classes, \\d, \\b, bounded repetition only — no backreferences or
+# lookaround. Pure codegen string ops; at 100 TB this is a map-only stage
+# with zero shuffle.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw_text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw_text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM raw
+    """,
+    description="PII redaction (email+phone → placeholder tokens) over deterministically "
+    "planted PII — map-only regexp_replace chain, shuffle-free, RE2/Java-regex-"
+    "portable patterns",
+    tags=("text",),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))

@@ -1,0 +1,148 @@
+"""Time-series queries over the events table.
+
+The reference's only time dimension is the scrape ``date`` column stamped per
+run (trulia_scrape.py:146) and the daily-cron increment (0-ToDo.md:12) — it
+never correlates observations across time. An analytics engine over that data
+model needs the two canonical time-series operators a daily-scraped corpus
+enables: *as-of enrichment* ("which listing state was current when X
+happened" — the cross-table apartment-id tracking of 0-ToDo.md:54 extended
+with time) and *sessionization* (grouping a user's event stream into
+activity bursts — the per-run batching the cron log shows, logs/scraper.log,
+lifted to per-entity time windows).
+
+Both are implemented the scale-first way: **one shuffle on the entity key,
+then sort-based window functions within partitions** — no range-explosion
+join, no per-row subqueries. This is the shape that survives 100 TB: the
+as-of union trick in particular is O(n log n) per partition versus the
+O(n·m) of the naive inequality join Catalyst would otherwise produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------
+# As-of join: for every purchase, the most recent click by the same user
+# at-or-before the purchase timestamp.
+#
+# Implementation: union both streams with an is_click marker, sort each
+# user's partition by (ts, is_click DESC, event_id) — clicks sort before
+# purchases at equal ts so a same-instant click is visible, ties between
+# clicks resolve to the larger event_id — then carry the last non-null
+# click forward with last(..., ignorenulls=True). One exchange (hash on
+# user_id), one sort, no join operator at all. DuckDB's ASOF JOIN computes
+# the same relation; the oracle uses the identical window formulation so
+# tie semantics are pinned, not engine-defined.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events WHERE event_type IN ('click', 'purchase'))
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           last_click_id, last_click_ts
+    FROM (
+      SELECT u.*,
+        last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+          OVER w AS last_click_id,
+        last_value(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+          OVER w AS last_click_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    WHERE is_click = 0
+    """,
+    description="as-of join: latest click at-or-before each purchase, per user — "
+    "union + per-key sort + last(ignorenulls) carry-forward; one shuffle, no "
+    "inequality join (the O(n·m) trap). DuckDB ASOF JOIN equivalent, window-pinned",
+    tags=("timeseries", "window"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "is_click", F.when(F.col("event_type") == "click", 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("is_click") == 1, F.col("event_id"))
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    return (
+        u.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_id",
+            "last_click_ts",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: gap-based session assignment — a new session starts when
+# a user has been inactive longer than the threshold. lag + conditional
+# flag + running sum, all inside one window partition: one shuffle on
+# user_id, sorted once, reused by all three window expressions (Catalyst
+# collapses them into a single WindowExec). The streaming twin of this is
+# session_window()/applyInPandasWithState; the batch form here is the one
+# a backfill over 100 TB of history runs.
+# --------------------------------------------------------------------------
+
+_SESSION_GAP = "INTERVAL 12 HOURS"  # ≈ splits a third of consecutive-event pairs at sf0.01
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 12 HOURS
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM o)
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+    description="gap-based sessionization (12h inactivity): lag + new-session flag + "
+    "running sum, one shuffle on user_id — then per-session rollup. The batch "
+    "backfill form of streaming session windows",
+    tags=("timeseries", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr(_SESSION_GAP)), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

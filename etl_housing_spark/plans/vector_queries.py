@@ -112,3 +112,39 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, query_id=0, k=10, nprobe=2)
+
+
+# --------------------------------------------------------------------------
+# Per-label centroid pooling — the mean-embedding reduction behind IVF
+# coarse quantizers, class prototypes, and cluster summarization. Shape:
+# posexplode to (label, pos, val) and one partial+final HashAggregate
+# keyed (label, pos) — the shuffle carries |labels|·dim partial sums per
+# partition regardless of row count, so it scales to any corpus size.
+# Decimal accumulation (plans/_util rationale) keeps the float sums
+# order-independent and bit-identical with the oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    SELECT label, CAST(i.i - 1 AS BIGINT) AS pos,
+           CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(embedding[i.i]) AS centroid
+    FROM embeddings, range(1, 65) i(i)
+    GROUP BY label, i.i
+    """,
+    description="per-label mean-embedding centroids (vector pooling): posexplode + one "
+    "(label,pos)-keyed partial+final aggregate; shuffle volume is |labels|×dim, "
+    "independent of corpus size",
+    tags=("vector",),
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans._util import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(davg(F.col("val").cast("double")).alias("centroid"))
+    )

@@ -1,0 +1,130 @@
+"""Semantic unit tests for the time-series operators (plans/timeseries_queries).
+
+The oracle parity tests prove both engines agree; these pin the *intended*
+semantics on hand-built micro-inputs where every tie and boundary case is
+enumerable: same-instant click/purchase visibility, click-tie resolution,
+per-user isolation, exact-gap vs over-gap session splitting.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _asof(spark, rows):
+    """Run the q_asof_join window logic over inline (id, user, ts, type) rows."""
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "is_click", F.when(F.col("event_type") == "click", 1).otherwise(0)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        u.withColumn(
+            "last_click_id",
+            F.last(F.when(F.col("is_click") == 1, F.col("event_id")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_click") == 0)
+        .select("event_id", "last_click_id")
+    )
+    return {r.event_id: r.last_click_id for r in out.collect()}
+
+
+def test_asof_basic_and_no_future_match(spark):
+    got = _asof(
+        spark,
+        [
+            (1, 7, _ts("2024-01-01T00:00:00"), "click"),
+            (2, 7, _ts("2024-01-01T01:00:00"), "purchase"),  # matches click 1
+            (3, 7, _ts("2024-01-01T02:00:00"), "click"),
+            (4, 7, _ts("2024-01-01T01:30:00"), "purchase"),  # click 3 is in its future
+        ],
+    )
+    assert got == {2: 1, 4: 1}
+
+
+def test_asof_same_instant_click_is_visible(spark):
+    t = _ts("2024-01-01T12:00:00")
+    got = _asof(spark, [(10, 1, t, "click"), (11, 1, t, "purchase")])
+    assert got == {11: 10}
+
+
+def test_asof_click_tie_takes_larger_event_id(spark):
+    t = _ts("2024-01-01T12:00:00")
+    got = _asof(
+        spark,
+        [
+            (20, 1, t, "click"),
+            (21, 1, t, "click"),
+            (22, 1, _ts("2024-01-01T13:00:00"), "purchase"),
+        ],
+    )
+    assert got == {22: 21}
+
+
+def test_asof_users_are_isolated_and_null_when_no_click(spark):
+    got = _asof(
+        spark,
+        [
+            (30, 1, _ts("2024-01-01T00:00:00"), "click"),
+            (31, 2, _ts("2024-01-01T01:00:00"), "purchase"),  # user 2 never clicked
+        ],
+    )
+    assert got == {31: None}
+
+
+def _sessionize(spark, rows, gap="INTERVAL 1 HOURS"):
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr(gap)), 1).otherwise(0)
+    out = (
+        ev.withColumn("session_seq", F.sum(is_new).over(run))
+        .select("user_id", "event_id", "session_seq")
+        .collect()
+    )
+    return {(r.user_id, r.event_id): r.session_seq for r in out}
+
+
+def test_sessionize_exact_gap_stays_over_gap_splits(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1),
+        (1, _ts("2024-01-01T01:00:00"), 2),  # exactly 1h later → same session
+        (1, _ts("2024-01-01T02:00:00.000001"), 3),  # 1h + 1µs → new session
+    ]
+    got = _sessionize(spark, rows)
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2}
+
+
+def test_sessionize_per_user_numbering_restarts(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1),
+        (2, _ts("2024-01-01T00:30:00"), 2),
+        (1, _ts("2024-01-01T05:00:00"), 3),
+        (2, _ts("2024-01-01T00:45:00"), 4),
+    ]
+    got = _sessionize(spark, rows)
+    assert got == {(1, 1): 1, (1, 3): 2, (2, 2): 1, (2, 4): 1}
+
+
+def test_asof_plan_has_single_exchange(spark):
+    """The as-of union trick must cost exactly one hash exchange (on user_id) —
+    no inequality join, no extra shuffles."""
+    from etl_housing_spark.plans.timeseries_queries import q_asof_join
+
+    plan = q_asof_join(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
