@@ -783,3 +783,81 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier detection — the distributed form of the price-sanity eyeball
+# checks the reference does by sorting and looking (trulia_csv_to_nlp.ipynb
+# cell 17) and its range-price filters (trulia_scrape.py:169). Tukey fences
+# per group: percentiles are rounded to 6dp *first* (the one cross-engine
+# interpolation wobble, same rationale as q_percentiles), then every
+# downstream fence computation is exactly-rounded IEEE arithmetic on
+# identical operands — the filter predicate is bit-deterministic on both
+# engines. Plan: tiny per-group fence table broadcast back onto the fact
+# scan; at 100 TB the fences come from approx_percentile instead and the
+# shape is unchanged.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_outlier_iqr",
+    oracle="""
+    WITH f AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q3
+      FROM events GROUP BY event_type),
+    b AS (
+      SELECT event_type, q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo,
+             q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi
+      FROM f)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value < b.lo OR e.value > b.hi
+    """,
+    description="per-group Tukey-fence (1.5·IQR) outlier rows — grouped percentiles "
+    "rounded 6dp then exact IEEE fence arithmetic; fence table broadcast onto "
+    "the fact scan",
+    tags=("agg",),
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fences = (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+        )
+        .select(
+            "event_type",
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .select("event_id", "event_type", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling — the per-class downsampling every training-corpus
+# builder runs (class rebalancing, eval-split carving). sampleBy is a
+# map-only Bernoulli filter per stratum: no shuffle, no state, linear scan —
+# the only sampling pattern that works at 100 TB. Seeded but ⊘ rows-only:
+# Spark's per-row hash stream is engine-specific by design.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_stratified_sample",
+    oracle=None,  # sampling hash stream is engine-specific — rows-only (⊘)
+    description="stratified per-class sampling (sampleBy, seeded): map-only Bernoulli "
+    "filter per stratum, shuffle-free — class rebalancing at corpus scale",
+    tags=("sample",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.5}
+    return ev.sampleBy("event_type", fractions, seed=7)

@@ -146,3 +146,41 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join — per-user onboarding window vs the global event
+# stream. See operators/rangejoin.py for why this is a bucketed equi-join
+# and not the BroadcastNestedLoopJoin Catalyst would pick for a raw
+# inequality join. The oracle states the naive inequality join; the Spark
+# side must produce the identical relation through the bucket rewrite.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS window_owner, MIN(ts) AS s,
+             MIN(ts) + INTERVAL 3 DAY AS e
+      FROM events GROUP BY user_id)
+    SELECT window_owner, COUNT(*) AS n_events
+    FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts < iv.e
+    GROUP BY window_owner
+    """,
+    description="range join: events falling in each user's first-3-days window — "
+    "bucketed rewrite (interval→day-bucket explode + equi-join + exact refine) "
+    "of the inequality join; hash join + AQE instead of a nested loop",
+    tags=("timeseries", "join"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import bucketed_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy(F.col("user_id").alias("window_owner"))
+        .agg(F.min("ts").alias("start"))
+        .withColumn("end", F.col("start") + F.expr("INTERVAL 3 DAYS"))
+    )
+    joined = bucketed_interval_join(ev.select("event_id", "ts"), iv)
+    return joined.groupBy("window_owner").agg(F.count(F.lit(1)).alias("n_events"))

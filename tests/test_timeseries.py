@@ -128,3 +128,49 @@ def test_asof_plan_has_single_exchange(spark):
     plan = q_asof_join(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_bucketed_interval_join_matches_naive(spark):
+    """The bucket rewrite must produce exactly the naive inequality join's
+    relation, including boundary semantics (start inclusive, end exclusive)
+    and intervals spanning multiple / zero buckets."""
+    from etl_housing_spark.operators.rangejoin import bucketed_interval_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00")),  # exactly at a start → included
+            (2, _ts("2024-01-03T12:00:00")),
+            (3, _ts("2024-01-05T00:00:00")),  # exactly at an end → excluded
+            (4, _ts("2024-02-01T09:30:00")),
+        ],
+        "event_id long, ts timestamp_ntz",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01T00:00:00"), _ts("2024-01-05T00:00:00")),  # 4-day span
+            (200, _ts("2024-01-03T06:00:00"), _ts("2024-01-03T18:00:00")),  # sub-day
+            (300, _ts("2024-03-01T00:00:00"), _ts("2024-03-02T00:00:00")),  # matches none
+        ],
+        "iv_id long, start timestamp_ntz, end timestamp_ntz",
+    )
+    got = {
+        (r.iv_id, r.event_id)
+        for r in bucketed_interval_join(ev, iv).select("iv_id", "event_id").collect()
+    }
+    naive = {
+        (r.iv_id, r.event_id)
+        for r in ev.join(iv, (ev.ts >= iv.start) & (ev.ts < iv.end))
+        .select("iv_id", "event_id")
+        .collect()
+    }
+    assert got == naive == {(100, 1), (100, 2), (200, 2)}
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    """The whole point of the bucket rewrite: Catalyst must execute an
+    equi-join (SMJ/BHJ) on the bucket key, never BroadcastNestedLoopJoin."""
+    from etl_housing_spark.plans.timeseries_queries import q_range_join
+
+    plan = q_range_join(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
