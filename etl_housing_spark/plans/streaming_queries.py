@@ -37,3 +37,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_available_now(jobs.dedup_events(events)).select(
         "event_id", "event_type", "value"
     )
+
+
+@query(
+    "q_stream_sessionize",
+    oracle=None,  # ⊘ custom stateful streaming; closed-session equivalence-tested vs q_sessionize
+    description="streaming gap-based sessionization via applyInPandasWithState — "
+    "custom stateful operator, O(active users) fixed-size state, emits a session "
+    "the moment a later event closes it; batch twin is q_sessionize",
+    tags=("streaming", "timeseries"),
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = jobs.read_events_stream(spark, sf_dir)
+    return jobs.run_available_now(jobs.sessionize_stream(events, gap="12 hours"))

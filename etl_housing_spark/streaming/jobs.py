@@ -1,11 +1,13 @@
 """Streaming jobs over the events table (SURVEY.md §2.11).
 
-State is bounded by design: windowed aggregations + watermarks, and
-watermarked dropDuplicates — no arbitrary mapGroupsWithState (nothing in the
-reference motivates it). At scale the watermark bounds state linearly in
-(windows within horizon × groups), and availableNow gives incremental batch
-with exactly-once file tracking — the correct re-expression of "cron job +
-re-read the folder".
+State is bounded by design: windowed aggregations + watermarks, watermarked
+dropDuplicates, and one custom stateful operator (sessionize_stream, built
+on applyInPandasWithState) whose state is a single fixed-size record per
+active entity. At scale the watermark bounds window state linearly in
+(windows within horizon × groups), dedup state in (ids within horizon),
+and session state in (active users) — nothing unbounded. availableNow gives
+incremental batch with exactly-once file tracking — the correct
+re-expression of "cron job + re-read the folder".
 """
 
 from __future__ import annotations
@@ -106,3 +108,74 @@ def upsert_each_batch(result: DataFrame, warehouse, table: str, key_cols: list[s
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_seq BIGINT, n_events BIGINT, "
+    "session_start TIMESTAMP, session_end TIMESTAMP"
+)
+_SESSION_STATE_SCHEMA = "last_us BIGINT, seq BIGINT, start_us BIGINT, n BIGINT"
+
+
+def sessionize_stream(events: DataFrame, gap: str = "12 hours") -> DataFrame:
+    """Streaming gap-based sessionization — the applyInPandasWithState twin
+    of plans.timeseries_queries.q_sessionize.
+
+    Custom stateful operator (the one place the catalog needs more than
+    windowed aggs): state is one fixed-size record per *active* user
+    (last event time, open-session seq/start/count), so state size is
+    O(active entities), not O(events) — bounded by construction. Each
+    micro-batch's rows are sorted by event time inside the Arrow batch;
+    a session is emitted the moment a later event closes it (gap
+    exceeded). The open session per user stays in state and is not
+    emitted — batch⇄stream equivalence modulo exactly that tail is
+    asserted in tests/test_streaming_equiv.py. Cross-batch late events
+    (older than the state's last seen time) extend the open session
+    conservatively rather than resurrecting a closed one — same horizon
+    contract as the watermarked operators above.
+    """
+    import pandas as pd  # Arrow batches arrive as pandas frames
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        parts = [pdf for pdf in pdfs]
+        rows = pd.concat(parts) if parts else pd.DataFrame({"ts": []})
+        # normalize to int64 µs regardless of the Arrow batch's datetime64 unit
+        ts_us = sorted(
+            pd.to_datetime(rows["ts"]).astype("datetime64[us]").astype("int64")
+        )
+        if state.exists:
+            last_us, seq, start_us, n = state.get
+        else:
+            last_us, seq, start_us, n = None, 0, None, 0
+        closed: list[tuple[int, int, int, int]] = []
+        for t in ts_us:
+            if last_us is None or t - last_us > gap_us:
+                if n > 0:
+                    closed.append((seq, n, start_us, last_us))
+                seq, start_us, n = seq + 1, t, 0
+            n += 1
+            last_us = max(last_us, t) if last_us is not None else t
+        state.update((last_us, seq, start_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_seq": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                    "session_start": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[3] for c in closed], unit="us"),
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

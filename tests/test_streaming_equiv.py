@@ -76,3 +76,45 @@ def test_foreachbatch_upsert_idempotent(spark, tmp_path):
     # fresh checkpoint → files re-processed; upsert keeps the table stable
     upsert_each_batch(events, wh, "events_mat", ["event_id"], str(tmp_path / "ck2"))
     assert wh.read("events_mat").count() == n_expected
+
+
+def test_sessionize_stream_equals_batch_closed_sessions(spark):
+    """The custom stateful operator (applyInPandasWithState) must emit
+    exactly the batch sessionization's *closed* sessions — every session
+    except each user's final (still-open) one, which lives in state."""
+    from pyspark.sql import Window
+
+    from etl_housing_spark.streaming.jobs import sessionize_stream
+
+    stream_out = run_available_now(
+        sessionize_stream(read_events_stream(spark, SF_SMOKE), gap="12 hours"),
+        name="t_sess",
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 12 HOURS")), 1
+    ).otherwise(0)
+    batch = (
+        ev.withColumn("session_seq", F.sum(is_new).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    batch_closed = batch.join(
+        batch.groupBy("user_id").agg(F.max("session_seq").alias("session_seq")),
+        ["user_id", "session_seq"],
+        "left_anti",
+    )
+
+    cols = ["user_id", "session_seq", "n_events", "session_start", "session_end"]
+    got = _as_sorted_tuples(stream_out, cols)
+    want = _as_sorted_tuples(batch_closed, cols)
+    assert len(got) > 0
+    assert got == want
