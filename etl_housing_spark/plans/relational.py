@@ -861,3 +861,74 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     fractions = {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 0.5}
     return ev.sampleBy("event_type", fractions, seed=7)
+
+
+# --------------------------------------------------------------------------
+# SCD2 merge — versioned-dimension history. The reference overwrites or
+# duplicates on every daily run (to_sql(if_exists='append'),
+# load_save_sql.ipynb:228) and never solved cross-run identity
+# (0-ToDo.md:54); scraping the same apartment daily therefore loses its
+# price history. sources.warehouse.scd2_merge is the warehouse fix: every
+# business key carries [valid_from, valid_to) versions. The checked query
+# runs one full merge cycle over customer: segment changes for custkey%7
+# (close + reopen), brand-new keys (insert), everything else untouched.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_scd2_merge",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment,
+             TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, 'PROMO' AS c_mktsegment FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey % 97 = 0),
+    changed AS (
+      SELECT cur.c_custkey, upd.c_mktsegment AS new_seg
+      FROM cur JOIN upd ON cur.c_custkey = upd.c_custkey
+      WHERE cur.c_mktsegment IS DISTINCT FROM upd.c_mktsegment),
+    newkeys AS (
+      SELECT upd.c_custkey, upd.c_mktsegment
+      FROM upd LEFT JOIN cur ON upd.c_custkey = cur.c_custkey
+      WHERE cur.c_custkey IS NULL)
+    SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL
+                THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+           ch.c_custkey IS NULL AS is_current
+    FROM cur LEFT JOIN changed ch ON cur.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, new_seg, TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE FROM changed
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, TIMESTAMP '2024-06-01 00:00:00', NULL, TRUE FROM newkeys
+    """,
+    description="SCD2 versioned-dimension merge (close-changed + insert-new + pass-through "
+    "unchanged) over customer — warehouse history maintenance the reference's "
+    "append-only sink lacks; open-slice equi-join + unions, archive rows untouched",
+    tags=("warehouse",),
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warehouse import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    current = (
+        cust.withColumn("valid_from", F.lit("2020-01-01 00:00:00").cast("timestamp_ntz"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", F.lit("PROMO").alias("c_mktsegment"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_merge(
+        current, updates, ["c_custkey"], ["c_mktsegment"], "2024-06-01 00:00:00"
+    )

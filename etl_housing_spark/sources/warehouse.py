@@ -129,3 +129,83 @@ def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
     """``df.write.jdbc`` append sink (S7)."""
     df.write.format("jdbc").option("url", url).option("dbtable", table).options(**options).mode(mode).save()
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: versioned history maintenance.
+
+    The reference's storage layer overwrites or duplicates on every run
+    (load_save_sql.ipynb:228 append; no id tracking, 0-ToDo.md:54) — daily
+    scrapes of the *same* apartment lose their history. SCD2 is the
+    warehouse answer: each business key carries versions with
+    ``[valid_from, valid_to)`` ranges and an ``is_current`` flag.
+
+    Semantics per update row (full-snapshot updates):
+    - key exists and a tracked column changed → close the open version
+      (``valid_to = effective_ts``) and insert a new open version;
+    - key exists, nothing changed → untouched (idempotent re-merge);
+    - new key → insert as a new open version.
+
+    Plan shape: the change set is one equi-join of the *open* slice with
+    updates (broadcast when the snapshot is dim-sized, SMJ otherwise) +
+    two unions — no window, no driver loop. Closed history rows pass
+    through untouched, so at 100 TB the cost is the open-slice join, not
+    the archive scan. Delta/Iceberg ``MERGE INTO`` expresses the same
+    thing; this is the plain-parquet form.
+    """
+    changed_flag = None
+    for c in tracked_cols:
+        ne = ~(F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}")))
+        changed_flag = ne if changed_flag is None else (changed_flag | ne)
+
+    open_slice = current.filter(F.col(is_current)).alias("cur")
+    # null-safe match detection: a literal marker column, so updates may
+    # carry NULLs in tracked columns without breaking existence checks
+    upd_marked = updates.withColumn("__upd_marker", F.lit(True)).alias("upd")
+    joined = open_slice.join(upd_marked, key_cols, "full_outer")
+    matched = F.col(f"cur.{valid_from}").isNotNull() & F.col("__upd_marker").isNotNull()
+
+    eff = F.lit(effective_ts).cast(dict(current.dtypes)[valid_from])
+
+    closing_keys = joined.filter(matched & changed_flag).select(*key_cols)
+    inserts_changed = (
+        joined.filter(matched & changed_flag)
+        .select(*key_cols, *[F.col(f"upd.{c}").alias(c) for c in tracked_cols])
+    )
+    inserts_new = (
+        joined.filter(F.col(f"cur.{valid_from}").isNull())
+        .select(*key_cols, *[F.col(f"upd.{c}").alias(c) for c in tracked_cols])
+    )
+    inserts = (
+        inserts_changed.unionByName(inserts_new)
+        .withColumn(valid_from, eff)
+        .withColumn(valid_to, F.lit(None).cast(dict(current.dtypes)[valid_from]))
+        .withColumn(is_current, F.lit(True))
+    )
+
+    out_cols = current.columns
+    kept = current.join(F.broadcast(closing_keys.withColumn("__close", F.lit(True))), key_cols, "left")
+    kept = kept.select(
+        *[
+            F.when(F.col("__close") & F.col(is_current), _closed_value(c, eff, valid_to, is_current))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in (valid_to, is_current)
+            else F.col(c)
+            for c in out_cols
+        ]
+    )
+    return kept.unionByName(inserts.select(*out_cols))
+
+
+def _closed_value(col_name: str, eff, valid_to: str, is_current: str):
+    return eff if col_name == valid_to else F.lit(False)

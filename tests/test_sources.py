@@ -96,3 +96,47 @@ def test_source_registry_config_and_records(spark, tmp_path):
     _listings(spark).write.parquet(pq_dir)
     reg.register("pq", SourceSpec(kind="parquet", location=pq_dir))
     assert reg.read(spark, "pq").count() == 4
+
+
+def _scd2_state(df):
+    return {
+        (r.k, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in df.collect()
+    }
+
+
+def test_scd2_merge_three_paths_and_idempotence(spark):
+    from etl_housing_spark.sources.warehouse import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", "2020-01-01 00:00:00", None, True),   # will change → close + reopen
+            (2, "B", "2020-01-01 00:00:00", None, True),   # update equals current → untouched
+            (3, "C", "2019-01-01 00:00:00", "2020-01-01 00:00:00", False),  # archive row → untouched
+            (3, "D", "2020-01-01 00:00:00", None, True),   # open version of key 3, no update → untouched
+        ],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "seg",
+        "cast(valid_from as timestamp_ntz) valid_from",
+        "cast(valid_to as timestamp_ntz) valid_to",
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "Z"), (2, "B"), (9, "N")], "k long, seg string"
+    )
+    eff = "2024-06-01 00:00:00"
+    merged = scd2_merge(current, updates, ["k"], ["seg"], eff)
+    assert _scd2_state(merged) == {
+        (1, "A", "2020-01-01 00:00:00", eff, False),      # closed
+        (1, "Z", eff, "None", True),                      # reopened with new value
+        (2, "B", "2020-01-01 00:00:00", "None", True),    # unchanged update → untouched
+        (3, "C", "2019-01-01 00:00:00", "2020-01-01 00:00:00", False),  # archive preserved
+        (3, "D", "2020-01-01 00:00:00", "None", True),
+        (9, "N", eff, "None", True),                      # new key inserted
+    }
+
+    # re-merging the same snapshot is a no-op: every update now matches the
+    # open version, so nothing closes and nothing inserts
+    again = scd2_merge(merged, updates, ["k"], ["seg"], "2025-01-01 00:00:00")
+    assert _scd2_state(again) == _scd2_state(merged)
