@@ -932,3 +932,80 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         current, updates, ["c_custkey"], ["c_mktsegment"], "2024-06-01 00:00:00"
     )
+
+
+# --------------------------------------------------------------------------
+# Window navigation functions — lag/lead/first_value/ntile in one pass.
+# Completes the window family (§2.5): one shuffle on the partition key,
+# one sort, all four functions evaluated in a single WindowExec. ntile's
+# standard bucket-fill semantics (first n%k buckets take the extra row)
+# are identical in Spark and DuckDB; the (date, key) order is total, so
+# every navigation value is deterministic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_window_nav",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    description="window navigation (lag/lead/first_value/ntile) per customer order "
+    "history — four functions, one shuffle, one sort, single WindowExec",
+    tags=("window",),
+)
+def q_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery — "orders above their customer's average".
+# Exercises the Spark SQL surface end to end: Catalyst decorrelates the
+# subquery into an aggregate + join (no per-row re-execution — the thing
+# naive engines get wrong at scale). The per-customer average uses the
+# decimal-exact davg form on both engines so the > comparison is
+# bit-deterministic (plans/_util rationale).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_subquery",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT {sql_davg('i.o_totalprice')}
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+    description="correlated scalar subquery (orders above their customer's decimal-exact "
+    "average) — Catalyst decorrelates to aggregate + join; SQL-surface entry",
+    tags=("sql",),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_temp_views
+
+    register_temp_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT {sql_davg('i.o_totalprice')}
+          FROM orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
