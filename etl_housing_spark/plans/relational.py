@@ -1009,3 +1009,57 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders i WHERE i.o_custkey = o.o_custkey)
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped Pearson correlation — "which quantities drive price", the
+# distributed form of the notebook's influencer analysis (README.md:8,
+# coefficient ranking cells 33-36). Built from decimal-exact component
+# sums (n, Σx, Σy, Σxy, Σx², Σy²) — one partial+final aggregate — then a
+# single identical double expression on both engines: products/divisions
+# are exactly-rounded IEEE and sqrt is correctly-rounded by spec, so the
+# result is bit-deterministic before the 6dp safety rounding. Never uses
+# the engines' built-in corr() (their accumulation orders differ).
+# --------------------------------------------------------------------------
+
+_CORR_SQL = (
+    "ROUND((n * sxy - sx * sy) / "
+    "(SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)"
+)
+
+
+@query(
+    "q_corr",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             {sql_dsum('l_extendedprice')} AS sy,
+             {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+             {sql_dsum('l_quantity * l_quantity')} AS sxx,
+             {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, {_CORR_SQL} AS corr_qty_price
+    FROM g ORDER BY l_returnflag
+    """,
+    description="grouped Pearson correlation (quantity vs price per returnflag) from "
+    "decimal-exact component sums + one deterministic double expression — the "
+    "engines' built-in corr() is order-dependent and is deliberately not used",
+    tags=("agg",),
+)
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(x).alias("sx"),
+            dsum(y).alias("sy"),
+            dsum(x * y).alias("sxy"),
+            dsum(x * x).alias("sxx"),
+            dsum(y * y).alias("syy"),
+        )
+        .select("l_returnflag", "n", F.expr(_CORR_SQL).alias("corr_qty_price"))
+        .orderBy("l_returnflag")
+    )

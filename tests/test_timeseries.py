@@ -174,3 +174,65 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
     plan = q_range_join(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_BASE = _ts("2024-01-01T00:00:00")
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=60 * 24 * 20), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60 * 24 * 20),
+            st.integers(min_value=0, max_value=60 * 24 * 6),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_bucketed_interval_join_property(event_mins, interval_specs):
+    """For ANY events and ANY intervals (including empty ones, dur=0, and
+    multi-week spans), the bucket rewrite equals the naive inequality join."""
+    import datetime as _dt
+
+    spark = _prop_spark()
+    from etl_housing_spark.operators.rangejoin import bucketed_interval_join
+
+    ev = spark.createDataFrame(
+        [(i, _BASE + _dt.timedelta(minutes=m)) for i, m in enumerate(event_mins)],
+        "event_id long, ts timestamp_ntz",
+    )
+    iv = spark.createDataFrame(
+        [
+            (j, _BASE + _dt.timedelta(minutes=s), _BASE + _dt.timedelta(minutes=s + d))
+            for j, (s, d) in enumerate(interval_specs)
+        ],
+        "iv_id long, start timestamp_ntz, end timestamp_ntz",
+    )
+    got = {
+        (r.iv_id, r.event_id)
+        for r in bucketed_interval_join(ev, iv).select("iv_id", "event_id").collect()
+    }
+    want = {
+        (j, i)
+        for i, m in enumerate(event_mins)
+        for j, (s, d) in enumerate(interval_specs)
+        if s <= m < s + d
+    }
+    assert got == want
+
+
+_PROP_SPARK = None
+
+
+def _prop_spark():
+    global _PROP_SPARK
+    if _PROP_SPARK is None:
+        from etl_housing_spark.session import get_session
+
+        _PROP_SPARK = get_session(app_name="ehs-tests", shuffle_partitions=8)
+    return _PROP_SPARK
