@@ -1063,3 +1063,87 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n", F.expr(_CORR_SQL).alias("corr_qty_price"))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental rollup maintenance (operators/incremental.py): the engine
+# computes the rollup as history-state ⊕ new-batch-state (mergeable
+# partial aggregates, merged out of order on purpose) and must equal the
+# oracle's full recompute BIT-EXACTLY — the invariant that makes
+# incremental pipelines trustworthy. The reference re-reads its entire
+# CSV history daily (trulia_csv_to_nlp.ipynb cells 6-8); this is the form
+# whose daily cost is |new partition| + |groups|, not |history|.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_incremental_rollup",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(o_totalprice) AS n,
+           {sql_dsum('o_totalprice')} AS sum_v,
+           {sql_davg('o_totalprice')} AS avg_v,
+           MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="incremental rollup maintenance: history-state ⊕ new-batch-state "
+    "(mergeable partial aggregates, deliberately merged out of order) must equal "
+    "the full recompute bit-exactly; daily cost |batch|+|groups|, not |history|",
+    tags=("agg", "warehouse"),
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import finalize, merge_states, rollup_state
+
+    o = load_table(spark, sf_dir, "orders")
+    split = ts_lit(o, "o_orderdate", "1999-01-01 00:00:00")
+    history = o.filter(F.col("o_orderdate") < split)
+    batch = o.filter(F.col("o_orderdate") >= split)
+    # merge newest-first to prove order independence
+    merged = merge_states(
+        rollup_state(batch, ["o_orderpriority"], "o_totalprice"),
+        rollup_state(history, ["o_orderpriority"], "o_totalprice"),
+    )
+    return finalize(merged).orderBy("o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Expectations contract (operators/expect.py) over orders: the whole
+# multi-constraint contract compiles into ONE partial+final aggregate over
+# one scan — adding a constraint adds a column, not a pass. The
+# distributed, counted form of the reference's implicit astype/fail-fast
+# and eyeballed df.info() validation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_validate",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS neg_price,
+           CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                              OR o_orderpriority IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_o_orderkey
+    FROM orders
+    """,
+    description="data-quality expectations contract (null/domain/range/format/uniqueness) "
+    "counted in ONE aggregate over one scan — the gate a scheduler holds a "
+    "pipeline on; distributed form of the reference's fail-fast astype",
+    tags=("validate",),
+)
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expect as X
+
+    o = load_table(spark, sf_dir, "orders")
+    return X.check(
+        o,
+        {
+            "null_custkey": X.not_null("o_custkey"),
+            "bad_status": X.in_set("o_orderstatus", ["O", "F", "P"]),
+            "neg_price": X.in_range("o_totalprice", lo=0),
+            "bad_priority": X.matches("o_orderpriority", "^[1-5]-"),
+        },
+        unique_on=["o_orderkey"],
+    )

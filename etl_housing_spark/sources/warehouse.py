@@ -209,3 +209,31 @@ def scd2_merge(
 
 def _closed_value(col_name: str, eff, valid_to: str, is_current: str):
     return eff if col_name == valid_to else F.lit(False)
+
+
+def compact_table(spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files.
+
+    Streaming/incremental sinks accrete a file per micro-batch per
+    partition (the daily-CSV-per-city layout of the reference has the same
+    disease, trulia_scrape.py:182-188); at scale the resulting
+    metadata/open-file overhead dominates scan cost. Maintenance rewrite =
+    read → repartition to the target file count → atomic overwrite via a
+    staging directory (the parquet committer's rename). Returns the new
+    file count. On a real deployment this is Delta/Iceberg OPTIMIZE; this
+    is the plain-parquet form, sized by rows because testdata rows are
+    fixed-width-ish — a byte-based target would use the input size.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    staging = tempfile.mkdtemp(prefix="ehs_compact_") + "/out"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    return n_files

@@ -275,3 +275,81 @@ def test_ivf_recall_on_testdata(spark):
     got = {r.vec_id for r in ivf_topk(cells, query_id=0, k=10, nprobe=2, cell_col="cell").collect()}
     recall = len(got & truth) / 10
     assert recall >= 0.5
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup state (operators/incremental.py)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_state_merge_is_order_independent_and_exact(spark):
+    from etl_housing_spark.operators.incremental import finalize, merge_states, rollup_state
+
+    rows = [("a", 1.5), ("a", 2.5), ("b", -1.0), ("a", 10.0), ("b", 4.0), ("c", 0.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    full = {r.k: (r.n, r.sum_v, r.avg_v, r.min_v, r.max_v)
+            for r in finalize(rollup_state(df, ["k"], "v")).collect()}
+
+    p1, p2, p3 = df.limit(2), df.offset(2).limit(2), df.offset(4)
+    for order in [(p1, p2, p3), (p3, p1, p2), (p2, p3, p1)]:
+        states = [rollup_state(p, ["k"], "v") for p in order]
+        inc = {r.k: (r.n, r.sum_v, r.avg_v, r.min_v, r.max_v)
+               for r in finalize(merge_states(*states)).collect()}
+        assert inc == full  # bit-exact, any merge order
+
+
+# ---------------------------------------------------------------------------
+# expectations (operators/expect.py)
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_counts_and_single_scan(spark):
+    from etl_housing_spark.operators import expect as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT"),
+            (2, None, -5.0, "9-BOGUS"),
+            (2, "Z", None, None),
+        ],
+        "k long, status string, price double, prio string",
+    )
+    out = X.check(
+        df,
+        {
+            "null_status": X.not_null("status"),
+            "bad_status": X.in_set("status", ["O", "F"]),
+            "neg_price": X.in_range("price", lo=0),
+            "bad_prio": X.matches("prio", "^[1-5]-"),
+        },
+        unique_on=["k"],
+    )
+    r = out.collect()[0]
+    assert (r.null_status, r.bad_status, r.neg_price, r.bad_prio, r.dup_k) == (1, 2, 2, 2, 1)
+    # the whole contract must be ONE aggregate over one scan (AQE's
+    # toString repeats the tree as "Initial Plan" — inspect the final only)
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan")[0]
+    assert plan.count("Scan ") == 1
+
+
+# ---------------------------------------------------------------------------
+# compaction (sources/warehouse.py)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from etl_housing_spark.sources.warehouse import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(40).write.parquet(path)  # simulate micro-batch accretion
+    assert len(glob.glob(path + "/*.parquet")) == 40
+
+    n_files = compact_table(spark, path, target_rows_per_file=5_000)
+    assert n_files == 2
+    assert len(glob.glob(path + "/*.parquet")) == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.groupBy().sum("id").collect()[0][0] == sum(range(10_000))
