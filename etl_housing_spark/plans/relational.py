@@ -1147,3 +1147,109 @@ def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_on=["o_orderkey"],
     )
+
+
+# --------------------------------------------------------------------------
+# Remaining join/date/conditional/array family completion (§2.3, §2.8).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    description="full outer join customer⟗orders (completes the join family) — "
+    "null-extended rows on both sides survive the hash compare; SMJ at scale, "
+    "AQE-skew-splittable",
+    tags=("join",),
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_date_parts",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+           date_trunc('month', o_orderdate) AS month_start,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2, 3, 4 ORDER BY y, m
+    """,
+    description="date-part extraction + truncation grouping (year/quarter/month + "
+    "date_trunc month buckets) — the calendar rollup every daily-batch corpus "
+    "reports on; pure codegen, partial+final aggregate",
+    tags=("date",),
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("y", "m")
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS finished_revenue
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    description="conditional aggregation (FILTER-clause form): per-priority status "
+    "breakdown + conditional decimal revenue in one aggregate — the sum(when) "
+    "pivot shape, no second scan",
+    tags=("agg",),
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(is_f, 1).otherwise(0)).cast("long").alias("n_finished"),
+            F.sum(F.when(is_o, 1).otherwise(0)).cast("long").alias("n_open"),
+            dsum(F.when(is_f, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+                "finished_revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS vocab_csv,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_vocab
+    FROM documents
+    """,
+    description="array-function pipeline (split → distinct → sort → join) per document — "
+    "higher-order array ops stay in codegen, zero Python, zero explode/shuffle",
+    tags=("array",),
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab_csv"),
+        F.size(F.array_distinct(toks)).alias("n_vocab"),
+    )
