@@ -74,3 +74,41 @@ def test_pricing_summary_partial_aggregates(spark):
     plan = _plan(_q(spark, "q_pricing_summary"))
     assert plan.count("HashAggregate") >= 2
     assert "partial_sum(" in plan
+
+
+def test_tfidf_distributed_part_is_python_and_log_free(spark):
+    """The expensive stages (explode + tf/df aggregate) must stay in codegen;
+    the log runs post-aggregation on the tiny result."""
+    plan = _plan(_q(spark, "q_tfidf"))
+    assert "Python" not in plan
+    assert "partial_count" in plan  # map-side combine on the token aggregate
+
+
+def test_outlier_fences_broadcast_onto_fact_scan(spark):
+    plan = _plan(_q(spark, "q_outlier_iqr"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_merge_no_cartesian_no_python(spark):
+    plan = _plan(_q(spark, "q_scd2_merge"))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Python" not in plan
+
+
+def test_conditional_agg_single_scan(spark):
+    plan = _plan(_q(spark, "q_conditional_agg"))
+    # exactly one scan node in the plan tree (the formatted detail section
+    # repeats the operator name — count tree entries only)
+    assert plan.count("+- Scan parquet") + plan.count("* Scan parquet") == 1
+
+
+def test_pii_redact_is_map_only(spark):
+    plan = _plan(_q(spark, "q_pii_redact"))
+    assert "Exchange" not in plan  # shuffle-free scrubbing pass
+    assert "Python" not in plan
+
+
+def test_incremental_rollup_partial_aggregates(spark):
+    plan = _plan(_q(spark, "q_incremental_rollup"))
+    assert "partial" in plan.lower()  # map-side combine in state building
