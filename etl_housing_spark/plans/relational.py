@@ -1253,3 +1253,45 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab_csv"),
         F.size(F.array_distinct(toks)).alias("n_vocab"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic argmax: "the most expensive order per priority". max_by /
+# arg_max are tie-nondeterministic in every engine (whichever tied row a
+# partition saw first wins) — unusable where reproducibility matters. The
+# deterministic form: max over a (value, key) struct, lexicographic
+# comparison, key as tiebreak — still one partial+final aggregate, same
+# cost, reproducible under any partitioning.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_argmax",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             max(struct_pack(p := o_totalprice, k := o_orderkey)) AS s
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, s.p AS top_price, s.k AS top_orderkey
+    FROM m ORDER BY o_orderpriority
+    """,
+    description="deterministic argmax (most expensive order per priority) via struct-max "
+    "with key tiebreak — reproducible under any partitioning, unlike raw "
+    "max_by/arg_max on ties; one partial+final aggregate",
+    tags=("agg",),
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.max(
+        F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    ).alias("s")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(s)
+        .select(
+            "o_orderpriority",
+            F.col("s.p").alias("top_price"),
+            F.col("s.k").alias("top_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
