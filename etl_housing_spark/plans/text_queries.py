@@ -251,3 +251,39 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
     return docs.select("doc_id", redacted.alias("redacted"))
+
+
+# --------------------------------------------------------------------------
+# Binary-column metadata — the checked slice of the multimodal surface
+# (operators/multimodal.py holds the decode/feature stubs). Payloads are
+# synthesized deterministically by encoding the text column, then audited
+# with the binary-typed operators a media pipeline runs before any codec:
+# byte length, content hash, head-bytes sample. All codegen; the pattern
+# proves binary columns flow through scan → expression → result without a
+# Python boundary.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           base64(encode(substr(text, 1, 8))) AS head_b64
+    FROM documents
+    """,
+    description="binary payload metadata audit (byte length, content hash, head-bytes "
+    "sample) over deterministically synthesized binary columns — the checked "
+    "slice of the multimodal surface, codegen-only",
+    tags=("multimodal",),
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.base64(F.substring("text", 1, 8).cast("binary")).alias("head_b64"),
+    )
