@@ -184,3 +184,53 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = bucketed_interval_join(ev.select("event_id", "ts"), iv)
     return joined.groupBy("window_owner").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# Built-in session_window() — same gap-merge semantics as q_sessionize,
+# expressed with Spark's native session window aggregate instead of the
+# lag+flag+running-sum composition. The oracle states the classic SQL
+# formulation (lag + >= boundary + running sum), so this query PROVES the
+# built-in implements the textbook semantics bit-for-bit. Boundary detail:
+# session_window closes at ts + gap exclusive, i.e. an event exactly gap
+# later starts a NEW session — the oracle uses >= accordingly (q_sessionize
+# uses > ; both are valid conventions, pinned per query).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts >= lag(ts) OVER w + INTERVAL 12 HOURS
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM o)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 12 HOURS AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, seq
+    """,
+    description="native session_window() gap-merge aggregate, oracle-checked against the "
+    "classic lag+running-sum SQL formulation — proves the built-in's boundary "
+    "semantics (close at ts+gap exclusive) match the textbook definition",
+    tags=("timeseries", "window"),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
