@@ -287,3 +287,54 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("content_md5"),
         F.base64(F.substring("text", 1, 8).cast("binary")).alias("head_b64"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document TF-IDF top term — the classic per-doc weighting (q_tfidf is
+# the corpus-level rollup). Composition: token explode → (doc, term) tf
+# aggregate → broadcast-joined per-term df → score → deterministic argmax
+# per doc (struct-max with term tiebreak, q_argmax's technique). The log
+# again runs on integer inputs only, post-aggregation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_tfidf_doc",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df), 6) AS s
+      FROM tf JOIN df ON tf.token = df.token),
+    m AS (
+      SELECT doc_id, max(struct_pack(s := s, t := token)) AS best
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, best.t AS top_term, best.s AS top_score FROM m
+    """,
+    description="per-document TF-IDF top term: (doc,term) tf aggregate + broadcast df "
+    "join + deterministic struct-max argmax per doc — log on integers only, "
+    "post-aggregation",
+    tags=("text",),
+)
+def q_tfidf_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("s"),
+    )
+    best = F.max(F.struct(F.col("s").alias("s"), F.col("token").alias("t"))).alias("best")
+    return (
+        scored.groupBy("doc_id")
+        .agg(best)
+        .select("doc_id", F.col("best.t").alias("top_term"), F.col("best.s").alias("top_score"))
+    )
