@@ -338,3 +338,55 @@ def q_tfidf_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(best)
         .select("doc_id", F.col("best.t").alias("top_term"), F.col("best.s").alias("top_score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking — the pre-embedding step of every training
+# corpus pipeline: overlapping fixed-size token windows per document.
+# Entirely Catalyst: sequence() generates chunk starts, slice() cuts the
+# token array, posexplode emits one row per chunk — no UDTF, no Python,
+# map-only until the explode (which multiplies rows ~|tokens|/stride but
+# never shuffles). Window 8 tokens, stride 4 (50% overlap).
+# --------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 8, 4
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_STRIDE})) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, least(start + {_CHUNK} - 1, len(toks))), ' ')
+             AS chunk_text,
+           CAST(least(start + {_CHUNK} - 1, len(toks)) - start + 1 AS INT) AS n_tokens
+    FROM s
+    """,
+    description="context-window chunking (8-token windows, stride 4, 50% overlap) — the "
+    "pre-embedding corpus step; sequence+slice+explode, pure Catalyst, no UDTF, "
+    "shuffle-free",
+    tags=("text",),
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("toks")), F.lit(1)), F.lit(_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), _CHUNK)
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _STRIDE).cast("long").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).alias("n_tokens"),
+        )
+    )
