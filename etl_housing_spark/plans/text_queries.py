@@ -390,3 +390,55 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).alias("n_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The corpus pipeline capstone: chunk → fingerprint → exact near-dup
+# removal → quality gate, composed from the catalog's own operators the
+# way a production training-data job chains them (q_scrape_pipeline is
+# the reference's production flow; this is the LLM-corpus equivalent).
+# Shuffle inventory: ONE exchange (the dedup window on the fingerprint) —
+# chunking, hashing and the quality gate are all map-side.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_STRIDE})) AS start
+      FROM t),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(toks, start, least(start + {_CHUNK} - 1, len(toks))), ' ')
+               AS chunk_text,
+             least(start + {_CHUNK} - 1, len(toks)) - start + 1 AS n_tokens
+      FROM s),
+    fp AS (
+      SELECT doc_id, chunk_idx, md5(chunk_text) AS fp, n_tokens,
+             row_number() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+      WHERE n_tokens = {_CHUNK})
+    SELECT doc_id, chunk_idx, fp FROM fp WHERE rn = 1
+    """,
+    description="training-corpus pipeline capstone: chunk → md5 fingerprint → exact "
+    "dedup keep-first → full-window quality gate, one shuffle total (the dedup "
+    "window); the LLM-corpus twin of q_scrape_pipeline",
+    tags=("text", "dedup"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    chunks = q_chunk_docs(spark, sf_dir).filter(F.col("n_tokens") == _CHUNK)
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    return (
+        chunks.withColumn("fp", F.md5(F.col("chunk_text").cast("binary")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx", "fp")
+    )
