@@ -163,6 +163,22 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _n_docs_df(docs: DataFrame) -> DataFrame:
+    """Corpus cardinality as a 1-row in-plan frame (no eager driver count).
+
+    Broadcast-cross-joined onto the aggregated (tiny) side by callers, so N
+    is computed inside the same job instead of a separate driver-side
+    ``.count()`` action. The N branch's scan reads ZERO columns (ReadSchema
+    ``struct<>`` — asserted in tests/test_plan_quality.py): the vectorized
+    parquet reader serves it from row-group row counts without decoding any
+    column data, so at 100 TB it costs footer reads, not a data scan. This
+    beats the literal single-scan alternative (rollup over the token stream)
+    which would double the volume of the biggest shuffle to save those
+    footer reads.
+    """
+    return docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+
+
 @query(
     "q_tfidf",
     oracle="""
@@ -182,7 +198,6 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # one scalar; the corpus cardinality is a plan constant
     return (
         docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
         .groupBy("token")
@@ -190,12 +205,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("tf"),
             F.countDistinct("doc_id").alias("df"),
         )
+        .crossJoin(F.broadcast(_n_docs_df(docs)))
         .select(
             "token",
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
         .orderBy(F.desc("tfidf"), "token")
@@ -323,14 +339,21 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tfidf_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     tok = docs.select("doc_id", F.explode(T.tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("s"),
+    # df derived FROM tf, not from a second pass over the token stream:
+    # tf already holds one row per (doc, token), so distinct docs per token
+    # is a plain row count per token. Both consumers of tf share its
+    # (doc_id, token) exchange via ReusedExchange — the document text is
+    # scanned and exploded exactly once (plan-asserted).
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df.crossJoin(F.broadcast(_n_docs_df(docs)))), "token")
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("s"),
+        )
     )
     best = F.max(F.struct(F.col("s").alias("s"), F.col("token").alias("t"))).alias("best")
     return (

@@ -84,6 +84,27 @@ def test_tfidf_distributed_part_is_python_and_log_free(spark):
     assert "partial_count" in plan  # map-side combine on the token aggregate
 
 
+def test_tfidf_single_data_scan(spark):
+    """The in-plan corpus-N branch (VERDICT r1 #3) must not cost a second
+    data scan: exactly one scan reads document columns; the N branch's scan
+    reads ZERO columns (``ReadSchema: struct<>`` — served from parquet
+    row-group counts, no column decode)."""
+    for name in ("q_tfidf", "q_tfidf_doc"):
+        plan = _plan(_q(spark, name))
+        reads = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+        data_reads = [r for r in reads if not r.endswith("struct<>")]
+        empty_reads = [r for r in reads if r.endswith("struct<>")]
+        assert len(data_reads) == 1 and "text" in data_reads[0], (name, reads)
+        assert len(empty_reads) == 1, (name, reads)
+
+
+def test_tfidf_doc_reuses_tf_exchange(spark):
+    # df is derived from tf; the shared (doc_id, token) exchange must be
+    # reused, not recomputed from a second explode
+    plan = _plan(_q(spark, "q_tfidf_doc"))
+    assert "ReusedExchange" in plan
+
+
 def test_outlier_fences_broadcast_onto_fact_scan(spark):
     plan = _plan(_q(spark, "q_outlier_iqr"))
     assert "BroadcastHashJoin" in plan
