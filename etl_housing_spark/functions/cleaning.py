@@ -105,8 +105,11 @@ def clean_listings(df: DataFrame) -> DataFrame:
     Step order is semantic (SURVEY §3.1): sqft cleanup precedes the range
     midpoint; the price-range row filter precedes blank→NULL.
     """
-    df = df.filter(F.col("sqft") != "")  # :161 drop empty-sqft rows
+    # :160-161 order is semantic: strip 'sqft'/commas FIRST, then drop rows
+    # that are empty AFTER stripping (' sqft' → '' → dropped). pandas keeps
+    # NaN through `!= ''` (NaN != '' is True), hence the coalesce(True).
     df = df.withColumn("sqft", clean_sqft("sqft"))
+    df = df.filter(F.coalesce(F.col("sqft") != "", F.lit(True)))
     df = df.withColumn("sqft", range_midpoint("sqft"))  # :162-163 masked update
     df = df.filter(not_contains("price", "-"))  # :169 drop price-range rows
     df = df.withColumn("price", clean_price("price"))

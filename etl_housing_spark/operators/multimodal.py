@@ -58,27 +58,71 @@ def _decode_header(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable — probed, never assumed."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _is_real_image(payload: bytes) -> bool:
+    return payload[:8] == _PNG_MAGIC or payload[:3] == _JPEG_MAGIC
+
+
+def _decode_real(payload: bytes) -> tuple[int, int, float]:
+    """The real codec path: PIL decode → grayscale mean luma in [0, 1].
+    Executes on the worker; import happens per-process (cached thereafter)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    arr = np.asarray(img, dtype="float64")
+    return img.width, img.height, float(arr.mean() / 255.0)
+
+
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode stage: binary → (width, height, mean_luma) via mapInPandas.
 
-    ``strict=True`` raises NotImplementedError where a real codec (PIL etc.)
-    would be invoked — the marked stub. Default mode computes a
-    deterministic fake luma from the payload bytes so downstream stages and
-    tests have stable values.
+    Codec dispatch is sniffed per payload: PNG/JPEG magic bytes route to a
+    real Pillow decode when the library is importable on the worker
+    (probed, not assumed — ``pil_available``); everything else (the
+    synthetic ``fake/v1`` payloads) takes the deterministic stub so
+    downstream stages and tests have stable values without codecs.
+    ``strict=True`` raises NotImplementedError wherever a stub would run —
+    the honestly-marked boundary for environments without media libraries.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        have_pil = pil_available()
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libjpeg — not available in this "
-                    "container; wire the real codec here"
-                )
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h = _decode_header(bytes(payload))
-                digest = hashlib.sha256(bytes(payload)).digest()
-                mean_luma = digest[0] / 255.0
+                b = bytes(payload)
+                if _is_real_image(b):
+                    if not have_pil:
+                        raise NotImplementedError(
+                            "payload is a real PNG/JPEG but Pillow is not installed "
+                            "on this worker — install PIL/libjpeg to decode it"
+                        )
+                    w, h, mean_luma = _decode_real(b)
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "synthetic payload and strict=True: a real image decode "
+                            "requires PIL/libjpeg — wire the codec here"
+                        )
+                    w, h = _decode_header(b)
+                    digest = hashlib.sha256(b).digest()
+                    mean_luma = digest[0] / 255.0
                 rows.append((mid, w, h, mean_luma))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "mean_luma"])
 

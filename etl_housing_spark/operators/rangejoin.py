@@ -48,7 +48,20 @@ def bucketed_interval_join(
     from both inputs. The physical plan is an equi-join on the day bucket
     (SortMergeJoin / BroadcastHashJoin by Catalyst's choice), never a
     nested loop — asserted in tests/test_timeseries.py.
+
+    ``how`` may be ``inner`` or ``left`` (left-outer on the events side):
+    the exact predicate is part of the join CONDITION, not a post-filter,
+    so null-extended rows of unmatched events survive. ``right``/``full``
+    are rejected: intervals are exploded into one row per covered bucket
+    before joining, so outer semantics on that side would emit one
+    null-extended row per bucket instead of one per interval.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"bucketed_interval_join supports how='inner'|'left', got {how!r}: "
+            "intervals are bucket-exploded, so right/full outer would duplicate "
+            "null-extended interval rows once per covered bucket"
+        )
     ev = events.withColumn(_BUCKET, F.to_date(F.col(ts)))
     # sequence() is inclusive; an exact-midnight end would add one bucket of
     # pure false positives, which the exact predicate below removes.
@@ -59,4 +72,5 @@ def bucketed_interval_join(
         ),
     )
     exact: Column = (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
-    return ev.join(iv, on=_BUCKET, how=how).filter(exact).drop(_BUCKET)
+    cond = (ev[_BUCKET] == iv[_BUCKET]) & exact
+    return ev.join(iv, on=cond, how=how).drop(ev[_BUCKET]).drop(iv[_BUCKET])

@@ -97,25 +97,91 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    tables: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
     """Cosine near-dup pairs, candidates restricted to equal LSH buckets.
 
-    With b hyperplanes, P(same bucket) = (1 - θ/π)^b — high-cosine pairs
-    survive, the O(n²) bulk never joins. Recall is tunable via multiple
-    tables (union over seeds) — one table here, documented tradeoff."""
-    b = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    With b hyperplanes, P(same bucket for angle θ) = (1 - θ/π)^b — high-cosine
+    pairs survive, the O(n²) bulk never joins. A single table misses pairs that
+    straddle a hyperplane; ``tables`` > 1 draws fresh hyperplanes per table and
+    unions the candidate sets, lifting recall to 1 - (1 - (1-θ/π)^b)^T at T×
+    the bucketing cost — still O(candidates), never O(n²). Candidate pairs are
+    deduplicated on (id_a, id_b) before scoring so each survives exactly once
+    regardless of how many tables bucket it together.
+
+    Plan shape per table: one equi-join on the bucket column; union across
+    tables; dropDuplicates = one shuffle on the pair key; scoring is a
+    map-side JVM lambda. The distance computation never touches Python.
+    """
+    tagged = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cands = None
+    for t in range(tables):
+        b = tagged.select(
+            "id", "v", lsh_bucket(F.col("v"), dim, planes, seed=seed + t).alias("bucket")
+        )
+        l, r = b.alias("l"), b.alias("r")
+        pairs = l.join(
+            r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+        ).select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    if tables > 1:
+        cands = cands.dropDuplicates(["id_a", "id_b"])
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        cands.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )
-    l, r = b.alias("l"), b.alias("r")
-    cand = l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
-    cos = V.cosine(F.col("l.v"), F.col("r.v"))
-    return cand.select(
-        F.col("l.id").alias("id_a"),
-        F.col("r.id").alias("id_b"),
-        F.round(cos, 6).alias("cos"),
-    ).filter(F.col("cos") >= threshold)
+
+
+def exact_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the O(n²) oracle twin of
+    :func:`lsh_neardup_pairs`, NOT a scale path.
+
+    Broadcasts the full table and evaluates every i<j pair; at 100 TB that is
+    never the right plan, so a hard ``max_rows`` guard refuses inputs above
+    the bound (a metadata-only parquet count — no data scan). Pass
+    ``max_rows=None`` only when you have decided the quadratic cost is
+    acceptable; the production default for near-dup detection is the LSH
+    form with ``tables`` tuned to the recall target.
+
+    Plan shape: norms precomputed per vector (O(n), not per pair), right
+    side broadcast, left side repartitioned so the quadratic nested-loop
+    compute spreads across all cores — without the repartition a
+    single-row-group scan makes BroadcastNestedLoopJoin a one-task loop.
+    """
+    if max_rows is not None:
+        n = emb.count()
+        if n > max_rows:
+            raise ValueError(
+                f"exact_neardup_pairs is O(n²): input has {n} rows > max_rows={max_rows}. "
+                "Use lsh_neardup_pairs (O(candidates)) or raise max_rows explicitly."
+            )
+    base = emb.select(id_col, vec_col, V.norm(F.col(vec_col)).alias("nrm"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    ).repartition(par)
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    )
 
 
 def ivf_topk(

@@ -3,7 +3,7 @@
 q_neardup_ngram is the oracle-checked exact set-similarity form; the
 MinHash/SimHash queries use Spark's built-in hash (not reproducible in
 DuckDB) and are declared rows-only — their correctness is covered by unit
-tests against the exact form (tests/test_dedup.py).
+tests against the exact form (tests/test_operators.py).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 trigger(availableNow) and returned as batch DataFrames.
 
 Both are ⊘ rows-only for the driver (watermark semantics aren't
-DuckDB-expressible); the strong check is tests/test_streaming.py's
+DuckDB-expressible); the strong check is tests/test_streaming_equiv.py's
 batch⇄stream equivalence assertion against the oracle-checked batch twins.
 """
 

@@ -64,43 +64,34 @@ _NORM_DEC = (
     FROM dots d JOIN norms na ON d.id_a = na.vec_id JOIN norms nb ON d.id_b = nb.vec_id
     WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
     """,
-    description="embedding-cosine near-dup pairs, exact all-pairs form (§2.13). The scale "
-    "path is operators.similarity.lsh_neardup_pairs (q_embed_neardup_lsh, rows-only). "
-    "Plan shape: norms precomputed per vector (O(n), not per pair), right side "
-    "broadcast, left side repartitioned so the O(n²) nested-loop compute spreads "
-    "across all cores — without the repartition the single-row-group scan makes "
-    "BroadcastNestedLoopJoin a one-task quadratic loop",
+    description="embedding-cosine near-dup pairs, exact all-pairs form (§2.13) — the "
+    "ORACLE TWIN, not the scale path: operators.similarity.exact_neardup_pairs "
+    "refuses inputs above max_rows=100k (O(n²) by construction; the guard is a "
+    "metadata-only count). The production default is q_embed_neardup_lsh "
+    "(multi-table LSH, O(candidates)); its recall vs this exact form is "
+    "asserted in tests/test_operators.py",
     tags=("vector",),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", V.norm(F.col("embedding")).alias("nrm")
-    )
-    par = spark.sparkContext.defaultParallelism
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
-    ).repartition(par)
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(cos >= 0.4)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.exact_neardup_pairs(emb, threshold=0.4, max_rows=100_000)
 
 
 @query(
     "q_embed_neardup_lsh",
     oracle=None,  # Spark-hash-free but recall-lossy by design — rows-only (⊘)
-    description="embedding near-dup via random-hyperplane LSH buckets — the O(n²)-free "
-    "scale path; candidates only within a bucket",
+    description="embedding near-dup via multi-table random-hyperplane LSH — the O(n²)-free "
+    "scale path and the documented default for near-dup detection; candidates "
+    "only within a bucket, unioned over independent hyperplane tables for "
+    "recall (bound asserted vs the exact form in tests/test_operators.py)",
     tags=("vector",),
 )
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_neardup_pairs(emb, threshold=0.4, planes=8)
+    # planes=4/tables=16 measured at recall 0.95 vs the exact form at sf0.01
+    # (tests/test_operators.py::test_lsh_multitable_recall). At corpus scale,
+    # planes grows with n (bucket occupancy) and tables with the recall target.
+    return S.lsh_neardup_pairs(emb, threshold=0.4, planes=4, tables=16)
 
 
 @query(

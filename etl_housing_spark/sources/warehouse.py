@@ -22,9 +22,36 @@ parquet transparently.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _staged_swap_write(df: DataFrame, path: str) -> None:
+    """Write ``df`` to a staging sibling of ``path`` and swap via rename.
+
+    Safe overwrite-of-input: the plan may still be reading the files under
+    ``path`` while the staging write runs (nothing is deleted), and the
+    visible table flips in a single directory rename. A crash before the
+    swap leaves the original intact; a crash between the two renames leaves
+    the data recoverable under the ``.old-*`` sibling (unlike
+    rmtree-then-move, which has a window where the table is simply gone).
+    Staging lives next to the target so both renames stay on one filesystem.
+    """
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}.staging-{token}"
+    df.write.mode("overwrite").parquet(staging)
+    old = f"{path}.old-{token}"
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original table
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def with_surrogate_key(df: DataFrame, business_cols: list[str], key_col: str = "row_key") -> DataFrame:
@@ -71,20 +98,19 @@ class ParquetWarehouse:
 
         Plain-Spark equivalent of Delta/Iceberg ``MERGE INTO`` (SURVEY §2.1
         S13); at scale this is one shuffle on the key columns. The rewrite is
-        staged through an in-memory materialization here for simplicity —
-        a production deployment would write to a staging path and swap.
+        staged: merged output lands in a staging directory next to the table
+        and becomes visible via a directory rename, so the files being read
+        are never deleted mid-plan and no cache residency is required (the
+        old persist()+count() path could recompute over deleted files if
+        cached partitions were evicted under memory pressure).
         """
         if not self.exists(table):
             self.write(df, table, mode="overwrite")
             return
         target = self.read(table)
         kept = target.join(df.select(*key_cols).distinct(), key_cols, "leftanti")
-        merged = df.unionByName(kept).persist()
-        merged.count()  # materialize before overwriting the files being read
-        try:
-            self.write(merged, table, mode="overwrite")
-        finally:
-            merged.unpersist()
+        merged = df.unionByName(kept)
+        _staged_swap_write(merged, self._path(table))
 
 
 def write_bucketed_table(
@@ -149,6 +175,12 @@ def scd2_merge(
     warehouse answer: each business key carries versions with
     ``[valid_from, valid_to)`` ranges and an ``is_current`` flag.
 
+    Updates are full-snapshot rows and are deduplicated on ``key_cols``
+    before merging (a snapshot carrying the same key twice would otherwise
+    multiply matching current rows through the closing-key join); duplicate
+    keys with *conflicting* tracked values have no well-defined winner, so
+    callers should not rely on which survives.
+
     Semantics per update row (full-snapshot updates):
     - key exists and a tracked column changed → close the open version
       (``valid_to = effective_ts``) and insert a new open version;
@@ -167,6 +199,7 @@ def scd2_merge(
         ne = ~(F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}")))
         changed_flag = ne if changed_flag is None else (changed_flag | ne)
 
+    updates = updates.dropDuplicates(key_cols)
     open_slice = current.filter(F.col(is_current)).alias("cur")
     # null-safe match detection: a literal marker column, so updates may
     # carry NULLs in tracked columns without breaking existence checks
@@ -176,7 +209,7 @@ def scd2_merge(
 
     eff = F.lit(effective_ts).cast(dict(current.dtypes)[valid_from])
 
-    closing_keys = joined.filter(matched & changed_flag).select(*key_cols)
+    closing_keys = joined.filter(matched & changed_flag).select(*key_cols).distinct()
     inserts_changed = (
         joined.filter(matched & changed_flag)
         .select(*key_cols, *[F.col(f"upd.{c}").alias(c) for c in tracked_cols])
@@ -219,21 +252,18 @@ def compact_table(spark: SparkSession, path: str, target_rows_per_file: int = 1_
     partition (the daily-CSV-per-city layout of the reference has the same
     disease, trulia_scrape.py:182-188); at scale the resulting
     metadata/open-file overhead dominates scan cost. Maintenance rewrite =
-    read → repartition to the target file count → atomic overwrite via a
-    staging directory (the parquet committer's rename). Returns the new
-    file count. On a real deployment this is Delta/Iceberg OPTIMIZE; this
-    is the plain-parquet form, sized by rows because testdata rows are
-    fixed-width-ish — a byte-based target would use the input size.
+    read → repartition to the target file count → staged write next to the
+    target + directory-rename swap (same discipline as
+    ``_staged_swap_write``: no window where the table is deleted but not
+    yet replaced). Returns the new file count. On a real deployment this is
+    Delta/Iceberg OPTIMIZE; this is the plain-parquet form, sized by rows
+    because testdata rows are fixed-width-ish — a byte-based target would
+    use the input size.
     """
     import math
-    import shutil
-    import tempfile
 
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    staging = tempfile.mkdtemp(prefix="ehs_compact_") + "/out"
-    df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    _staged_swap_write(df.repartition(n_files), path.rstrip("/"))
     return n_files

@@ -47,6 +47,7 @@ def golden(spark):
         _row(name="studio", bed="Studio"),
         _row(name="null_bed", bed=None),
         _row(name="empty_sqft", sqft=""),  # dropped (trulia_scrape.py:161)
+        _row(name="unit_only_sqft", sqft=" sqft"),  # '' only AFTER stripping — dropped (:160-161 order)
         _row(name="range_price", price="$800-$900"),  # dropped (:169)
         _row(name="blankish", description=" ", unit=" "),
         _row(name="half_bath", bath="1.5ba"),
@@ -59,6 +60,7 @@ def golden(spark):
 def test_dropped_rows(golden):
     by_name, _ = golden
     assert "empty_sqft" not in by_name  # sqft == '' filtered
+    assert "unit_only_sqft" not in by_name  # ' sqft' strips to '' — filter runs post-strip
     assert "range_price" not in by_name  # price contains '-' filtered
     assert len(by_name) == 9
 

@@ -184,6 +184,27 @@ def test_decode_strict_is_marked_stub(media):
         decode_media(media, strict=True).collect()
 
 
+def test_decode_real_codec_when_pil_present(spark):
+    """Codec dispatch: a real PNG payload routes through Pillow (probed at
+    runtime, skipped when the library is absent in this container); the
+    synthetic path above covers the stub mode — together the two modes
+    parametrize the decode boundary."""
+    from etl_housing_spark.operators.multimodal import pil_available
+
+    if not pil_available():
+        pytest.skip("Pillow not installed — real-codec mode unavailable")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (5, 3), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "media_id long, payload binary")
+    r = decode_media(df).first()
+    assert (r.width, r.height) == (5, 3)
+    assert abs(r.mean_luma - 128 / 255.0) < 1e-9
+
+
 def test_extract_features_shape(media):
     feats = extract_features(media, dim=8)
     rows = feats.collect()
@@ -275,6 +296,42 @@ def test_ivf_recall_on_testdata(spark):
     got = {r.vec_id for r in ivf_topk(cells, query_id=0, k=10, nprobe=2, cell_col="cell").collect()}
     recall = len(got & truth) / 10
     assert recall >= 0.5
+
+
+def test_lsh_multitable_recall(spark):
+    """Multi-table LSH recall vs the exact all-pairs form at sf0.01 (500
+    vectors, 59 true pairs at cos≥0.4). planes=4/tables=16 — the
+    q_embed_neardup_lsh production setting — must recall ≥0.9, and recall
+    must be monotone-ish in table count (the whole point of the union)."""
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.similarity import exact_neardup_pairs, lsh_neardup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {(r.id_a, r.id_b) for r in exact_neardup_pairs(emb, threshold=0.4).collect()}
+    assert len(exact) > 0
+
+    one = {(r.id_a, r.id_b) for r in
+           lsh_neardup_pairs(emb, threshold=0.4, planes=4, tables=1).collect()}
+    many = {(r.id_a, r.id_b) for r in
+            lsh_neardup_pairs(emb, threshold=0.4, planes=4, tables=16).collect()}
+    # every LSH pair is a true pair (precision 1.0: cosine verified post-bucket)
+    assert one <= exact and many <= exact
+    assert len(many & exact) / len(exact) >= 0.9
+    assert len(many) >= len(one)
+
+
+def test_exact_neardup_guard_refuses_large_input(spark):
+    """The O(n²) exact path must refuse inputs above max_rows."""
+    import pytest
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.similarity import exact_neardup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        exact_neardup_pairs(emb, threshold=0.4, max_rows=10)
+    # explicit opt-out works
+    assert exact_neardup_pairs(emb.limit(20), threshold=-1.0, max_rows=None).count() > 0
 
 
 # ---------------------------------------------------------------------------

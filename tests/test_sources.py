@@ -140,3 +140,59 @@ def test_scd2_merge_three_paths_and_idempotence(spark):
     # open version, so nothing closes and nothing inserts
     again = scd2_merge(merged, updates, ["k"], ["seg"], "2025-01-01 00:00:00")
     assert _scd2_state(again) == _scd2_state(merged)
+
+
+def test_scd2_merge_duplicate_update_keys(spark):
+    """A snapshot carrying the same key twice must not multiply history rows
+    (closing_keys is distinct, updates deduped on key)."""
+    from etl_housing_spark.sources.warehouse import scd2_merge
+
+    current = spark.createDataFrame(
+        [(1, "A", "2020-01-01 00:00:00", None, True)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "seg",
+        "cast(valid_from as timestamp_ntz) valid_from",
+        "cast(valid_to as timestamp_ntz) valid_to",
+        "is_current",
+    )
+    updates = spark.createDataFrame([(1, "Z"), (1, "Z"), (9, "N"), (9, "N")], "k long, seg string")
+    eff = "2024-06-01 00:00:00"
+    merged = scd2_merge(current, updates, ["k"], ["seg"], eff)
+    assert _scd2_state(merged) == {
+        (1, "A", "2020-01-01 00:00:00", eff, False),
+        (1, "Z", eff, "None", True),
+        (9, "N", eff, "None", True),
+    }
+
+
+def test_upsert_staged_swap_no_leftovers(spark, tmp_path):
+    """Upsert rewrites through a staging sibling + rename: the table directory
+    must exist and be readable at the end, with no .staging-*/.old-* debris —
+    the overwrite never reads files that are being deleted."""
+    import os
+
+    root = tmp_path / "wh3"
+    wh = ParquetWarehouse(spark, str(root))
+    df = with_surrogate_key(_listings(spark), ["name"])
+    wh.write(df, "t")
+    wh.upsert(df, "t", ["row_key"])
+    assert wh.read("t").count() == 4
+    siblings = [p for p in os.listdir(root) if p != "t"]
+    assert siblings == [], f"staging/old debris left behind: {siblings}"
+
+
+def test_compact_table_staged_swap(spark, tmp_path):
+    from etl_housing_spark.sources.warehouse import compact_table
+
+    import os
+
+    path = str(tmp_path / "frag")
+    _listings(spark).repartition(8).write.parquet(path)
+    n_files = compact_table(spark, path, target_rows_per_file=2)
+    assert n_files == 2
+    assert spark.read.parquet(path).count() == 4
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 2
+    debris = [p for p in os.listdir(tmp_path) if ".staging-" in p or ".old-" in p]
+    assert debris == []

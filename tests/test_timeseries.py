@@ -165,6 +165,21 @@ def test_bucketed_interval_join_matches_naive(spark):
     }
     assert got == naive == {(100, 1), (100, 2), (200, 2)}
 
+    # left join: unmatched events survive null-extended (the exact predicate
+    # is part of the join condition, not a post-filter that would eat them)
+    left = {
+        (r.event_id, r.iv_id)
+        for r in bucketed_interval_join(ev, iv, how="left").select("event_id", "iv_id").collect()
+    }
+    assert left == {(1, 100), (2, 100), (2, 200), (3, None), (4, None)}
+
+    # right/full are rejected: exploded interval buckets would duplicate
+    # null-extended interval rows
+    import pytest
+
+    with pytest.raises(ValueError, match="inner.*left"):
+        bucketed_interval_join(ev, iv, how="full")
+
 
 def test_range_join_plan_is_equi_join_not_nested_loop(spark):
     """The whole point of the bucket rewrite: Catalyst must execute an
