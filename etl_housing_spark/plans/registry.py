@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         ml_queries,
         relational,
+        sampling_queries,
         streaming_queries,
         timeseries_queries,
         text_queries,

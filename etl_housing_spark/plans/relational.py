@@ -709,6 +709,29 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_percentile_sketch",
+    oracle=None,  # approximate by construction (mergeable sketch) — rows-only (⊘);
+    # error bound vs the exact q_percentiles asserted in tests/test_approx.py
+    description="approx grouped percentiles via percentile_approx — the 100 TB scale "
+    "path q_percentiles' docstring promises: mergeable partial sketches, one "
+    "partial+final aggregate, memory bounded by the accuracy parameter instead "
+    "of the group's row count (exact percentile buffers every value per group)",
+)
+def q_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    acc = 10_000  # max rank error ≈ n/acc
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile_approx("o_totalprice", 0.5, acc), 6).alias("median_price"),
+            F.round(F.percentile_approx("o_totalprice", 0.95, acc), 6).alias("p95_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "q_string_agg",
     oracle="""
     SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations

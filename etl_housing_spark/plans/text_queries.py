@@ -343,10 +343,16 @@ def q_tfidf_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # df derived FROM tf, not from a second pass over the token stream:
     # tf already holds one row per (doc, token), so distinct docs per token
-    # is a plain row count per token. Both consumers of tf share its
-    # (doc_id, token) exchange via ReusedExchange — the document text is
-    # scanned and exploded exactly once (plan-asserted).
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # is a row count per token. The count is written SUM(SIGNUM(tf)) — tf is
+    # always ≥1 so each row contributes exactly 1 — because a plain COUNT
+    # gets rewritten by the optimizer into a tf-free distinct, which lets
+    # column pruning specialize the partial aggregate under tf's exchange;
+    # the two branches then canonicalize differently and AQE cannot reuse
+    # the exchange, silently re-scanning + re-exploding the whole corpus.
+    # SIGNUM keeps the tf reference unprunable → identical exchange subplans
+    # → runtime ReusedExchange → ONE text scan (plan-asserted after
+    # execution in tests/test_plan_quality.py).
+    df = tf.groupBy("token").agg(F.sum(F.signum("tf")).cast("long").alias("df"))
     scored = (
         tf.join(F.broadcast(df.crossJoin(F.broadcast(_n_docs_df(docs)))), "token")
         .select(
@@ -464,4 +470,94 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "chunk_idx", "fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram PMI collocations — the classic phrase-detection statistic (what
+# word2phrase / gensim Phrases compute before tokenizer training). PMI =
+# ln( p(xy) / (p(x)·p(y)) ) with p from unigram/bigram counts; high-PMI
+# pairs co-occur far above chance → merge candidates for the vocabulary.
+# Plan shape: one explode for unigrams + one adjacent-pair transform for
+# bigrams (both map-only until their aggregates), corpus totals computed
+# in-plan as broadcast scalar aggregates (the q_tfidf pattern — no eager
+# count() on the driver), then one broadcast join per unigram side. All
+# integer arithmetic until the final ln; identical double expression tree
+# in both engines, rounded 6dp.
+# --------------------------------------------------------------------------
+
+_MIN_PAIR = 5  # ignore pairs rarer than this (PMI is noise at tiny counts)
+
+
+@query(
+    "q_bigram_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks),
+    ucnt AS (
+      SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS nu FROM ucnt),
+    bi AS (
+      -- adjacent pairs via zip-with-shifted-self; list_zip pads the tail
+      -- with NULL (split tokens are never NULL, so the filter only drops
+      -- the pad row)
+      SELECT p[1] AS w1, p[2] AS w2
+      FROM (SELECT unnest(list_zip(t, t[2:])) AS p FROM toks)
+      WHERE p[2] IS NOT NULL),
+    bcnt AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+    nb AS (SELECT CAST(SUM(c12) AS DOUBLE) AS nb FROM bcnt)
+    SELECT b.w1, b.w2, b.c12,
+           ROUND(ln((CAST(b.c12 AS DOUBLE) * nu.nu * nu.nu)
+                    / (nb.nb * u1.c * u2.c)), 6) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.w
+    JOIN ucnt u2 ON b.w2 = u2.w
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE b.c12 >= {_MIN_PAIR}
+    ORDER BY pmi DESC, w1, w2 LIMIT 25
+    """,
+    description="bigram PMI collocation ranking (phrase detection for tokenizer/vocab "
+    "construction): unigram + adjacent-pair aggregates with in-plan broadcast "
+    "corpus totals; integer counts to the end, one ln rounded 6dp",
+    tags=("text",),
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = ucnt.agg(F.sum("c").cast("double").alias("nu"))
+    # adjacent pairs: transform over the index range — map-only, no UDTF;
+    # guard size<2 (sequence() would run DESCENDING for start > stop)
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"),
+            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nb = bcnt.agg(F.sum("c12").cast("double").alias("nb"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12").cast("double") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        bcnt.filter(F.col("c12") >= _MIN_PAIR)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
     )

@@ -139,3 +139,39 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(davg(F.col("val").cast("double")).alias("centroid"))
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar quantization — int8 embedding codes (operators/quantize.py). The
+# oracle reproduces the exact arithmetic: MIN/MAX are order-independent, the
+# quantize expression is the same IEEE tree in both engines, so codes match
+# bit for bit. DuckDB's round() is half-away-from-zero; the scaled values
+# are non-negative, where Spark's HALF_UP agrees.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_quantize_int8",
+    oracle="""
+    WITH expl AS (
+      SELECT vec_id, CAST(i.i - 1 AS BIGINT) AS pos,
+             CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) i(i)),
+    ranges AS (
+      SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM expl GROUP BY pos)
+    SELECT e.vec_id, e.pos,
+           CASE WHEN r.hi = r.lo THEN 0
+                ELSE CAST(ROUND((e.x - r.lo) / (r.hi - r.lo) * 255) AS INTEGER) END AS code
+    FROM expl e JOIN ranges r ON e.pos = r.pos
+    """,
+    description="int8 scalar quantization of the embedding column (SQ8): per-dimension "
+    "MIN/MAX ranges (dim-sized aggregate) broadcast back over the exploded "
+    "vectors — 4× storage cut for the ANN scan path, map-only after one tiny "
+    "aggregate; codes proven bit-identical against the oracle",
+    tags=("vector",),
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import scalar_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return scalar_quantize(emb, levels=255)

@@ -320,6 +320,80 @@ def test_lsh_multitable_recall(spark):
     assert len(many) >= len(one)
 
 
+def test_deterministic_split_properties(spark):
+    """Hash split: labels partition the rows, fractions are approximately
+    honored, assignment is identical across invocations AND invariant under
+    repartitioning (the property rand() cannot give)."""
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = deterministic_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in deterministic_split(docs.repartition(13), ["doc_id"]).select("doc_id", "split").collect()
+    }
+    assert a == b  # partitioning-invariant assignment
+
+    # a different salt derives an independent assignment from the same keys
+    salted = deterministic_split(docs, ["doc_id"], salt="v2")
+    c = {(r.doc_id, r.split) for r in salted.select("doc_id", "split").collect()}
+    assert c != a and {x[0] for x in c} == {x[0] for x in a}
+
+
+def test_deterministic_split_rejects_bad_fractions(spark):
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(docs, ["doc_id"], {"train": 0.5, "test": 0.1})
+
+
+def test_sample_per_key_deterministic_and_bounded(spark):
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.sampling import sample_per_key
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    s1 = sample_per_key(orders, ["o_custkey"], ["o_orderkey"], k=3)
+    per_key = s1.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    assert per_key.filter(F.col("n") > 3).count() == 0
+    # keys with ≤3 orders keep everything (it's a sample, not a filter)
+    small = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("tot")).filter(F.col("tot") <= 3)
+    kept = per_key.join(small, "o_custkey").filter(F.col("n") != F.col("tot"))
+    assert kept.count() == 0
+    a = {(r.o_custkey, r.o_orderkey) for r in s1.collect()}
+    b = {(r.o_custkey, r.o_orderkey)
+         for r in sample_per_key(orders.repartition(7), ["o_custkey"], ["o_orderkey"], k=3).collect()}
+    assert a == b
+
+
+def test_scalar_quantize_reconstruction_bound(spark):
+    """SQ8 guarantee: |x - dequant(code)| ≤ (hi-lo)/(2·levels) + ε per dim."""
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.quantize import dequantize_error, scalar_quantize
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    errs = dequantize_error(emb, levels=255).collect()
+    assert len(errs) == 64
+    for r in errs:
+        assert r.max_err <= r.scale / (2 * 255) * (1 + 1e-9), (r.pos, r.max_err, r.scale)
+    codes = scalar_quantize(emb, levels=255)
+    rng = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
+    assert rng.lo >= 0 and rng.hi <= 255
+    # every (vec, pos) coded exactly once
+    n = emb.count()
+    assert codes.count() == n * 64
+
+
 def test_exact_neardup_guard_refuses_large_input(spark):
     """The O(n²) exact path must refuse inputs above max_rows."""
     import pytest
