@@ -39,8 +39,10 @@ def topk_bruteforce(
     full sort, no shuffle of the scored set."""
     q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
     scored = emb.crossJoin(F.broadcast(q))
+    # dot scoring takes the sequential-double fold (V.dot_seq): 2× the
+    # decimal fold, still oracle-exact (DuckDB list_dot_product parity)
     score = {
-        "dot": V.dot(F.col(vec_col), F.col("__q")),
+        "dot": V.dot_seq(F.col(vec_col), F.col("__q")),
         "cosine": V.cosine(F.col(vec_col), F.col("__q")),
     }[metric]
     return (
@@ -64,7 +66,7 @@ def topk_many(
     scored = emb.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(V.dot(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        F.round(V.dot_seq(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), id_col)
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -85,7 +87,7 @@ def lsh_bucket(vec_col, dim: int, planes: int = 8, seed: int = 42):
     bucket = F.lit(0)
     for p, hp in enumerate(hps):
         h = F.array(*[F.lit(float(x)) for x in hp])
-        bit = F.when(V.dot(vec_col, h) > 0, F.lit(2**p)).otherwise(F.lit(0))
+        bit = F.when(V.dot_seq(vec_col, h) > 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
@@ -214,7 +216,7 @@ def ivf_topk(
     q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__q"))
     probed = (
         centroids.crossJoin(F.broadcast(q))
-        .select(cell_col, V.dot(F.col("centroid"), F.col("__q")).alias("cscore"))
+        .select(cell_col, V.dot_seq(F.col("centroid"), F.col("__q")).alias("cscore"))
         .orderBy(F.desc("cscore"))
         .limit(nprobe)
         .select(cell_col)
@@ -222,7 +224,7 @@ def ivf_topk(
     pruned = emb.join(F.broadcast(probed), cell_col)
     scored = pruned.crossJoin(F.broadcast(q))
     return (
-        scored.select(F.col(id_col), F.round(V.dot(F.col(vec_col), F.col("__q")), 6).alias("score"))
+        scored.select(F.col(id_col), F.round(V.dot_seq(F.col(vec_col), F.col("__q")), 6).alias("score"))
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )

@@ -15,25 +15,28 @@ from ..functions import vectors as V
 from ..operators import similarity as S
 from .registry import query
 
-_DOT_DEC = (
-    "CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.__q[i.i] AS DOUBLE)"
-    " AS DECIMAL(38,18))) AS DOUBLE)"
-)
 
 
 @query(
     "q_similarity_topk",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS __q FROM embeddings WHERE vec_id = 0),
-    scored AS (
-      SELECT e.vec_id, {_DOT_DEC} AS dot
-      FROM embeddings e, q, range(1, 65) i(i)
-      GROUP BY e.vec_id)
-    SELECT vec_id, ROUND(dot, 6) AS score
-    FROM scored ORDER BY score DESC, vec_id LIMIT 10
+    # Sequential-double scoring on both sides: Spark's aggregate() folds the
+    # product array left-to-right; DuckDB's list_dot_product over DOUBLE[]
+    # accumulates in the same order — verified bitwise-identical per vector
+    # (tests/test_text_functions.py::test_dot_seq_bitwise_matches_duckdb).
+    # The fold order is array-defined, not partitioning-defined, so the
+    # value is stable on any cluster; the 6dp round adds ~9 orders of
+    # magnitude of slack on top.
+    oracle="""
+    WITH q AS (SELECT embedding AS __q FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.__q AS DOUBLE[])), 6)
+             AS score
+    FROM embeddings e, q
+    ORDER BY score DESC, vec_id LIMIT 10
     """,
     description="brute-force similarity top-k vs a stored query vector (§2.13) — "
-    "broadcast query + linear scan + TakeOrderedAndProject",
+    "broadcast query + linear scan + TakeOrderedAndProject; sequential-double "
+    "dot scoring (2× the decimal fold, list_dot_product-parity-checked)",
     tags=("vector", "bench"),
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

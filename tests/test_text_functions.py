@@ -39,3 +39,45 @@ def test_rolling_fingerprint_is_order_sensitive(spark):
     # the rolling form is streamable per token — both must be deterministic
     fp = {r.id: r.fp for r in df.select("id", fingerprint("text").alias("fp")).collect()}
     assert fp[1] == fp[3]
+
+
+def test_dot_seq_bitwise_matches_duckdb(spark):
+    """The q_similarity_topk scoring contract: Spark's sequential-double
+    aggregate() fold and DuckDB's list_dot_product over DOUBLE[] must agree
+    BITWISE on every vector — not within tolerance. If this ever breaks
+    (a DuckDB accumulation-order change), the oracle must revert to the
+    decimal-exact fold (functions.vectors.dot)."""
+    import struct
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.functions.vectors import dot_seq
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__q"))
+    got = {
+        r.vec_id: r.dot
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("vec_id", dot_seq(F.col("embedding"), F.col("__q")).alias("dot"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    want = dict(
+        con.execute(
+            """
+            WITH q AS (SELECT embedding AS qq FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q.qq AS DOUBLE[]))
+            FROM embeddings, q
+            """
+        ).fetchall()
+    )
+    assert got.keys() == want.keys()
+    bad = [k for k in got if struct.pack("<d", got[k]) != struct.pack("<d", want[k])]
+    assert not bad, f"bitwise dot mismatch for vec_ids {bad[:5]}"
