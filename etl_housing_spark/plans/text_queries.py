@@ -474,6 +474,77 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus mixing report — the "data recipe" table every pretraining run is
+# built from: documents bucketed into quality deciles, then (source,
+# decile) cells report doc counts and token budgets. Deliberately NOT a
+# global NTILE window (that is a single-partition sort of the whole corpus
+# — the one plan shape that cannot scale): decile boundaries come from ONE
+# tiny percentile aggregate, get broadcast, and bucket assignment is a
+# map-side comparison — the same boundaries+binning shape as q_histogram.
+# At 100 TB the exact percentile becomes approx_percentile (mergeable
+# sketch, q_percentile_sketch's rationale); the binning stays identical.
+# --------------------------------------------------------------------------
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS nt,
+             (len(list_filter(string_split(text, ' '),
+                              x -> list_contains({_STOPSET_SQL}, x)))
+              / len(string_split(text, ' '))) * 0.4
+             + least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.6 AS q
+      FROM documents),
+    bounds AS (
+      SELECT quantile_cont(q, {_DECILES}) AS bs FROM scored)
+    SELECT source,
+           1 + len(list_filter(bounds.bs, b -> b <= scored.q)) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q) AS avg_quality
+    FROM scored, bounds
+    GROUP BY source, decile
+    """,
+    description="corpus mixing report (training-data recipe): quality-decile × source "
+    "cells with doc counts and token budgets; decile boundaries from one tiny "
+    "percentile aggregate broadcast back (no global NTILE sort — that plan "
+    "shape cannot scale), binning is a map-side list comparison",
+    tags=("text",),
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("nt"),
+        T.quality_score("text").alias("q"),
+    )
+    pcts = ", ".join(str(p) for p in _DECILES)
+    bounds = scored.agg(F.expr(f"percentile(q, array({pcts}))").alias("bs"))
+    decile = (
+        (F.lit(1) + F.size(F.filter(F.col("bs"), lambda b: b <= F.col("q"))))
+        .cast("long")  # match the oracle's BIGINT (1 + len()) for schema parity
+        .alias("decile")
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select("source", decile, "nt", "q")
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            davg("q").alias("avg_quality"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Bigram PMI collocations — the classic phrase-detection statistic (what
 # word2phrase / gensim Phrases compute before tokenizer training). PMI =
 # ln( p(xy) / (p(x)·p(y)) ) with p from unigram/bigram counts; high-PMI
