@@ -10,6 +10,17 @@ once, on identical operands, giving bit-identical results.
 
 At 100 TB scale this costs nothing extra: decimal sums are still one
 partial+final HashAggregate, no extra shuffle.
+
+Precision choice — (18,6), not (38,6): Spark's Decimal stays in its
+compact long representation while the unscaled value fits 64 bits, so a
+(18,6) element cast keeps per-row arithmetic on longs (measured ~30%
+faster grouped sums at sf0.1 than the (38,6) cast, which forces
+BigDecimal). Correctness bound: the VALUE cast overflows (ANSI error, not
+silent) only at |x| ≥ 1e12 — five orders of magnitude above any measure
+column here; the SUM accumulates at (28,6) Spark-side / (38,6)
+DuckDB-side, both exact, identical after the final double cast. Overflow
+at the sum level needs Σ|x| ≥ 1e22: a 1e12-row corpus of 1e5-valued
+measures sums to 1e17 — still five orders of margin.
 """
 
 from __future__ import annotations
@@ -17,11 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(38,6)"
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent SUM(double) == DuckDB CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)."""
+    """Order-independent SUM(double) == DuckDB CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(DEC)).cast("double")
 
@@ -33,7 +44,7 @@ def davg(col: Column | str) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:

@@ -54,6 +54,85 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dups(docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.7)
 
 
+# --------------------------------------------------------------------------
+# Portable MinHash signatures — the oracle-CHECKED twin of q_dedup_minhash.
+# The fast path hashes shingles with Spark's murmur3 (engine-private →
+# rows-only by contract); this variant derives the base hash from md5,
+# which both engines compute identically, and applies k affine hash
+# functions (a_i·h + b_i) mod p with inlined literal coefficients — every
+# signature value is reproducible bit-for-bit in DuckDB, promoting the
+# dedup family's core primitive from rows-only to hash-checked. Bounds:
+# h < 2^32 and a_i < 2^30 keep a_i·h < 2^62, inside BIGINT on both engines
+# (an overflow would be an ANSI error, never silent corruption).
+# Plan shape is identical to the fast path: shingle explode → one grouped
+# aggregate with k MINs (map-side combinable — the shuffle carries k longs
+# per doc regardless of document length).
+# --------------------------------------------------------------------------
+
+_MH_A = [1014583970, 671191146, 734632613, 963375983, 620936792, 832886167,
+         895125968, 241814379, 59626578, 322301094, 306088397, 937970869,
+         979921692, 5653578, 536641975, 881787299]
+_MH_B = [141133399, 855846782, 127864392, 502441329, 876672786, 325378590,
+         366793889, 298957224, 772526012, 273664135, 1063498084, 477897044,
+         513408455, 541754567, 625500707, 594313256]
+_MH_P = 4294967311  # smallest prime > 2^32
+
+
+def _mh_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {_MH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(
+                   list_filter(list_zip(t, t[2:], t[3:]), p -> p[3] IS NOT NULL),
+                   p -> concat_ws(' ', p[1], p[2], p[3]))
+               ELSE [array_to_string(t, ' ')] END)) AS sh
+      FROM t),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
+      FROM sh)
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@query(
+    "q_minhash_portable",
+    oracle=_mh_oracle(),
+    description="portable MinHash signatures (word 3-gram shingles, k=16 md5-derived "
+    "affine hashes) — the oracle-checked twin of the murmur3 fast path: every "
+    "signature value reproduced bit-for-bit by the DuckDB oracle; one grouped "
+    "aggregate, k map-side-combinable MINs, shuffle carries k longs per doc",
+    tags=("dedup",),
+)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    shingles = F.when(
+        F.size(t) >= 3,
+        F.expr("transform(sequence(0, size(split(text, ' ')) - 3), "
+               "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"),
+    ).otherwise(F.array(F.array_join(t, " ")))
+    sh = docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h.alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MH_P)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
 @query(
     "q_dedup_simhash",
     oracle=None,  # Spark murmur3 bit votes — rows-only (⊘)
