@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -10,7 +11,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from etl_housing_spark.session import get_session  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+# Override to re-run the oracle-parity sweep at another scale factor
+# (EHS_SF_CORRECT=/root/testdata/sf0.1 python -m pytest tests/test_oracle_parity.py)
+SF_CORRECT = os.environ.get("EHS_SF_CORRECT", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
