@@ -1,0 +1,347 @@
+"""Training-corpus pipeline queries, batch 2 (SURVEY.md §2.13 extensions):
+benchmark decontamination, sequence packing, repetition filtering, filter
+funnel attrition, portable SimHash, and blocked kNN join.
+
+These are the operations a pretraining-data pipeline runs between raw
+ingest and tokenized shards — the reference's ETL loop (trulia_scrape.py:
+107-188 clean→filter→sink) generalized to LLM-corpus scale. Every query here
+is DuckDB-oracle-checked: divisions are a single double divide + ROUND(…,6)
+on both engines, hashes are md5-derived (bit-identical across engines), and
+integer math stays in BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# -- shared shingle expressions (same construction q_minhash_portable uses) --
+
+_SHINGLE_SPARK = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "transform(sequence(0, size(split(text, ' ')) - 3), "
+    "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])) "
+    "ELSE array(text) END"
+)
+
+_SHINGLE_DUCK = """
+    SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(t) >= 3 THEN
+               list_transform(
+                 list_filter(list_zip(t, t[2:], t[3:]), p -> p[3] IS NOT NULL),
+                 p -> concat_ws(' ', p[1], p[2], p[3]))
+             ELSE [array_to_string(t, ' ')] END)) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_hit
+    FROM sh s JOIN ev ON s.sh = ev.sh
+    WHERE s.doc_id % 37 <> 0
+    GROUP BY s.doc_id
+    """,
+    description="benchmark decontamination: flag corpus docs sharing any word 3-gram "
+    "with the eval holdout (doc_id % 37 = 0) — the n-gram-overlap test-set "
+    "contamination check every pretraining pipeline runs before training. "
+    "Eval shingle set is DISTINCT + broadcast (eval benchmarks are tiny vs the "
+    "corpus); corpus side is one explode + one grouped count — no all-pairs join",
+    tags=("pipeline", "text"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("sh")
+    )
+    ev = sh.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
+    corpus = sh.filter(F.col("doc_id") % 37 != 0)
+    return (
+        corpus.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+
+
+_SEQ_LEN = 256
+
+
+@query(
+    "q_seq_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT source,
+           CAST((cum - n_tok) // {_SEQ_LEN} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY source, seq_id
+    """,
+    description=f"sequence packing: assign docs to fixed-{_SEQ_LEN}-token training "
+    "sequences by running token offset (concat-then-chunk regime: a doc belongs to "
+    "the sequence its first token lands in). Packed per source shard — the cumsum "
+    "window partitions on source, so no global single-partition sort; a real "
+    "pipeline packs per shard exactly like this and the per-shard window "
+    "distributes across executors",
+    tags=("pipeline",),
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        staged.withColumn("seq_id", F.expr(f"(cum - n_tok) div {_SEQ_LEN}"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    d AS (
+      SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist, t
+      FROM base WHERE len(t) >= 2),
+    bg AS (
+      SELECT doc_id, n_tok, n_dist,
+             unnest(list_transform(
+               list_filter(list_zip(t, t[2:]), p -> p[2] IS NOT NULL),
+               p -> concat_ws(' ', p[1], p[2]))) AS bigram
+      FROM d),
+    c AS (
+      SELECT doc_id, n_tok, n_dist, bigram, COUNT(*) AS c
+      FROM bg GROUP BY doc_id, n_tok, n_dist, bigram)
+    SELECT doc_id,
+           ROUND(1 - n_dist / CAST(n_tok AS DOUBLE), 6) AS dup_token_frac,
+           ROUND(MAX(c) / CAST(n_tok - 1 AS DOUBLE), 6) AS top_bigram_frac,
+           MAX(c) > 1 AS repetitive
+    FROM c GROUP BY doc_id, n_tok, n_dist
+    """,
+    description="within-document repetition stats (the Gopher/C4 repetition filters): "
+    "duplicate-token fraction (1 - distinct/total) and most-frequent-bigram fraction "
+    "per doc; `repetitive` flags any repeated bigram. Explode→two-level grouped agg — "
+    "the first groupBy is partial-agg friendly (doc-local keys), the second collapses "
+    "to one row per doc; constant per-doc stats ride the grouping keys, single scan",
+    tags=("pipeline", "text"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_dist"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+            )
+        ).alias("bigram"),
+    ).filter(F.col("n_tok") >= 2)
+    c = d.groupBy("doc_id", "n_tok", "n_dist", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return c.groupBy("doc_id", "n_tok", "n_dist").agg(
+        F.round(1 - F.col("n_dist") / F.col("n_tok").cast("double"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(F.max("c") / (F.col("n_tok") - 1).cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+        (F.max("c") > 1).alias("repetitive"),
+    ).drop("n_tok", "n_dist")
+
+
+_STOPSET_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+@query(
+    "q_filter_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, n_chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOPSET_SQL}, x)))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+             1 - len(list_distinct(string_split(text, ' ')))
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dup_frac
+      FROM documents),
+    f AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS s1,
+             SUM(CASE WHEN lang = 'en' AND n_chars >= 100 THEN 1 ELSE 0 END) AS s2,
+             SUM(CASE WHEN lang = 'en' AND n_chars >= 100
+                       AND stop_ratio >= 0.02 THEN 1 ELSE 0 END) AS s3,
+             SUM(CASE WHEN lang = 'en' AND n_chars >= 100
+                       AND stop_ratio >= 0.02 AND dup_frac <= 0.6 THEN 1 ELSE 0 END) AS s4
+      FROM d)
+    SELECT '0_total' AS stage, CAST(total AS BIGINT) AS n_docs,
+           ROUND(total / CAST(total AS DOUBLE), 6) AS retained FROM f
+    UNION ALL SELECT '1_lang', CAST(s1 AS BIGINT), ROUND(s1 / CAST(total AS DOUBLE), 6) FROM f
+    UNION ALL SELECT '2_length', CAST(s2 AS BIGINT), ROUND(s2 / CAST(total AS DOUBLE), 6) FROM f
+    UNION ALL SELECT '3_quality', CAST(s3 AS BIGINT), ROUND(s3 / CAST(total AS DOUBLE), 6) FROM f
+    UNION ALL SELECT '4_dedup', CAST(s4 AS BIGINT), ROUND(s4 / CAST(total AS DOUBLE), 6) FROM f
+    """,
+    description="filter-funnel attrition report: how many documents survive each "
+    "stage of the cleaning cascade (language → length → stopword quality → "
+    "repetition), with retained fraction vs raw. ONE scan: per-doc stage booleans "
+    "are cumulative ANDs folded into conditional sums, then the 1-row aggregate is "
+    "unpivoted with stack() — the shape that audits a 100 TB filter cascade for the "
+    "cost of a single pass",
+    tags=("pipeline", "text"),
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = (F.col("lang") == "en").cast("int")
+    s2 = (s1.cast("boolean") & (F.col("n_chars") >= 100)).cast("int")
+    s3 = (s2.cast("boolean") & (T.stopword_ratio("text") >= 0.02)).cast("int")
+    dup_frac = 1 - F.size(F.array_distinct(F.split(F.col("text"), " "))) / F.size(
+        F.split(F.col("text"), " ")
+    ).cast("double")
+    s4 = (s3.cast("boolean") & (dup_frac <= 0.6)).cast("int")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(s1).alias("s1"),
+        F.sum(s2).alias("s2"),
+        F.sum(s3).alias("s3"),
+        F.sum(s4).alias("s4"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "'0_total', total, round(total / CAST(total AS DOUBLE), 6), "
+        "'1_lang', s1, round(s1 / CAST(total AS DOUBLE), 6), "
+        "'2_length', s2, round(s2 / CAST(total AS DOUBLE), 6), "
+        "'3_quality', s3, round(s3 / CAST(total AS DOUBLE), 6), "
+        "'4_dedup', s4, round(s4 / CAST(total AS DOUBLE), 6)"
+        ") AS (stage, n_docs, retained)"
+    )
+
+
+def _simhash_exprs() -> tuple[list[str], list[str], str, str]:
+    """Per-bit vote aggregates + recombination, identical arithmetic on both
+    engines: token hash = first 8 hex chars of md5 (32-bit), vote_i =
+    Σ ±1 by bit i, simhash = Σ (vote_i > 0) · 2^i."""
+    spark_votes = [
+        f"SUM(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    ]
+    duck_votes = [
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    ]
+    combine = " + ".join(f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))
+    return spark_votes, duck_votes, f"CAST({combine} AS BIGINT)", combine
+
+
+_SH_SPARK_VOTES, _SH_DUCK_VOTES, _SH_COMBINE, _ = _simhash_exprs()
+
+
+@query(
+    "q_simhash_portable",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok),
+    votes AS (
+      SELECT doc_id, {", ".join(_SH_DUCK_VOTES)} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {_SH_COMBINE} AS simhash FROM votes
+    """,
+    description="portable SimHash (32-bit, md5-derived token hashes) — the "
+    "oracle-checked twin of operators.dedup.simhash_near_dups' murmur3 fast path: "
+    "every signature reproduced bit-for-bit by the DuckDB oracle. One grouped "
+    "aggregate with 32 map-side-combinable ±1 vote sums, then a map-only bit "
+    "recombination — shuffle carries 32 longs per doc, no pairs",
+    tags=("dedup", "pipeline"),
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    votes = hashed.groupBy("doc_id").agg(*[F.expr(v) for v in _SH_SPARK_VOTES])
+    return votes.select("doc_id", F.expr(_SH_COMBINE).alias("simhash"))
+
+
+@query(
+    "q_knn_blocked",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q JOIN embeddings e
+        ON q.label = e.label AND q.vec_id <> e.vec_id)
+    SELECT q_id, n_id, score FROM (
+      SELECT q_id, n_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+      FROM scored) t
+    WHERE rk <= 3
+    """,
+    description="blocked kNN join: top-3 nearest neighbors per vector WITHIN its "
+    "label block (the semantic-dedup / hard-negative-mining shape) — equi-join on "
+    "the block key makes it a shuffle join, O(block²) not O(n²); rank via "
+    "per-query-vector window. Sequential-double dot scoring "
+    "(list_dot_product-parity, see q_similarity_topk). At 100 TB the block key is "
+    "an IVF/cluster assignment (q_ann_ivf produces one) and block sizes are "
+    "capped — same plan, bounded blocks",
+    tags=("vector", "pipeline"),
+)
+def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "label",
+    )
+    e = emb.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        "label",
+    )
+    scored = (
+        q.join(e, "label")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "n_id", "score")
+    )

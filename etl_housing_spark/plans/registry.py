@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cleaning_queries,
         dedup_queries,
         ml_queries,
+        pipeline_queries,
         relational,
         sampling_queries,
         streaming_queries,
