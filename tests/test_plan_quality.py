@@ -145,3 +145,47 @@ def test_pii_redact_is_map_only(spark):
 def test_incremental_rollup_partial_aggregates(spark):
     plan = _plan(_q(spark, "q_incremental_rollup"))
     assert "partial" in plan.lower()  # map-side combine in state building
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    plan = _plan(_q(spark, "q_decontaminate"))
+    # the eval-holdout shingle set is the small side: broadcast, never SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_filter_funnel_single_scan_no_python(spark):
+    plan = _plan(_q(spark, "q_filter_funnel"))
+    # the whole 5-stage cascade audits in ONE pass over documents
+    assert plan.count("+- Scan parquet") + plan.count("* Scan parquet") == 1
+    assert "Python" not in plan
+
+
+def test_simhash_portable_partial_aggregates(spark):
+    plan = _plan(_q(spark, "q_simhash_portable"))
+    # 32 ±1 vote sums must map-side combine (shuffle carries 32 longs/doc,
+    # not one row per (doc, token))
+    assert "partial" in plan.lower()
+    assert "Python" not in plan
+
+
+def test_seq_packing_window_is_distributed(spark):
+    plan = _plan(_q(spark, "q_seq_packing"))
+    # the cumsum window partitions on source — a global single-partition
+    # sort would serialize the whole corpus through one task
+    assert "Exchange SinglePartition" not in plan
+    assert "Python" not in plan
+
+
+def test_knn_blocked_is_equi_join(spark):
+    plan = _plan(_q(spark, "q_knn_blocked"))
+    # block-key equi-join: O(block²), never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_repetition_is_python_free(spark):
+    plan = _plan(_q(spark, "q_repetition"))
+    assert "Python" not in plan
