@@ -345,3 +345,201 @@ def q_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("q_id", "n_id", "score")
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    description="skew-mitigated salted join (operators.skew.salted_join): the fact "
+    "side's hot keys spread over 8 shuffle buckets, the dim side exploded into 8 "
+    "salted copies, equi-join on (key, salt) — the explicit fallback for skew AQE "
+    "cannot split (hot key on both sides / non-SMJ plans). Salt is deterministic "
+    "per row (hash of monotonic id, no rand()) so retried tasks salt identically. "
+    "Result is provably salt-invariant: the oracle is the UNSALTED join",
+    tags=("join", "pipeline"),
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    from ._util import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, on=["l_orderkey"], buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+def _band_exprs() -> tuple[str, str]:
+    """4 bands × 4 signature rows: band key = comma-joined sig values —
+    identical string construction on both engines."""
+    spark_stack = "stack(4, " + ", ".join(
+        f"{b}, concat_ws(',', " + ", ".join(f"sig_{4 * b + j}" for j in range(4)) + ")"
+        for b in range(4)
+    ) + ") AS (b, bkey)"
+    duck_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, concat_ws(',', "
+        + ", ".join(f"sig_{4 * b + j}" for j in range(4))
+        + ") AS bkey FROM sigs"
+        for b in range(4)
+    )
+    return spark_stack, duck_union
+
+
+_BAND_STACK, _BAND_UNION = _band_exprs()
+_MATCH_DUCK = " + ".join(
+    f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+_MATCH_SPARK = " + ".join(
+    f"(CASE WHEN a_{i} = b_{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+def _mh_pairs_oracle() -> str:
+    from .dedup_queries import _mh_oracle
+
+    return f"""
+    WITH sigs AS ({_mh_oracle()}),
+    bands AS (
+      {_BAND_UNION}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+    SELECT p.id_a, p.id_b,
+           CAST({_MATCH_DUCK} AS BIGINT) AS n_match,
+           ({_MATCH_DUCK}) / CAST(16 AS DOUBLE) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON p.id_a = sa.doc_id
+    JOIN sigs sb ON p.id_b = sb.doc_id
+    """
+
+
+@query(
+    "q_minhash_pairs_portable",
+    oracle=_mh_pairs_oracle(),
+    description="the FULL MinHash→LSH candidate pipeline, oracle-checked end to end: "
+    "portable md5-derived signatures (q_minhash_portable) → 4 bands × 4 rows, band "
+    "key = joined sig values → equi-self-join per band bucket → distinct candidate "
+    "pairs → Jaccard estimate = matching-signature fraction. This is the "
+    "oracle-proven twin of operators.dedup.minhash_near_dups' murmur3 fast path — "
+    "every stage (signature, banding, candidate join, estimate) hash-matches "
+    "DuckDB. Scale shape: candidates come from band-bucket equi-joins (never "
+    "all-pairs); est_jaccard = n_match/16 is exact dyadic arithmetic",
+    tags=("dedup", "pipeline"),
+)
+def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import q_minhash_portable
+
+    sigs = q_minhash_portable(spark, sf_dir)
+    bands = sigs.selectExpr("doc_id", _BAND_STACK)
+    a = bands.select(F.col("doc_id").alias("id_a"), "b", "bkey")
+    b2 = bands.select(F.col("doc_id").alias("id_b"), "b", "bkey")
+    pairs = (
+        a.join(b2, ["b", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(16)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(16)]
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"CAST({_MATCH_SPARK} AS BIGINT)").alias("n_match"),
+            F.expr(f"({_MATCH_SPARK}) / CAST(16 AS DOUBLE)").alias("est_jaccard"),
+        )
+    )
+
+
+@query(
+    "q_winsorize",
+    # Discrete type-1 quantile bounds via pure integer rank logic
+    # (20·cum ≥ tot ⟺ cum ≥ ⌈tot/20⌉) — NO percentile interpolation, so
+    # there is no cross-engine floating-point boundary to disagree on; the
+    # clip bounds are actual data values, bit-identical by construction.
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v, COUNT(*) AS cnt
+      FROM orders GROUP BY grp, v),
+    w AS (
+      SELECT grp, v, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS tot
+      FROM c),
+    b AS (
+      SELECT grp, MIN(CASE WHEN 20 * cum >= tot THEN v END) AS lo,
+                  MIN(CASE WHEN 20 * cum >= 19 * tot THEN v END) AS hi
+      FROM w GROUP BY grp)
+    SELECT c.grp AS o_orderpriority, b.lo, b.hi,
+           CAST(SUM(c.cnt) AS BIGINT) AS n,
+           CAST(SUM(CAST(least(greatest(c.v, b.lo), b.hi) * c.cnt
+                         AS DECIMAL(18,6))) AS DOUBLE) / CAST(SUM(c.cnt) AS BIGINT)
+             AS winsorized_avg,
+           CAST(SUM(CASE WHEN c.v < b.lo THEN c.cnt ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN c.v > b.hi THEN c.cnt ELSE 0 END) AS BIGINT) AS n_clipped_hi
+    FROM c JOIN b ON c.grp = b.grp
+    GROUP BY c.grp, b.lo, b.hi
+    """,
+    description="group-wise winsorization report (p05/p95 clip per order priority): "
+    "the outlier-robust normalization a feature pipeline applies before scaling. "
+    "ONE scan: value histogram per (group, value) → per-group cumulative window "
+    "over DISTINCT values only (tiny vs the table) → discrete integer-rank bounds "
+    "→ clipped weighted aggregate computed from the histogram itself, never a "
+    "second pass over rows. Bounds are observed data values (type-1 quantile by "
+    "integer rank arithmetic), immune to percentile-interpolation float drift",
+    tags=("pipeline",),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import DEC
+
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        o.groupBy(F.col("o_orderpriority").alias("grp"), F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("grp")
+    wf = c.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "tot", F.sum("cnt").over(w_tot)
+    )
+    b = wf.groupBy("grp").agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("lo"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("tot"), F.col("v"))).alias("hi"),
+    )
+    m = c.join(F.broadcast(b), "grp")
+    clip = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    return (
+        m.groupBy(F.col("grp").alias("o_orderpriority"), "lo", "hi")
+        .agg(
+            F.sum("cnt").alias("n"),
+            (F.sum((clip * F.col("cnt")).cast(DEC)).cast("double") / F.sum("cnt")).alias(
+                "winsorized_avg"
+            ),
+            F.sum(F.when(F.col("v") < F.col("lo"), F.col("cnt")).otherwise(0)).alias(
+                "n_clipped_lo"
+            ),
+            F.sum(F.when(F.col("v") > F.col("hi"), F.col("cnt")).otherwise(0)).alias(
+                "n_clipped_hi"
+            ),
+        )
+    )

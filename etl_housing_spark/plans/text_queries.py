@@ -8,7 +8,7 @@ bit-identical without rounding tricks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -485,11 +485,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch, q_percentile_sketch's rationale); the binning stays identical.
 # --------------------------------------------------------------------------
 
-_DECILES = [i / 10 for i in range(1, 10)]
-
-
 @query(
     "q_corpus_mix",
+    # Deciles are DISCRETE, by integer rank over the rounded-quality
+    # histogram: decile(q6) = 1 + ⌊10·(docs strictly below q6)/n⌋. An
+    # interpolated percentile boundary (quantile_cont vs Spark percentile)
+    # can differ by 1 ulp between engines and flip every doc sitting exactly
+    # on a boundary value — observed at sf0.1 — so no interpolation exists
+    # anywhere in this plan; every comparison is integer arithmetic.
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
@@ -499,20 +502,29 @@ _DECILES = [i / 10 for i in range(1, 10)]
               / len(string_split(text, ' '))) * 0.4
              + least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.6 AS q
       FROM documents),
-    bounds AS (
-      SELECT quantile_cont(q, {_DECILES}) AS bs FROM scored)
-    SELECT source,
-           1 + len(list_filter(bounds.bs, b -> b <= scored.q)) AS decile,
+    s2 AS (SELECT source, nt, q, round(q, 6) AS q6 FROM scored),
+    hist AS (SELECT q6, COUNT(*) AS cnt FROM s2 GROUP BY q6),
+    w AS (
+      SELECT q6, cnt,
+             SUM(cnt) OVER (ORDER BY q6
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist),
+    m AS (SELECT q6, CAST(1 + (10 * (cum - cnt)) // n AS BIGINT) AS decile FROM w)
+    SELECT source, decile,
            COUNT(*) AS n_docs,
            CAST(SUM(nt) AS BIGINT) AS n_tokens,
            CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q) AS avg_quality
-    FROM scored, bounds
+    FROM s2 JOIN m USING (q6)
     GROUP BY source, decile
     """,
     description="corpus mixing report (training-data recipe): quality-decile × source "
-    "cells with doc counts and token budgets; decile boundaries from one tiny "
-    "percentile aggregate broadcast back (no global NTILE sort — that plan "
-    "shape cannot scale), binning is a map-side list comparison",
+    "cells with doc counts and token budgets. Decile assignment is discrete integer "
+    "rank over the rounded-quality histogram: one grouped count (partial-agg "
+    "friendly), a cumulative window over DISTINCT quality values only (cardinality "
+    "bounded by the 6dp rounding, not the corpus size), and a broadcast map join "
+    "back — no global NTILE sort, no percentile interpolation; ties share a decile "
+    "so the recipe is reproducible under any partitioning",
     tags=("text",),
 )
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,21 +532,25 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id",
         "source",
         T.token_count("text").alias("nt"),
         T.quality_score("text").alias("q"),
+    ).withColumn("q6", F.round("q", 6))
+    hist = scored.groupBy("q6").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.orderBy("q6").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pcts = ", ".join(str(p) for p in _DECILES)
-    bounds = scored.agg(F.expr(f"percentile(q, array({pcts}))").alias("bs"))
-    decile = (
-        (F.lit(1) + F.size(F.filter(F.col("bs"), lambda b: b <= F.col("q"))))
-        .cast("long")  # match the oracle's BIGINT (1 + len()) for schema parity
-        .alias("decile")
+    w_all = Window.partitionBy(F.lit(1))
+    m = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .select(
+            "q6",
+            (1 + F.expr("(10 * (cum - cnt)) div n")).cast("long").alias("decile"),
+        )
     )
     return (
-        scored.crossJoin(F.broadcast(bounds))
-        .select("source", decile, "nt", "q")
+        scored.join(F.broadcast(m), "q6")
         .groupBy("source", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
