@@ -483,19 +483,20 @@ def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
              SUM(cnt) OVER (PARTITION BY grp) AS tot
       FROM c),
-    b AS (
-      SELECT grp, MIN(CASE WHEN 20 * cum >= tot THEN v END) AS lo,
-                  MIN(CASE WHEN 20 * cum >= 19 * tot THEN v END) AS hi
-      FROM w GROUP BY grp)
-    SELECT c.grp AS o_orderpriority, b.lo, b.hi,
-           CAST(SUM(c.cnt) AS BIGINT) AS n,
-           CAST(SUM(CAST(least(greatest(c.v, b.lo), b.hi) * c.cnt
-                         AS DECIMAL(18,6))) AS DOUBLE) / CAST(SUM(c.cnt) AS BIGINT)
+    w2 AS (
+      SELECT grp, v, cnt,
+             MIN(CASE WHEN 20 * cum >= tot THEN v END) OVER (PARTITION BY grp) AS lo,
+             MIN(CASE WHEN 20 * cum >= 19 * tot THEN v END) OVER (PARTITION BY grp) AS hi
+      FROM w)
+    SELECT grp AS o_orderpriority, lo, hi,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(CAST(least(greatest(v, lo), hi) * cnt
+                         AS DECIMAL(18,6))) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT)
              AS winsorized_avg,
-           CAST(SUM(CASE WHEN c.v < b.lo THEN c.cnt ELSE 0 END) AS BIGINT) AS n_clipped_lo,
-           CAST(SUM(CASE WHEN c.v > b.hi THEN c.cnt ELSE 0 END) AS BIGINT) AS n_clipped_hi
-    FROM c JOIN b ON c.grp = b.grp
-    GROUP BY c.grp, b.lo, b.hi
+           CAST(SUM(CASE WHEN v < lo THEN cnt ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN v > hi THEN cnt ELSE 0 END) AS BIGINT) AS n_clipped_hi
+    FROM w2
+    GROUP BY grp, lo, hi
     """,
     description="group-wise winsorization report (p05/p95 clip per order priority): "
     "the outlier-robust normalization a feature pipeline applies before scaling. "
@@ -522,14 +523,16 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = c.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "tot", F.sum("cnt").over(w_tot)
     )
-    b = wf.groupBy("grp").agg(
-        F.min(F.when(20 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("lo"),
-        F.min(F.when(20 * F.col("cum") >= 19 * F.col("tot"), F.col("v"))).alias("hi"),
+    # bounds as full-partition window mins over the same partitioning — the
+    # histogram is never joined back to itself, so orders scans exactly once
+    w2 = wf.withColumn(
+        "lo", F.min(F.when(20 * F.col("cum") >= F.col("tot"), F.col("v"))).over(w_tot)
+    ).withColumn(
+        "hi", F.min(F.when(20 * F.col("cum") >= 19 * F.col("tot"), F.col("v"))).over(w_tot)
     )
-    m = c.join(F.broadcast(b), "grp")
     clip = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
     return (
-        m.groupBy(F.col("grp").alias("o_orderpriority"), "lo", "hi")
+        w2.groupBy(F.col("grp").alias("o_orderpriority"), "lo", "hi")
         .agg(
             F.sum("cnt").alias("n"),
             (F.sum((clip * F.col("cnt")).cast(DEC)).cast("double") / F.sum("cnt")).alias(

@@ -189,3 +189,37 @@ def test_knn_blocked_is_equi_join(spark):
 def test_repetition_is_python_free(spark):
     plan = _plan(_q(spark, "q_repetition"))
     assert "Python" not in plan
+
+
+def test_join_salted_no_cartesian(spark):
+    plan = _plan(_q(spark, "q_join_salted"))
+    # salted equi-join on (key, salt): never a cross product; the dim-side
+    # 8-way explode must not force a nested-loop plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_minhash_pairs_candidates_from_band_equi_join(spark):
+    plan = _plan(_q(spark, "q_minhash_pairs_portable"))
+    # candidate pairs come from band-bucket equi-joins, never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_winsorize_single_scan_histogram(spark):
+    plan = _plan(_q(spark, "q_winsorize"))
+    # bounds AND the clipped aggregate both come from the one (group, value)
+    # histogram — orders is scanned exactly once
+    assert plan.count("+- Scan parquet") + plan.count("* Scan parquet") == 1
+    assert "Python" not in plan
+
+
+def test_corpus_mix_no_global_ntile_over_corpus(spark):
+    plan = _plan(_q(spark, "q_corpus_mix"))
+    # the only single-partition window runs over the DISTINCT-quality
+    # histogram (bounded by 6dp rounding), never over the corpus itself:
+    # the decile map joins back as a broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
