@@ -234,3 +234,59 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_gapfill",
+    # time_bucket == Spark's window().start for hour buckets (q_window_sliding
+    # established the equivalence); generate_series and explode(sequence)
+    # produce the identical hourly grid from the same min/max bounds.
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS ws, COUNT(*) AS n
+      FROM events GROUP BY event_type, ws),
+    bounds AS (
+      SELECT MIN(time_bucket(INTERVAL '1 hour', ts)) AS lo,
+             MAX(time_bucket(INTERVAL '1 hour', ts)) AS hi
+      FROM events),
+    grid AS (
+      SELECT t.event_type, unnest(generate_series(bounds.lo, bounds.hi,
+                                                  INTERVAL '1 hour')) AS ws
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds)
+    SELECT g.event_type, g.ws AS window_start,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.ws = b.ws
+    """,
+    description="time-bucket gap filling: the dense hourly grid per event type with "
+    "zero-filled silent hours — the report shape monitoring and rate-limit audits "
+    "need (a missing bucket is invisible in a plain groupBy). The heavy work is one "
+    "partial-agg-friendly grouped count; the grid is (types × hours) — tiny, built "
+    "from a 1-row bounds aggregate and exploded in-plan, then the aggregated counts "
+    "join it at grid cardinality, not event cardinality",
+    tags=("timeseries",),
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.window("ts", "1 hour").getField("start")
+    b = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.col("w.start").alias("ws"), "n")
+    )
+    bounds = ev.select(hour.alias("h")).agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("ws"),
+        )
+    )
+    return (
+        grid.join(b, ["event_type", "ws"], "left")
+        .select(
+            "event_type",
+            F.col("ws").alias("window_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

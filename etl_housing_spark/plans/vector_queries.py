@@ -178,3 +178,67 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return scalar_quantize(emb, levels=255)
+
+
+def _rp_signs() -> list[list[float]]:
+    """±1 Rademacher sign matrix for 8 Johnson-Lindenstrauss projections,
+    derived from md5 at plan-build time (hashlib and the engines' md5 agree
+    by definition — the matrix is a literal in BOTH plans, so there is no
+    cross-engine hash to reconcile at run time)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i}_{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for i in range(64)
+        ]
+        for k in range(8)
+    ]
+
+
+_RP = _rp_signs()
+
+
+def _rp_oracle() -> str:
+    projs = ",\n           ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {_RP[k]}) AS p_{k}"
+        for k in range(8)
+    )
+    rounded = ", ".join(f"ROUND(p_{k}, 6) AS p_{k}" for k in range(8))
+    bucket = " + ".join(f"(CASE WHEN p_{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(8))
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+           {projs}
+      FROM embeddings)
+    SELECT vec_id, {rounded}, CAST({bucket} AS BIGINT) AS bucket FROM p
+    """
+
+
+@query(
+    "q_random_projection",
+    oracle=_rp_oracle(),
+    description="Johnson-Lindenstrauss sketch: 8 Rademacher (±1) random projections "
+    "per embedding + the sign-bit LSH bucket id — the dimensionality-reduction / "
+    "bucketing primitive the ANN tiers build on (operators/similarity.py "
+    "hyperplane LSH is this exact construction). Map-only, zero shuffle; the "
+    "sign matrix is a seed-deterministic literal in the plan (identical on every "
+    "executor and in the oracle), scoring is the sequential-double fold proven "
+    "bitwise equal to list_dot_product",
+    tags=("vector", "pipeline"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        *[
+            V.dot_seq(F.col("embedding"), F.array(*[F.lit(s) for s in _RP[k]])).alias(f"p_{k}")
+            for k in range(8)
+        ],
+    )
+    bucket = " + ".join(f"(CASE WHEN p_{k} > 0 THEN {1 << k} ELSE 0 END)" for k in range(8))
+    return p.select(
+        "vec_id",
+        *[F.round(F.col(f"p_{k}"), 6).alias(f"p_{k}") for k in range(8)],
+        F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"),
+    )

@@ -223,3 +223,17 @@ def test_corpus_mix_no_global_ntile_over_corpus(spark):
     # the decile map joins back as a broadcast
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_random_projection_is_map_only(spark):
+    plan = _plan(_q(spark, "q_random_projection"))
+    # 8 JL projections + bucket id: pure per-row expression work
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_gapfill_python_free(spark):
+    plan = _plan(_q(spark, "q_gapfill"))
+    # grid explode + aggregated counts only; events is never nested-looped
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
