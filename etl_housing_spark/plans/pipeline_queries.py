@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ._util import sql_davg, sql_dsum
 from .registry import query
 
 # -- shared shingle expressions (same construction q_minhash_portable uses) --
@@ -545,4 +546,110 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_clipped_hi"
             ),
         )
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    # mean and std derive from decimal-exact sums (identical doubles on both
+    # engines); z is then one identical IEEE expression tree. The |z| >= 3
+    # cut compares a data-driven value, not a constructed boundary — a flip
+    # would need |z| within ~1e-12 of exactly 3.0 (cf. the q_corpus_mix
+    # lesson, where the boundary was an interpolated value *equal by
+    # construction* to data points).
+    oracle=f"""
+    WITH st AS (
+      SELECT event_type,
+             {sql_davg('value')} AS mu,
+             sqrt({sql_dsum('value * value')} / COUNT(value)
+                  - pow({sql_davg('value')}, 2)) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - st.mu) / st.sigma, 6) AS z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE abs((e.value - st.mu) / st.sigma) >= 3
+    """,
+    description="z-score anomaly detection per event type (the monitoring pass a "
+    "production feed runs continuously): per-type mean/std from ONE grouped "
+    "aggregate with decimal-exact sums, broadcast back onto the stream, map-side "
+    "z computation, |z| >= 3 flag. Two scans of events (stats + scoring) is the "
+    "honest batch cost; the streaming twin keeps running (count, sum, sum-sq) "
+    "state per type and scores each batch against it",
+    tags=("pipeline", "timeseries"),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import davg, dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    mu = davg(v)
+    st = ev.groupBy("event_type").agg(
+        mu.alias("mu"),
+        F.sqrt(dsum(v * v) / F.count(v) - F.pow(mu, F.lit(2))).alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) >= 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+@query(
+    "q_lm_score",
+    # p(w2|w1) = c(w1 w2)/c(w1): integer corpus counts, one double division,
+    # one ln — identical expression tree per bigram; the per-doc mean of the
+    # logs runs through the decimal-exact davg so partial-aggregation order
+    # cannot perturb it.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(list_zip(t, t[2:]), p -> p[2] IS NOT NULL),
+               p -> concat_ws(' ', p[1], p[2]))) AS bigram
+      FROM toks),
+    uni AS (
+      SELECT unnest(t) AS tok FROM toks),
+    c1 AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    c12 AS (SELECT bigram, COUNT(*) AS c FROM occ GROUP BY bigram)
+    SELECT o.doc_id,
+           {sql_davg('ln(c12.c / CAST(c1.c AS DOUBLE))')} AS lm_score,
+           COUNT(*) AS n_bigrams
+    FROM occ o
+    JOIN c12 ON o.bigram = c12.bigram
+    JOIN c1 ON string_split(o.bigram, ' ')[1] = c1.tok
+    GROUP BY o.doc_id
+    """,
+    description="n-gram LM quality score (the KenLM-perplexity filter of pretraining "
+    "pipelines, bigram MLE form): per-doc mean log p(w2|w1) with probabilities from "
+    "the corpus's own unigram/bigram counts. Two grouped counts + two equi-joins on "
+    "token keys + one per-doc aggregate — every stage partial-agg friendly or an "
+    "equi-join; hot-token join skew is the max_df stop-shingle situation "
+    "(operators/dedup.py) and salts the same way at 100 TB",
+    tags=("pipeline", "text"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+            )
+        ).alias("bigram"),
+    )
+    uni = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    lp = F.log(F.col("c12") / F.col("c1").cast("double"))
+    return (
+        occ.join(c12, "bigram")
+        .join(c1, F.expr("split(bigram, ' ')[0]") == F.col("tok"))
+        .groupBy("doc_id")
+        .agg(davg(lp).alias("lm_score"), F.count(F.lit(1)).alias("n_bigrams"))
     )

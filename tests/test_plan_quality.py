@@ -237,3 +237,18 @@ def test_gapfill_python_free(spark):
     # grid explode + aggregated counts only; events is never nested-looped
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark):
+    plan = _plan(_q(spark, "q_anomaly_zscore"))
+    # per-type stats broadcast back onto the stream — never SMJ the fact side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_lm_score_all_equi_joins(spark):
+    plan = _plan(_q(spark, "q_lm_score"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
