@@ -653,3 +653,131 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(davg(lp).alias("lm_score"), F.count(F.lit(1)).alias("n_bigrams"))
     )
+
+
+@query(
+    "q_token_entropy",
+    # H = ln n − (Σ c·ln c)/n: the entropy sum runs through the decimal-exact
+    # dsum (order-free), then one identical double expression on both engines.
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM occ GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tok,
+           ROUND(ln(CAST(SUM(c) AS DOUBLE))
+                 - {sql_dsum('c * ln(c)')} / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+    FROM c GROUP BY doc_id
+    """,
+    description="unigram token entropy per document (the vocabulary-diversity "
+    "quality signal: boilerplate and keyword-stuffed docs score low, natural text "
+    "high): H = ln n − (Σ c·ln c)/n from the per-doc token histogram — explode + "
+    "two grouped aggregates, both partial-agg friendly, single scan",
+    tags=("pipeline", "text"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import dsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    c = occ.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return c.groupBy("doc_id").agg(
+        n.alias("n_tok"),
+        F.round(
+            F.log(n.cast("double")) - dsum(F.col("c") * F.log("c")) / n.cast("double"), 6
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q_mad_outliers",
+    # Both medians are discrete type-1 quantiles by integer rank
+    # (2·cum ≥ tot) over value histograms — no interpolation anywhere; the
+    # deviation histogram derives from the value histogram (|v−med| merges
+    # symmetric values, hence the re-aggregation), so events scans ONCE.
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS grp, value AS v, COUNT(*) AS cnt
+      FROM events GROUP BY grp, v),
+    w AS (
+      SELECT grp, v, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS tot
+      FROM c),
+    w1 AS (
+      SELECT grp, v, cnt,
+             MIN(CASE WHEN 2 * cum >= tot THEN v END) OVER (PARTITION BY grp) AS med
+      FROM w),
+    d AS (
+      SELECT grp, med, abs(v - med) AS dv, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM w1 GROUP BY grp, med, dv),
+    dw AS (
+      SELECT grp, med, dv, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY dv
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS tot
+      FROM d),
+    dw1 AS (
+      SELECT grp, med, dv, cnt,
+             MIN(CASE WHEN 2 * cum >= tot THEN dv END) OVER (PARTITION BY grp) AS mad
+      FROM dw)
+    SELECT grp AS event_type, med, mad,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dv > 3 * mad THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dw1 GROUP BY grp, med, mad
+    """,
+    description="median-absolute-deviation robust outliers per event type (the "
+    "monitoring twin of q_anomaly_zscore that a single huge spike cannot poison, "
+    "unlike mean/std): median and MAD as discrete integer-rank medians over the "
+    "(group, value) histogram and the derived |v−med| histogram — single scan of "
+    "events, two window passes over distinct values. Exact medians buffer a "
+    "group's distinct values; at 100 TB swap in approx_percentile exactly as "
+    "q_percentile_sketch does for q_percentiles",
+    tags=("pipeline", "timeseries"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(F.col("event_type").alias("grp"), F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("grp")
+    w1 = (
+        c.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("tot", F.sum("cnt").over(w_tot))
+        .withColumn(
+            "med",
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).over(w_tot),
+        )
+    )
+    d = (
+        w1.select("grp", "med", F.abs(F.col("v") - F.col("med")).alias("dv"), "cnt")
+        .groupBy("grp", "med", "dv")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    dw_cum = (
+        Window.partitionBy("grp").orderBy("dv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dw1 = (
+        d.withColumn("cum", F.sum("cnt").over(dw_cum))
+        .withColumn("tot", F.sum("cnt").over(w_tot))
+        .withColumn(
+            "mad",
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("dv"))).over(w_tot),
+        )
+    )
+    return (
+        dw1.groupBy(F.col("grp").alias("event_type"), "med", "mad")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.when(F.col("dv") > 3 * F.col("mad"), F.col("cnt")).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+    )

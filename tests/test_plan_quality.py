@@ -252,3 +252,16 @@ def test_lm_score_all_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_token_entropy_partial_aggregates(spark):
+    plan = _plan(_q(spark, "q_token_entropy"))
+    assert "partial" in plan.lower()
+    assert "Python" not in plan
+
+
+def test_mad_outliers_single_scan(spark):
+    plan = _plan(_q(spark, "q_mad_outliers"))
+    # median AND MAD both derive from the one (group, value) histogram
+    assert plan.count("+- Scan parquet") + plan.count("* Scan parquet") == 1
+    assert "Python" not in plan
