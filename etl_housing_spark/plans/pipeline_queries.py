@@ -781,3 +781,88 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_cdc_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events) t
+    WHERE rk = 1
+    """,
+    description="changelog compaction / CDC latest-per-key: the newest event per "
+    "user (deterministic tie-break on event_id) — the read-side MERGE a mutable-"
+    "table mirror runs over an append-only log, and the batch twin of the "
+    "warehouse upsert. One shuffle on the key, per-partition sort, row_number "
+    "prune — at 100 TB this is the compaction pass itself",
+    tags=("pipeline", "timeseries"),
+)
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "q_star_join",
+    oracle=f"""
+    SELECT n.n_name, o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {{sum_qty}} AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    """.format(sum_qty=sql_dsum("l.l_quantity")),
+    description="4-table star join (fact ⋈ fact ⋈ dim ⋈ dim): lineitem→orders is the "
+    "one unavoidable big-big shuffle; customer and nation broadcast onto it — the "
+    "canonical warehouse plan shape. Catalyst orders the joins; the plan test pins "
+    "that at least the nation dim broadcasts and nothing nested-loops",
+    tags=("join", "pipeline"),
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+    """,
+    description="deterministic uniform sample: top-100 by content-hash order — the "
+    "reproducible 'random' sample (same rows on every run, engine, partitioning "
+    "and cluster size, unlike rand()/TABLESAMPLE). TakeOrderedAndProject: "
+    "per-partition top-k then a k-row merge on the driver — no global sort, no "
+    "shuffle of the table",
+    tags=("pipeline",),
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(100)
+    )

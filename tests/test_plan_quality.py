@@ -265,3 +265,27 @@ def test_mad_outliers_single_scan(spark):
     # median AND MAD both derive from the one (group, value) histogram
     assert plan.count("+- Scan parquet") + plan.count("* Scan parquet") == 1
     assert "Python" not in plan
+
+
+def test_cdc_latest_single_key_shuffle(spark):
+    plan = _plan(_q(spark, "q_cdc_latest"))
+    # one hash exchange on the key feeds the window; no global sort; and
+    # WindowGroupLimit prunes to the per-partition top row BEFORE the
+    # shuffle — the rank<=k pushdown that makes CDC compaction cheap
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(_q(spark, "q_star_join"))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_hash_sample_is_topk(spark):
+    plan = _plan(_q(spark, "q_hash_sample"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
