@@ -9,6 +9,7 @@ batch⇄stream equivalence assertion against the oracle-checked batch twins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..streaming import jobs
 from .registry import query
@@ -50,3 +51,40 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = jobs.read_events_stream(spark, sf_dir)
     return jobs.run_available_now(jobs.sessionize_stream(events, gap="12 hours"))
+
+
+@query(
+    "q_stream_anomaly",
+    oracle=None,  # ⊘ custom stateful streaming; prefix-stat scoring
+    # equivalence-tested against the batch formula in
+    # tests/test_streaming_equiv.py::test_anomaly_stream_scores_against_prefix_stats
+    description="streaming z-score anomaly scoring via applyInPandasWithState — "
+    "O(event types) fixed-size state (count, Σv, Σv²), each micro-batch scored "
+    "against the stats of all PREVIOUS batches (causally honest alerting); "
+    "batch twin is q_anomaly_zscore",
+    tags=("streaming", "timeseries"),
+)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Replay events as two micro-batches (split on event_id parity, mtimes
+    # pinned so the file source orders them) — a single-batch availableNow
+    # run would score everything against an empty prefix and emit nothing;
+    # this entry demonstrates the cross-batch state the operator exists for.
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="ehs_anom_replay_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{d}/p1")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{d}/p2")
+    now = 1_700_000_000
+    for sub, t in (("p1", now - 1000), ("p2", now)):
+        for f in os.listdir(f"{d}/{sub}"):
+            os.utime(f"{d}/{sub}/{f}", (t, t))
+    stream = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    return jobs.run_available_now(jobs.anomaly_stream(stream))

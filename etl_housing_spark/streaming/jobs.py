@@ -179,3 +179,68 @@ def sessionize_stream(events: DataFrame, gap: str = "12 hours") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ANOMALY_OUT_SCHEMA = "event_id BIGINT, event_type STRING, value DOUBLE, z DOUBLE"
+_ANOMALY_STATE_SCHEMA = "n BIGINT, s DOUBLE, s2 DOUBLE"
+
+
+def anomaly_stream(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Streaming z-score anomaly scorer — the stateful twin of
+    plans.pipeline_queries.q_anomaly_zscore.
+
+    State per event_type is three numbers (count, Σv, Σv²); each
+    micro-batch is scored against the stats accumulated from *previous*
+    batches (prefix semantics — deterministic given the batch sequence,
+    and causally honest: an alert never uses information that arrived
+    after the event), then folded into the state. State size is
+    O(event types) — fixed, not data-bounded. Until a type has seen ≥ 2
+    events and a positive variance, nothing is emitted for it.
+
+    The double running sums here are the streaming tradeoff: the batch
+    twin's decimal-exact sums don't fit a fixed-size state record economy;
+    scoring drift vs batch is bounded by the doubles' accumulated error
+    (~ulp·n), far below the 3σ decision scale.
+    """
+    import math
+
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (event_type,) = key
+        parts = [pdf for pdf in pdfs]
+        rows = pd.concat(parts) if parts else pd.DataFrame({"event_id": [], "value": []})
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        if n >= 2:
+            mu = s / n
+            var = s2 / n - mu * mu
+            if var > 0:
+                sigma = math.sqrt(var)
+                z = (rows["value"] - mu) / sigma
+                hit = z.abs() >= threshold
+                if hit.any():
+                    yield pd.DataFrame(
+                        {
+                            "event_id": rows.loc[hit, "event_id"].astype("int64"),
+                            "event_type": event_type,
+                            "value": rows.loc[hit, "value"],
+                            "z": z[hit],
+                        }
+                    )
+        state.update(
+            (
+                int(n + len(rows)),
+                float(s + rows["value"].sum()),
+                float(s2 + (rows["value"] * rows["value"]).sum()),
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=ANOMALY_OUT_SCHEMA,
+        stateStructType=_ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

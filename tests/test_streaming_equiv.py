@@ -118,3 +118,52 @@ def test_sessionize_stream_equals_batch_closed_sessions(spark):
     want = _as_sorted_tuples(batch_closed, cols)
     assert len(got) > 0
     assert got == want
+
+
+def test_anomaly_stream_scores_against_prefix_stats(spark, tmp_path):
+    import math
+    import os
+
+    from etl_housing_spark.streaming.jobs import anomaly_stream
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    prefix = ev.filter(F.col("event_id") % 2 == 0)
+    suffix = ev.filter(F.col("event_id") % 2 == 1)
+    d = tmp_path / "stream_in"
+    prefix.coalesce(1).write.parquet(str(d / "p1"))
+    suffix.coalesce(1).write.parquet(str(d / "p2"))
+    # pin modification times so the file source replays p1 strictly first
+    now = 1_700_000_000
+    for sub, t in (("p1", now - 1000), ("p2", now)):
+        for f in (d / sub).iterdir():
+            os.utime(f, (t, t))
+    stream = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    out = run_available_now(anomaly_stream(stream), name="anom_equiv")
+
+    # expected: suffix rows scored against PREFIX-only population stats
+    stats = {
+        r["event_type"]: (r["n"], r["s"], r["s2"])
+        for r in prefix.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.sum(F.col("value") * F.col("value")).alias("s2"),
+        )
+        .collect()
+    }
+    expected = set()
+    for r in suffix.collect():
+        n, s, s2 = stats[r["event_type"]]
+        mu = s / n
+        var = s2 / n - mu * mu
+        if n >= 2 and var > 0:
+            z = (r["value"] - mu) / math.sqrt(var)
+            if abs(z) >= 3.0:
+                expected.add(r["event_id"])
+    got = {r["event_id"] for r in out.collect()}
+    assert got == expected
+    assert out.count() == len(expected)
