@@ -866,3 +866,63 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "q_source_overlap",
+    # composes the oracle-proven LSH pair pipeline: same CTE, then the pair
+    # list annotated with each side's source and rolled up to the matrix.
+    oracle=f"""
+    WITH pr AS ({_mh_pairs_oracle()})
+    SELECT da.source AS source_a, db.source AS source_b, COUNT(*) AS n_pairs
+    FROM pr
+    JOIN documents da ON pr.id_a = da.doc_id
+    JOIN documents db ON pr.id_b = db.doc_id
+    GROUP BY source_a, source_b
+    """,
+    description="cross-source near-dup overlap matrix: MinHash-LSH candidate pairs "
+    "(the oracle-proven q_minhash_pairs_portable pipeline) annotated with each "
+    "side's source and rolled up to (source_a, source_b) counts — the "
+    "contamination/provenance report that decides which sources double-count "
+    "each other in a training mix. Two broadcast-able dim joins on doc_id over "
+    "the candidate pairs (never over the corpus)",
+    tags=("dedup", "pipeline"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q_minhash_pairs_portable(spark, sf_dir).select("id_a", "id_b")
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("source_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "q_class_weights",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k FROM c)
+    SELECT c.label, CAST(c.n AS BIGINT) AS n,
+           ROUND(t.total / (t.k * CAST(c.n AS DOUBLE)), 6) AS weight
+    FROM c, t
+    """,
+    description="inverse-frequency class weights (sklearn's 'balanced' heuristic "
+    "w = n_total / (k · n_class)): one grouped count + a 1-row totals aggregate "
+    "cross-joined back — the sampling/loss weights a skewed-label corpus needs",
+    tags=("pipeline",),
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "label",
+        "n",
+        F.round(F.col("total") / (F.col("k") * F.col("n").cast("double")), 6).alias(
+            "weight"
+        ),
+    )
