@@ -926,3 +926,72 @@ def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+def _simhash_sql_cte() -> str:
+    """The q_simhash_portable pipeline as a reusable CTE body."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok),
+    votes AS (
+      SELECT doc_id, {", ".join(_SH_DUCK_VOTES)} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {_SH_COMBINE} AS simhash FROM votes
+    """
+
+
+@query(
+    "q_simhash_pairs_portable",
+    # pigeonhole banding: Hamming ≤ 3 over 32 bits ⇒ at least one of the 4
+    # 8-bit chunks is identical (4 chunks, ≤3 differing bits). Candidates
+    # from per-chunk equi-joins, verified with bit_count(xor) — identical
+    # integer arithmetic on both engines.
+    oracle=f"""
+    WITH sigs AS ({{sig_sql}}),
+    bands AS (
+      SELECT doc_id, b.b AS b, (simhash >> (8 * b.b)) & 255 AS chunk, simhash
+      FROM sigs, (VALUES (0), (1), (2), (3)) b(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+                      c.doc_id AS id_b, c.simhash AS sh_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.chunk = c.chunk AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """.format(sig_sql=_simhash_sql_cte()),
+    description="the FULL SimHash near-dup pipeline, oracle-checked end to end: "
+    "portable 32-bit signatures (q_simhash_portable) → pigeonhole banding (4 × "
+    "8-bit chunks: Hamming ≤ 3 guarantees a shared chunk) → per-chunk equi-join "
+    "candidates → exact Hamming verify via bit_count(xor). The oracle-proven twin "
+    "of operators.dedup.simhash_near_dups' murmur3 fast path; candidates only, "
+    "never all-pairs",
+    tags=("dedup", "pipeline"),
+)
+def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = q_simhash_portable(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn("chunk", F.expr("shiftright(simhash, 8 * b) & 255"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "b", "chunk"
+    )
+    c = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "b", "chunk"
+    )
+    pairs = (
+        a.join(c, ["b", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "sh_a", "id_b", "sh_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        pairs.filter(ham <= 3)
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+    )
