@@ -1,6 +1,10 @@
-"""Training-corpus pipeline queries, batch 2 (SURVEY.md §2.13 extensions):
-benchmark decontamination, sequence packing, repetition filtering, filter
-funnel attrition, portable SimHash, and blocked kNN join.
+"""Training-corpus pipeline queries (SURVEY.md §2.13 extensions): benchmark
+decontamination, sequence packing, repetition/entropy/LM quality scores,
+filter-funnel attrition, winsorization and MAD robust stats, z-score
+anomalies, salted join, star join, CDC latest-per-key compaction,
+deterministic hash sampling, class weights, blocked kNN join, and the fully
+oracle-checked portable SimHash / MinHash-LSH pair pipelines with the
+cross-source overlap matrix built on them.
 
 These are the operations a pretraining-data pipeline runs between raw
 ingest and tokenized shards — the reference's ETL loop (trulia_scrape.py:
