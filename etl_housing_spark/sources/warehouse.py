@@ -267,3 +267,45 @@ def compact_table(spark: SparkSession, path: str, target_rows_per_file: int = 1_
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     _staged_swap_write(df.repartition(n_files), path.rstrip("/"))
     return n_files
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    shard_col: str | None = None,
+    num_shards: int = 16,
+    max_records_per_file: int = 100_000,
+) -> dict[str, int]:
+    """Write a corpus as training shards: ``path/split=train/shard=03/…`` —
+    the layout a data-loader fleet reads (each worker claims whole shard
+    directories; file counts bounded by ``maxRecordsPerFile``).
+
+    Sharding is a deterministic content hash (never ``rand()``): the same
+    corpus produces the same shard assignment on every run, engine and
+    cluster size, so resumed training jobs see identical shard contents.
+    If ``shard_col`` is None the first column is hashed. Directory
+    partitioning on (split, shard) gives partition pruning for free to any
+    reader that filters either. Returns rows written per split.
+
+    Scale shape: one write job, no pre-shuffle — Spark's
+    ``partitionBy`` routes rows to directories within each task;
+    ``maxRecordsPerFile`` caps file sizes without a repartition. For
+    strictly-one-file-per-shard layouts add
+    ``df.repartition(split_col, SHARD)`` first and accept that shuffle.
+    """
+    key = shard_col or df.columns[0]
+    shard = F.pmod(F.abs(F.xxhash64(F.col(key).cast("string"))), F.lit(num_shards))
+    out = df.withColumn("shard", shard)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(split_col, "shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    return {
+        r[split_col]: r["n"]
+        for r in written.groupBy(split_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }

@@ -196,3 +196,32 @@ def test_compact_table_staged_swap(spark, tmp_path):
     assert len(files) == 2
     debris = [p for p in os.listdir(tmp_path) if ".staging-" in p or ".old-" in p]
     assert debris == []
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    import os
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.sampling import deterministic_split
+    from etl_housing_spark.sources.warehouse import write_training_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text", "source")
+    df = deterministic_split(docs, ["doc_id"])
+    p1, p2 = str(tmp_path / "shards1"), str(tmp_path / "shards2")
+    counts1 = write_training_shards(df, p1, num_shards=4)
+    counts2 = write_training_shards(df, p2, num_shards=4)
+    assert counts1 == counts2 and sum(counts1.values()) == docs.count()
+    # directory layout: split=*/shard=* both levels present
+    splits = [d for d in os.listdir(p1) if d.startswith("split=")]
+    assert splits
+    shards = [d for d in os.listdir(os.path.join(p1, splits[0])) if d.startswith("shard=")]
+    assert shards
+    # deterministic shard assignment: identical (doc_id → shard) maps
+    r1 = spark.read.parquet(p1).select("doc_id", "shard")
+    r2 = spark.read.parquet(p2).select("doc_id", "shard")
+    assert r1.exceptAll(r2).count() == 0 and r2.exceptAll(r1).count() == 0
+    # partition pruning reaches the reader
+    pruned = spark.read.parquet(p1).filter("split = 'train' AND shard = 1")
+    assert pruned.count() == r1.count() - spark.read.parquet(p1).filter(
+        "NOT (split = 'train' AND shard = 1)"
+    ).count()
