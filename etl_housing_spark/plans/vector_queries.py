@@ -242,3 +242,74 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col(f"p_{k}"), 6).alias(f"p_{k}") for k in range(8)],
         F.expr(f"CAST({bucket} AS BIGINT)").alias("bucket"),
     )
+
+
+@query(
+    "q_ann_ivf_portable",
+    # Every stage is cross-engine exact: centroids are per-dimension
+    # DECIMAL(38,18) averages (order-free), query→centroid scores are
+    # decimal sums of identical per-dim products, the probe set is a
+    # deterministic top-2 (score DESC, label tie-break), and the final cell
+    # scan reuses the sequential-double dot proven bitwise equal to
+    # list_dot_product. IVF recall vs the exact scan is the documented
+    # tradeoff: only vectors in probed cells can surface.
+    oracle="""
+    WITH cent AS (
+      SELECT label, i.i AS i,
+             CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM embeddings e, range(1, 65) i(i)
+      GROUP BY label, i.i),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    lscore AS (
+      SELECT cent.label,
+             CAST(SUM(CAST(cent.c * CAST(q.qe[cent.i] AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS s
+      FROM cent, q GROUP BY cent.label),
+    probe AS (SELECT label FROM lscore ORDER BY s DESC, label LIMIT 2)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6)
+             AS score
+    FROM embeddings e JOIN probe p ON e.label = p.label, q
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """,
+    description="oracle-checked IVF approximate nearest neighbors: coarse quantizer "
+    "= per-label centroids (decimal-exact per-dimension means), query scores the "
+    "k centroids (a tiny aggregate), probes the top-2 cells, and scans ONLY those "
+    "cells for the exact top-10 — the inverted-file pruning that turns a full-"
+    "corpus scan into an O(probed cells) scan at 100 TB. Deterministic twin of "
+    "the operators.similarity.ann_ivf fast path; every stage hash-matches DuckDB",
+    tags=("vector", "pipeline"),
+)
+def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroids: explode to (label, dim, value), decimal-exact mean per cell
+    cent = (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    qdims = q.select(F.posexplode(F.col("qe")).alias("i", "qv"))
+    lscore = (
+        cent.join(F.broadcast(qdims), "i")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("c") * F.col("qv").cast("double")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    probe = lscore.orderBy(F.desc("s"), "label").limit(2).select("label")
+    return (
+        emb.join(F.broadcast(probe), "label")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(V.dot_seq(F.col("embedding"), F.col("qe")), 6).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )

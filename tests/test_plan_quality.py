@@ -289,3 +289,13 @@ def test_hash_sample_is_topk(spark):
     plan = _plan(_q(spark, "q_hash_sample"))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_ann_ivf_portable_probes_by_broadcast(spark):
+    plan = _plan(_q(spark, "q_ann_ivf_portable"))
+    # the probe set reaches the corpus as a broadcast semi/hash join on the
+    # cell key, and the final ranking is top-k, not a global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Python" not in plan
