@@ -999,3 +999,82 @@ def q_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(ham <= 3)
         .select("id_a", "id_b", ham.cast("long").alias("hamming"))
     )
+
+
+_MAX_DF = 20  # similarity vocabulary cap: tokens in more docs carry ~no
+# signal and quadratically inflate the shared-token join (the max_df guard)
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    # every number is either integer (tf, df, N), an identical double tree
+    # (w = tf·ln(N/df)), or a DECIMAL(38,18)-exact sum (norms, dots) — the
+    # one division and round happen once per pair on identical operands.
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.t, tf.tf * ln(n.n / CAST(df.df AS DOUBLE)) AS w
+      FROM tf JOIN df ON tf.t = df.t, n
+      WHERE df.df <= {_MAX_DF}),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM dots d
+    JOIN nrm na ON d.id_a = na.doc_id
+    JOIN nrm nb ON d.id_b = nb.doc_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.3
+    """,
+    description="sparse TF-IDF cosine similarity join (the lexical complement of the "
+    "dense-embedding near-dup family): document pairs scored over SHARED rare "
+    f"tokens only (df ≤ {_MAX_DF} — the max_df cap that both removes no-signal "
+    "stopwords and bounds the shared-token join fan-out to O(df²) per token, "
+    "never all-pairs). tf/df/N are one explode + two grouped counts with N "
+    "in-plan; weights, norms and pair dots are decimal-exact",
+    tags=("dedup", "text", "pipeline"),
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= _MAX_DF)
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(df, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            (F.col("tf") * F.log(F.col("n") / F.col("df").cast("double"))).alias("w"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")).alias(
+            "nrm"
+        )
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,18)")).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= 0.3)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    )

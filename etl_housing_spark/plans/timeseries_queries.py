@@ -290,3 +290,39 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_rolling_range",
+    # epoch seconds: unix_seconds(cast NTZ→LTZ) under the UTC-pinned session
+    # == floor(epoch(ts)) in DuckDB — verified value-identical; the RANGE
+    # frame is then pure integer arithmetic, and the rolling sum is
+    # decimal-exact so frame-internal accumulation order cannot matter.
+    oracle="""
+    SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    description="trailing 1-hour RANGE-frame window per user (rate limiting / "
+    "rolling exposure: 'events and value in the last hour as of each event') — "
+    "the time-valued frame q_window_running's ROWS frame cannot express: frame "
+    "membership is defined by the timestamp delta, not row adjacency. One "
+    "shuffle on the entity key, per-partition sort, single WindowExec",
+    tags=("timeseries", "window"),
+)
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.expr("unix_seconds(cast(ts as timestamp))")
+    w = (
+        Window.partitionBy("user_id").orderBy("ep").rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select("event_id", "user_id", ep.alias("ep"), "value").select(
+        "event_id",
+        "user_id",
+        "ep",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
+    )
