@@ -1011,7 +1011,14 @@ _MAX_DF = 20  # similarity vocabulary cap: tokens in more docs carry ~no
     # (w = tf·ln(N/df)), or a DECIMAL(38,18)-exact sum (norms, dots) — the
     # one division and round happen once per pair on identical operands.
     oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    WITH tok AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(
+                   list_filter(list_zip(t, t[2:], t[3:]), p -> p[3] IS NOT NULL),
+                   p -> concat_ws(' ', p[1], p[2], p[3]))
+               ELSE [array_to_string(t, ' ')] END) AS t
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
     tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
     df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
     n AS (SELECT COUNT(*) AS n FROM documents),
@@ -1035,15 +1042,17 @@ _MAX_DF = 20  # similarity vocabulary cap: tokens in more docs carry ~no
     """,
     description="sparse TF-IDF cosine similarity join (the lexical complement of the "
     "dense-embedding near-dup family): document pairs scored over SHARED rare "
-    f"tokens only (df ≤ {_MAX_DF} — the max_df cap that both removes no-signal "
-    "stopwords and bounds the shared-token join fan-out to O(df²) per token, "
-    "never all-pairs). tf/df/N are one explode + two grouped counts with N "
-    "in-plan; weights, norms and pair dots are decimal-exact",
+    f"word-3-gram shingles (df ≤ {_MAX_DF} — the max_df cap that both removes "
+    "no-signal boilerplate shingles and bounds the shared-feature join fan-out "
+    "to O(df²) per shingle, never all-pairs; shingles, not unigrams, so the "
+    "feature space is large enough for rarity to mean something). tf/df/N are "
+    "one explode + two grouped counts with N in-plan; weights, norms and pair "
+    "dots are decimal-exact",
     tags=("dedup", "text", "pipeline"),
 )
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tok = docs.select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= _MAX_DF)
     n = docs.agg(F.count(F.lit(1)).alias("n"))
