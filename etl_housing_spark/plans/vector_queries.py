@@ -313,3 +313,72 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+def _rp_bucket_sql() -> str:
+    """Sign-bit bucket id from the 8 JL projections (q_random_projection's
+    construction) as a DuckDB scalar over one embedding row."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_RP[k]}) > 0 "
+        f"THEN {1 << k} ELSE 0 END)"
+        for k in range(8)
+    )
+
+
+@query(
+    "q_embed_neardup_portable",
+    # Candidates from the deterministic hyperplane bucket equi-join (the
+    # sign matrix is a plan literal on both engines), verified with the
+    # DECIMAL(38,18)-exact cosine of q_embed_neardup — so unlike the exact
+    # all-pairs oracle twin, this one never materializes O(n²) anything,
+    # yet still hash-matches DuckDB end to end.
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, CAST({_rp_bucket_sql()} AS BIGINT) AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+    norms AS (
+      SELECT t.vec_id, {_NORM_DEC.format(t="t")} AS nrm
+      FROM embeddings t, range(1, 65) i(i) GROUP BY t.vec_id),
+    dots AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      FROM pairs p
+      JOIN embeddings e ON p.id_a = e.vec_id
+      JOIN embeddings q ON p.id_b = q.vec_id, range(1, 65) i(i)
+      GROUP BY p.id_a, p.id_b)
+    SELECT id_a, id_b, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM dots d JOIN norms na ON d.id_a = na.vec_id JOIN norms nb ON d.id_b = nb.vec_id
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+    description="oracle-checked embedding near-dup at the SCALE shape: candidates "
+    "from the deterministic random-hyperplane sign-bucket equi-join (the "
+    "q_random_projection construction — 256 buckets, never all-pairs), then "
+    "decimal-exact cosine verification of candidates only. The portable twin of "
+    "q_embed_neardup_lsh's seeded fast path, and the scale-safe counterpart of "
+    "the O(n²) q_embed_neardup oracle form; single-bucket recall is the "
+    "documented tradeoff (multi-table union is the operator's recall knob)",
+    tags=("vector", "dedup", "pipeline"),
+)
+def q_embed_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = [
+        V.dot_seq(F.col("embedding"), F.array(*[F.lit(s) for s in _RP[k]]))
+        for k in range(8)
+    ]
+    bucket = sum(
+        (F.when(proj[k] > 0, F.lit(1 << k)).otherwise(F.lit(0)) for k in range(8)),
+        start=F.lit(0),
+    ).cast("long")
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    dot = V.dot(F.col("ea"), F.col("eb"))
+    na, nb = V.norm(F.col("ea")), V.norm(F.col("eb"))
+    cos = dot / (na * nb)
+    return pairs.filter(cos >= 0.4).select(
+        "id_a", "id_b", F.round(cos, 6).alias("cos")
+    )
