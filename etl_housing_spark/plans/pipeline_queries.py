@@ -1087,3 +1087,72 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.3)
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
     )
+
+
+@query(
+    "q_event_funnel",
+    # sequenced-stage semantics: a user converts stage k only with an event
+    # of that type STRICTLY AFTER their stage-(k-1) conversion time. Three
+    # chained conditional mins over one per-user aggregate row — pure
+    # timestamp comparisons, no floats anywhere.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, s1.t1, MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                                        THEN e.ts END) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id, s1.t1),
+    s3 AS (
+      SELECT e.user_id, s2.t1, s2.t2,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id, s2.t1, s2.t2)
+    SELECT '1_view' AS stage, CAST(COUNT(t1) AS BIGINT) AS n_users FROM s3
+    UNION ALL SELECT '2_click', CAST(COUNT(t2) AS BIGINT) FROM s3
+    UNION ALL SELECT '3_purchase', CAST(COUNT(t3) AS BIGINT) FROM s3
+    """,
+    description="event conversion funnel (view → click → purchase, strictly "
+    "time-ordered per user): stage-k conversion requires an event after the "
+    "stage-(k-1) time — the product-analytics sequenced funnel, not a bag-of-"
+    "events filter. Per-user stage times via chained conditional MIN aggregates "
+    "(each a partial-agg-friendly groupBy on the same key, so AQE reuses the "
+    "user_id exchange); the events join is on the key only, never a theta join",
+    tags=("pipeline", "timeseries"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    agg = s3.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
+    )
+    return agg.selectExpr(
+        "stack(3, '1_view', c1, '2_click', c2, '3_purchase', c3) AS (stage, n_users)"
+    )
