@@ -1156,3 +1156,54 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "stack(3, '1_view', c1, '2_click', c2, '3_purchase', c3) AS (stage, n_users)"
     )
+
+
+@query(
+    "q_retention_cohorts",
+    # weeks are ISO-Monday truncations on both engines; cohort and offset
+    # are pure integer epoch arithmetic (the q_rolling_range epoch parity),
+    # so the matrix is integer-exact end to end.
+    oracle="""
+    WITH su AS (
+      SELECT user_id,
+             CAST(floor(epoch(date_trunc('week',
+               MIN(CASE WHEN event_type = 'signup' THEN ts END)))) AS BIGINT) AS cw
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS aw
+      FROM events)
+    SELECT su.cw AS cohort_week,
+           (act.aw - su.cw) // 604800 AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM su JOIN act ON su.user_id = act.user_id
+    WHERE su.cw IS NOT NULL AND act.aw >= su.cw
+    GROUP BY cohort_week, weeks_since
+    """,
+    description="weekly cohort retention matrix (signup week × weeks-since → active "
+    "users): per-user cohort from one conditional MIN, distinct activity weeks, "
+    "key-only join, integer epoch-week offsets. The engagement report every "
+    "product warehouse runs; two partial-agg-friendly aggregates + one equi-join "
+    "on user_id (AQE reuses the exchange), matrix size is (cohorts × horizon) — "
+    "tiny regardless of event volume",
+    tags=("pipeline", "timeseries"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    week_ep = lambda c: F.expr(f"unix_seconds(cast(date_trunc('week', {c}) as timestamp))")  # noqa: E731
+    su = ev.groupBy("user_id").agg(
+        F.expr(
+            "unix_seconds(cast(date_trunc('week', "
+            "min(CASE WHEN event_type = 'signup' THEN ts END)) as timestamp))"
+        ).alias("cw")
+    )
+    act = ev.select("user_id", week_ep("ts").alias("aw")).distinct()
+    return (
+        su.join(act, "user_id")
+        .filter(F.col("cw").isNotNull() & (F.col("aw") >= F.col("cw")))
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            F.expr("(aw - cw) div 604800").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
