@@ -1207,3 +1207,93 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q_promo_share",
+    # TPC-H Q14 shape. Both the conditional and total revenue accumulate in
+    # DECIMAL(18,6) (revenue = price·(1−disc) is one double multiply on
+    # identical operands); the percentage is a single division + round.
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+                        CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '2024-01-01'
+      AND l.l_shipdate < TIMESTAMP '2024-03-01'
+    """,
+    description="promotion revenue share (TPC-H Q14): percentage of revenue from "
+    "PROMO parts in a ship-date window — date-filtered fact scan (predicate "
+    "pushed to parquet), broadcast dim join on partkey, one conditional + one "
+    "total decimal-exact revenue sum in a single aggregate",
+    tags=("join", "pipeline", "bench_extra"),
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2024-01-01") & (F.col("l_shipdate") < "2024-03-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_supplier_rank",
+    # TPC-H Q15 shape: revenue per supplier in a window, top suppliers with
+    # a rank that is deterministic under ties (revenue is decimal-exact, the
+    # tie-break is the key).
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2024-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.revenue,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT l_suppkey, revenue,
+                 ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rk
+          FROM rev) r
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE rk <= 10
+    """,
+    description="top revenue suppliers (TPC-H Q15): date-windowed fact aggregate "
+    "per supplier (decimal-exact), global top-10 by rank over the per-supplier "
+    "totals (a tiny frame — the single-partition window covers |suppliers| "
+    "rows, not the fact table), broadcast dim join for names",
+    tags=("join", "pipeline", "bench_extra"),
+)
+def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import dsum
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "2024-01-01") & (F.col("l_shipdate") < "2024-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), "l_suppkey")
+    top = (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "revenue", "rk"
+    )
