@@ -1223,8 +1223,8 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_pct,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '2024-01-01'
-      AND l.l_shipdate < TIMESTAMP '2024-03-01'
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-03-01'
     """,
     description="promotion revenue share (TPC-H Q14): percentage of revenue from "
     "PROMO parts in a ship-date window — date-filtered fact scan (predicate "
@@ -1234,7 +1234,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "2024-01-01") & (F.col("l_shipdate") < "2024-03-01")
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-01")
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
@@ -1263,7 +1263,7 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
                   AS DOUBLE) AS revenue
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '2024-01-01' AND l_shipdate < TIMESTAMP '2024-04-01'
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
     SELECT s.s_suppkey, s.s_name, r.revenue,
            CAST(rk AS BIGINT) AS rk
@@ -1283,7 +1283,7 @@ def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import dsum
 
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "2024-01-01") & (F.col("l_shipdate") < "2024-04-01")
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = li.groupBy("l_suppkey").agg(
