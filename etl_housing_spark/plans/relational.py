@@ -408,16 +408,24 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_anti",
+    # the unfiltered form ("no orders at all") is vacuously empty on this
+    # data — every customer orders; the big-order predicate keeps the
+    # anti-join exercised with real survivors at every SF
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
-    description="left-anti join: customers with no orders",
+    description="left-anti join: customers with no large order (>300k)",
     tags=("join",),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "leftanti").select("c_custkey", "c_name")
 
 
