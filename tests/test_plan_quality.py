@@ -299,3 +299,20 @@ def test_ann_ivf_portable_probes_by_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Python" not in plan
+
+
+def test_promo_share_pushes_date_filter(spark):
+    plan = _plan(_q(spark, "q_promo_share"))
+    # the ship-date window must reach the parquet scan, and part broadcasts
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_supplier_rank_windows_tiny_frame(spark):
+    plan = _plan(_q(spark, "q_supplier_rank"))
+    # the single-partition window ranks per-supplier TOTALS (|suppliers|
+    # rows), downstream of the grouped aggregate — never the fact table
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
