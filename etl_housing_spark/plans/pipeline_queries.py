@@ -1297,3 +1297,92 @@ def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "revenue", "rk"
     )
+
+
+@query(
+    "q_skew_diagnose",
+    # pure integer counts and one rounded double share — the report a data
+    # engineer reads BEFORE reaching for operators.skew.salted_join.
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY key),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(MAX(cnt) AS BIGINT) AS mx FROM c)
+    SELECT c.key, CAST(c.cnt AS BIGINT) AS cnt,
+           ROUND(c.cnt / CAST(t.total AS DOUBLE), 6) AS share,
+           ROUND(c.cnt / CAST(t.mx AS DOUBLE), 6) AS vs_heaviest
+    FROM c, t
+    ORDER BY cnt DESC, key LIMIT 10
+    """,
+    description="join/agg key-skew diagnostic: the 10 heaviest keys with their share "
+    "of total rows and ratio to the heaviest — the report that decides whether a "
+    "key needs salting (operators/skew.py) or AQE skew-split suffices. One grouped "
+    "count + a 1-row totals aggregate + top-k (TakeOrderedAndProject, no global "
+    "sort); at 100 TB this is the cheapest possible skew probe",
+    tags=("pipeline",),
+)
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("total"), F.max("cnt").alias("mx"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("mx").cast("double"), 6).alias("vs_heaviest"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(10)
+    )
+
+
+@query(
+    "q_time_weighted_avg",
+    # dt comes from integer epoch seconds (lead − current); each v·dt is one
+    # double product on identical operands; the per-user sums are
+    # decimal-exact; the final division is once per user.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             LEAD(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                     event_id) AS ep_next
+      FROM events),
+    seg AS (
+      SELECT user_id, value, (ep_next - ep) AS dt FROM s WHERE ep_next IS NOT NULL),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value * dt AS DECIMAL(18,6))) AS DOUBLE) AS area,
+             CAST(SUM(dt) AS BIGINT) AS span
+      FROM seg GROUP BY user_id)
+    SELECT user_id, ROUND(area / CAST(span AS DOUBLE), 6) AS twa, span
+    FROM agg WHERE span > 0
+    """,
+    description="time-weighted average value per user (sample-and-hold integration: "
+    "each reading holds until the next one): lead() over the per-user timeline "
+    "gives segment durations, Σ v·dt / Σ dt with decimal-exact sums — the metric "
+    "that is CORRECT for irregularly-sampled gauges where a plain AVG over-weights "
+    "bursts. One shuffle on the entity key, one window, one aggregate",
+    tags=("pipeline", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ep = F.expr("unix_seconds(cast(ts as timestamp))")
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    s = ev.select("user_id", "event_id", "value", ep.alias("ep")).withColumn(
+        "ep_next", F.lead("ep").over(w)
+    )
+    seg = s.filter(F.col("ep_next").isNotNull()).select(
+        "user_id", "value", (F.col("ep_next") - F.col("ep")).alias("dt")
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.sum((F.col("value") * F.col("dt")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("area"),
+        F.sum("dt").alias("span"),
+    )
+    return agg.filter(F.col("span") > 0).select(
+        "user_id", F.round(F.col("area") / F.col("span").cast("double"), 6).alias("twa"), "span"
+    )
