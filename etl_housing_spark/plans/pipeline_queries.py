@@ -1386,3 +1386,52 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(F.col("span") > 0).select(
         "user_id", F.round(F.col("area") / F.col("span").cast("double"), 6).alias("twa"), "span"
     )
+
+
+@query(
+    "q_null_profile",
+    oracle="""
+    WITH f AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_custkey,
+             SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END) AS n_status,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_price,
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS n_date
+      FROM orders)
+    SELECT 'o_custkey' AS col, CAST(n_custkey AS BIGINT) AS n_bad,
+           ROUND(n_custkey / CAST(total AS DOUBLE), 6) AS bad_rate FROM f
+    UNION ALL SELECT 'o_orderstatus', CAST(n_status AS BIGINT),
+           ROUND(n_status / CAST(total AS DOUBLE), 6) FROM f
+    UNION ALL SELECT 'o_totalprice', CAST(n_price AS BIGINT),
+           ROUND(n_price / CAST(total AS DOUBLE), 6) FROM f
+    UNION ALL SELECT 'o_orderdate', CAST(n_date AS BIGINT),
+           ROUND(n_date / CAST(total AS DOUBLE), 6) FROM f
+    """,
+    description="data-quality null/validity profile: per-column bad-value counts "
+    "(null, blank string, non-positive measure) and rates in ONE scan — "
+    "conditional sums folded into a single aggregate, unpivoted with stack(); "
+    "the profiling pass operators/expect.py contracts run before accepting a "
+    "batch, and the reference's manual df.isnull() audits done engine-side",
+    tags=("pipeline",),
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("o_custkey").isNull().cast("int")).alias("n_custkey"),
+        F.sum(
+            (F.col("o_orderstatus").isNull() | (F.col("o_orderstatus") == "")).cast("int")
+        ).alias("n_status"),
+        F.sum(
+            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)).cast("int")
+        ).alias("n_price"),
+        F.sum(F.col("o_orderdate").isNull().cast("int")).alias("n_date"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'o_custkey', CAST(n_custkey AS BIGINT), round(n_custkey / CAST(total AS DOUBLE), 6), "
+        "'o_orderstatus', CAST(n_status AS BIGINT), round(n_status / CAST(total AS DOUBLE), 6), "
+        "'o_totalprice', CAST(n_price AS BIGINT), round(n_price / CAST(total AS DOUBLE), 6), "
+        "'o_orderdate', CAST(n_date AS BIGINT), round(n_date / CAST(total AS DOUBLE), 6)"
+        ") AS (col, n_bad, bad_rate)"
+    )
