@@ -1435,3 +1435,47 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'o_orderdate', CAST(n_date AS BIGINT), round(n_date / CAST(total AS DOUBLE), 6)"
         ") AS (col, n_bad, bad_rate)"
     )
+
+
+@query(
+    "q_percent_rank",
+    # percent_rank/cume_dist depend only on the rank of the sort key —
+    # ties collapse to the same value on both engines, and the key is
+    # unique-ified by the orderkey tie-break anyway; one rounded double.
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
+    WHERE pr >= 0.99
+    """,
+    description="relative-rank windows (percent_rank + cume_dist) per order "
+    "priority: the top-1% spend detector — the distribution-position functions "
+    "the window family was missing. One shuffle on the partition key, one sort, "
+    "single WindowExec computing both functions",
+    tags=("window", "pipeline"),
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.99)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume"),
+        )
+    )
