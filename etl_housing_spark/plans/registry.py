@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sampling_queries,
         streaming_queries,
         timeseries_queries,
+        tpch_queries,
         text_queries,
         vector_queries,
     )

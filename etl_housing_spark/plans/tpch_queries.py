@@ -1,0 +1,351 @@
+"""Classic TPC-H decision-support shapes (Q3/Q4/Q5/Q10/Q17/Q18 analogs).
+
+The reference's relational surface is single-table pandas (SURVEY.md §2.6-2.8,
+trulia_csv_to_nlp.ipynb cells 6-36); the warehouse it feeds would run exactly
+these multi-way join/aggregate reports. Each query here exercises a join
+topology the engine must plan well at 100 TB, and each documents what Catalyst
+must do with it:
+
+- Q3  (q_shipping_priority): dim-filter → broadcast → big-big join whose join
+  key IS the grouping key, so the aggregate reuses the join's partitioning —
+  zero extra shuffles after the fact-fact join.
+- Q4  (q_order_priority): EXISTS → left-semi join with a residual inequality
+  on both sides' columns (hash equi-join + post-filter, never a nested loop).
+- Q5  (q_local_volume): 6-table snowflake with a cross-dimension equality
+  (customer.nation = supplier.nation) folded into a broadcast join condition.
+- Q10 (q_returned_items): date+flag filtered fact-fact join, customer rollup,
+  top-k by revenue via TakeOrderedAndProject.
+- Q17 (q_small_qty_revenue): per-key aggregate joined back to the same scan
+  (the decorrelated form of a correlated scalar subquery), brand-pruned
+  before the heavy aggregate so the avg is computed only for surviving keys.
+- Q18 (q_big_order_customers): HAVING on a grouped decimal sum, then the
+  surviving keys (tiny) drive broadcast joins against orders/customer.
+
+All money math follows the catalog contract (plans/_util.py): revenue
+``price·(1−discount)`` is one double multiply on identical operands in both
+engines, then accumulates in DECIMAL(18,6) so partial+final aggregation order
+cannot move the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import dsum, sql_dsum
+from .registry import query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+
+
+def _sql_rev() -> str:
+    return sql_dsum(_REV)
+
+
+@query(
+    "q_shipping_priority",
+    # TPC-H Q3. Revenue per undelivered order for one market segment: the
+    # orderdate/shipdate cutoffs straddle 1998-07-01 so both fact scans are
+    # date-pruned at the parquet footer.
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_sql_rev()} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      AND l.l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    description="shipping-priority report (TPC-H Q3): segment-filtered customer dim "
+    "broadcast into date-pruned orders, one big-big join to the shipdate-pruned "
+    "fact, then a group on the JOIN KEY — the aggregate reuses the join's hash "
+    "partitioning, so the plan pays exactly one fact-fact shuffle; top-10 via "
+    "TakeOrderedAndProject, no global sort",
+    tags=("join", "tpch"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < "1998-07-01")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > "1998-07-01")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_order_priority",
+    # TPC-H Q4. The EXISTS probe carries an inequality over BOTH tables'
+    # columns (shipped >90 days after ordering); Spark plans the equi part as
+    # a left-semi hash join and evaluates the residual inside the join — the
+    # decorrelated form every engine wants, never a per-row subquery.
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    description="order-priority checking (TPC-H Q4): EXISTS as a LEFT-SEMI hash join "
+    "on the order key with the 90-day lateness inequality as a residual join "
+    "predicate — one shuffle pair, no correlated per-row probe; date window "
+    "pushed to the orders scan",
+    tags=("join", "tpch"),
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q_local_volume",
+    # TPC-H Q5. The snowflake's one genuinely large join is lineitem⋈orders;
+    # customer/supplier/nation/region all broadcast. The Q5 twist —
+    # customer and supplier must sit in the SAME nation — becomes an extra
+    # equality inside the supplier broadcast-join condition, not a filter
+    # after a wider join.
+    oracle=f"""
+    SELECT n.n_name, {_sql_rev()} AS revenue, COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    description="local-supplier volume (TPC-H Q5): 6-table snowflake — one "
+    "fact-fact shuffle (lineitem⋈date-pruned orders), every dimension "
+    "broadcast, and the customer-nation = supplier-nation locality constraint "
+    "folded into the supplier join condition so no oversized intermediate "
+    "ever materializes",
+    tags=("join", "tpch"),
+)
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_rev_col()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q_returned_items",
+    # TPC-H Q10: who returned the most revenue last quarter-and-a-half.
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, {_sql_rev()} AS revenue, c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    description="returned-item reporting (TPC-H Q10): returnflag-pruned fact ⋈ "
+    "date-pruned orders (the one big shuffle), customer+nation broadcast onto "
+    "the result, rollup per customer, top-20 by lost revenue via "
+    "TakeOrderedAndProject",
+    tags=("join", "tpch"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev_col()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q_small_qty_revenue",
+    # TPC-H Q17. The correlated scalar subquery (per-part average quantity)
+    # decorrelates to a grouped aggregate joined back to the same brand-pruned
+    # row set. Both engines compute the identical decimal-exact average, the
+    # identical 0.2·avg double product, and the identical strict compare, so
+    # the surviving row set — and its decimal revenue sum — match bit-for-bit.
+    oracle=f"""
+    SELECT CAST({sql_dsum("l.l_extendedprice")} / 7.0 AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (
+        SELECT 0.2 * ({sql_dsum("li.l_quantity")} / COUNT(li.l_quantity))
+        FROM lineitem li WHERE li.l_partkey = l.l_partkey)
+    """,
+    description="small-quantity-order revenue (TPC-H Q17): correlated avg-quantity "
+    "subquery decorrelated into a per-part aggregate joined back to the brand-"
+    "pruned fact rows — the brand broadcast prunes BEFORE the heavy aggregate, "
+    "so the average is computed only for the ~1% of parts that matter; one "
+    "shuffle on partkey reused by both the aggregate and the join",
+    tags=("join", "tpch"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # brand-pruned fact rows: every lineitem of a Brand#12 part — the same
+    # row set the correlated subquery aggregates over, so the per-part avg
+    # computed here equals the oracle's per-part avg over all lineitems.
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li_b.groupBy("l_partkey").agg(
+        (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty")
+    )
+    joined = li_b.join(
+        F.broadcast(avg_q.withColumnRenamed("l_partkey", "a_partkey")),
+        F.col("l_partkey") == F.col("a_partkey"),
+    )
+    return joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).agg(
+        (dsum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q_big_order_customers",
+    # TPC-H Q18. The HAVING survivor set (orders with >250 total quantity,
+    # ~1% of orders) is tiny; it drives the rest of the plan as a broadcast.
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {sql_dsum("l_quantity")} > 250)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    description="large-volume customers (TPC-H Q18): grouped decimal quantity sum "
+    "with HAVING > 250 (one fact shuffle) shrinks to ~1% of orders; the "
+    "survivor set broadcasts into orders and customer — the filter-early "
+    "topology where the expensive aggregate runs FIRST and every join after "
+    "it is map-side; top-10 via TakeOrderedAndProject",
+    tags=("join", "tpch"),
+)
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )

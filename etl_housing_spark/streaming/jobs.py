@@ -20,24 +20,28 @@ from pyspark.sql import functions as F
 
 from ..session import ensure_runtime_confs
 
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
+def _events_schema(ts_sql_type: str) -> str:
+    return (
+        f"event_id BIGINT, ts {ts_sql_type}, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING"
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as int64 ns
-    under the nanos flag, normalized exactly like the batch loader)."""
+    """File-source stream over the events parquet, normalized exactly like the
+    batch loader (catalog.load_table): the testdata generator has shipped ts
+    as both TIMESTAMP(NANOS) (readable only as int64 ns under the nanos flag)
+    and TIMESTAMP(MICROS); a one-time footer read of the batch schema picks
+    the branch, so the stream's event-time column always matches batch."""
     ensure_runtime_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    reader = spark.readStream.option("pathGlobFilter", "events.parquet")
     # LTZ (not NTZ): EventTimeWatermark requires TIMESTAMP type; the session
     # is pinned to UTC so wall-times match the batch loader's NTZ values
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        raw = reader.schema(_events_schema("BIGINT")).parquet(sf_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.schema(_events_schema("TIMESTAMP")).parquet(sf_dir)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -316,3 +316,58 @@ def test_supplier_rank_windows_tiny_frame(spark):
     assert "WindowGroupLimit" in plan or "Window" in plan
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_shipping_priority_one_fact_shuffle_topk(spark):
+    plan = _plan(_q(spark, "q_shipping_priority"))
+    # segment-filtered customer broadcasts; top-10 never global-sorts; the
+    # date cutoffs reach the scans
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan and "l_shipdate" in plan
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_order_priority_exists_is_semi_join(spark):
+    plan = _plan(_q(spark, "q_order_priority"))
+    # EXISTS must plan as a hash LeftSemi with the lateness inequality as a
+    # residual predicate — never a nested-loop / cartesian probe
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_local_volume_broadcasts_every_dim(spark):
+    plan = _plan(_q(spark, "q_local_volume"))
+    # customer, supplier, nation, region all broadcast; lineitem⋈orders is
+    # the only shuffle join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_returned_items_prunes_and_broadcasts(spark):
+    plan = _plan(_q(spark, "q_returned_items"))
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_small_qty_revenue_aggregates_after_brand_prune(spark):
+    plan = _plan(_q(spark, "q_small_qty_revenue"))
+    # the per-part average is computed on the brand-pruned fact rows (the
+    # broadcast brand join appears BELOW the aggregate in the plan), and the
+    # avg table itself broadcasts back — no second fact shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_big_order_customers_survivors_broadcast(spark):
+    plan = _plan(_q(spark, "q_big_order_customers"))
+    # the HAVING survivor set drives broadcast joins; the grouped sum is
+    # partial+final; top-10 is TakeOrderedAndProject
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "partial_sum(" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
