@@ -638,6 +638,53 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    description="JSONL (JSON-Lines) sink + schema-pinned source round-trip over the "
+    "document corpus, partitioned by source — the interchange format every "
+    "public training-corpus dump ships in. Values (including arbitrary text "
+    "via JSON escaping) survive bit-exact; the read pins an explicit schema "
+    "so no inference pass touches the archive, and the source partition "
+    "column returns via directory discovery (pruning-capable at scale)",
+    tags=("source",),
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="ehs_jsonl_rt_")
+    write_jsonl(docs, out, partition_cols=["source"])
+    back = read_jsonl(
+        spark,
+        out,
+        data_schema="doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+        base_path=out,
+    )
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    description="ORC sink + source round-trip (the columnar archive tier for "
+    "Hive/Trino-standard warehouses): stripe-splittable, pushdown-capable, "
+    "doubles round-trip binary-exact",
+    tags=("source",),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.formats import read_orc, write_orc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="ehs_orc_rt_")
+    write_orc(o, out)
+    return read_orc(
+        spark, out, data_schema="o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@query(
     "q_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty

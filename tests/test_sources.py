@@ -5,6 +5,7 @@ config-driven source registry."""
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -225,3 +226,38 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     assert pruned.count() == r1.count() - spark.read.parquet(p1).filter(
         "NOT (split = 'train' AND shard = 1)"
     ).count()
+
+
+def test_jsonl_roundtrip_pruning_and_corrupt_line(spark, tmp_path):
+    from etl_housing_spark.sources.formats import read_jsonl, write_jsonl
+
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(_listings(spark), path, partition_cols=["city"])
+    back = read_jsonl(spark, path, "name STRING, price INT, date STRING", base_path=path)
+    got = back.select("name", "price", "city", "date")
+    assert sorted(tuple(r) for r in got.collect()) == sorted(LISTINGS)
+    # partition pruning applies to the JSONL tree exactly as to CSV/parquet
+    pruned = back.filter(F.col("city") == "austin")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "austin" in plan
+    # a corrupt line in a third-party dump nulls fields, never kills the scan
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-0.json"), "w") as fh:
+        fh.write('{"name": "ok", "price": 5, "date": "2024-01-01"}\n')
+        fh.write("NOT JSON AT ALL{{{\n")
+    rows = read_jsonl(spark, bad, "name STRING, price INT, date STRING").collect()
+    names = {r.name for r in rows}
+    assert len(rows) == 2 and names == {"ok", None}
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from etl_housing_spark.sources.formats import read_orc, write_orc
+
+    path = str(tmp_path / "archive_orc")
+    write_orc(_listings(spark), path)
+    back = read_orc(spark, path, "name STRING, price INT, city STRING, date STRING")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(LISTINGS)
+    # ORC supports predicate pushdown to the stripe reader
+    plan = back.filter(F.col("price") > 1000)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "price" in plan
