@@ -88,3 +88,20 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{d}/*")
     )
     return jobs.run_available_now(jobs.anomaly_stream(stream))
+
+
+@query(
+    "q_stream_join",
+    oracle=None,  # ⊘ streaming semantics; equivalence-tested vs the batch interval join
+    description="stream-stream watermarked interval join (click ← same-user views "
+    "in the prior hour, the attribution lookback): both sides watermarked and the "
+    "event-time bound in the join condition lets Spark retire per-side state at "
+    "the rate × horizon bound instead of buffering stream history; batch twin "
+    "equivalence in tests/test_streaming_equiv.py",
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = jobs.read_events_stream(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    views = events.filter(F.col("event_type") == "view")
+    return jobs.run_available_now(jobs.interval_join_streams(clicks, views))

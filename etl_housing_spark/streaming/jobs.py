@@ -86,6 +86,45 @@ def _has_agg(df: DataFrame) -> bool:
         return True
 
 
+def interval_join_streams(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's views
+    in the preceding ``lookback`` (attribution's click←view lookback window).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, which is exactly what lets Spark RETIRE state: a buffered view
+    can only match clicks within lookback+watermark, so per-side state is
+    bounded by the event rate × horizon — never the stream's history. An
+    unconstrained stream-stream join would buffer forever; this is the
+    canonical bounded form (Structured Streaming guide, stream-stream joins).
+
+    At 100 TB/day both sides shuffle on user_id (co-partitioned by the join
+    key); skewed users are the q_join_salted situation and salt identically.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (c.c_user == v.v_user)
+        & (v.view_ts <= c.click_ts)
+        & (v.view_ts >= c.click_ts - F.expr(f"INTERVAL {lookback}"))
+    )
+    return c.join(v, cond).select(
+        F.col("c_user").alias("user_id"), "click_id", "click_ts", "view_id", "view_ts"
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: each micro-batch joins the (small, broadcast)
     static dimension — no streaming state at all, the planner re-reads the

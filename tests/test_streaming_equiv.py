@@ -167,3 +167,38 @@ def test_anomaly_stream_scores_against_prefix_stats(spark, tmp_path):
     got = {r["event_id"] for r in out.collect()}
     assert got == expected
     assert out.count() == len(expected)
+
+
+def test_interval_join_stream_equals_batch(spark):
+    from etl_housing_spark.streaming.jobs import interval_join_streams
+
+    stream_out = run_available_now(
+        interval_join_streams(
+            read_events_stream(spark, SF_SMOKE).filter(F.col("event_type") == "click"),
+            read_events_stream(spark, SF_SMOKE).filter(F.col("event_type") == "view"),
+        ),
+        name="t_sjoin",
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    batch = (
+        c.join(
+            v,
+            (c.c_user == v.v_user)
+            & (v.view_ts <= c.click_ts)
+            & (v.view_ts >= c.click_ts - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(F.col("c_user").alias("user_id"), "click_id", "click_ts", "view_id", "view_ts")
+    )
+    cols = ["user_id", "click_id", "click_ts", "view_id", "view_ts"]
+    assert _as_sorted_tuples(stream_out, cols) == _as_sorted_tuples(batch, cols)
+    assert stream_out.count() > 0  # non-vacuous: clicks do have prior views
