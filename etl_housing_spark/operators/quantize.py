@@ -84,3 +84,139 @@ def dequantize_error(
         .groupBy("pos")
         .agg(F.max(F.abs(x - recon)).alias("max_err"), F.first(scale).alias("scale"))
     )
+
+
+def pq_codes(
+    emb: DataFrame,
+    subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Product-quantization codes: (id, subspace, code, d2) — M codes/vector.
+
+    PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    TPAMI 2011; FAISS ``PQ``/``IVFPQ``) splits each D-dim vector into M
+    subvectors and assigns each to the nearest centroid of an independent
+    per-subspace codebook: storage M·log2(K) bits/vector (here 4 codes ≈
+    4 bytes vs 256 — 64×), and ADC search scores candidates from an M×K
+    lookup table instead of touching floats.
+
+    Codebook "training" here is deterministic, mirroring the IVF coarse
+    quantizer (operators/similarity.py ann_ivf, q_ann_ivf_portable): the
+    per-subspace codebook is the label-conditioned mean of that subvector —
+    assignment-based seeding rather than k-means iterations, so every stage
+    is reproducible and oracle-checkable. Swapping in iterated Lloyd rounds
+    changes only the codebook frame, not the assignment/search plan.
+
+    Plan shape (no collect, no UDF):
+    1. codebooks: posexplode → (label, pos) decimal-exact means — one
+       aggregate, output M·K·(D/M) = D·K rows, independent of corpus size;
+    2. assignment: posexplode × broadcast codebook join on pos →
+       per-(id, subspace, candidate) squared-distance decimal sums (one
+       partial+final aggregate, map-side combinable on the id-bearing key)
+       → struct-min argmin with label tie-break. Work is O(n·D·K), linear
+       in corpus size with K, D fixed.
+    """
+    best = _pq_assign(emb, subspaces, dim, id_col, vec_col, label_col)
+    return best.select(
+        id_col,
+        F.col("sub").cast("long").alias("subspace"),
+        F.col("b.cand").cast("long").alias("code"),
+        F.round(F.col("b.d2"), 6).alias("d2"),
+    )
+
+
+def _pq_codebooks(emb: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-(candidate, dimension) codebook values — decimal-exact means."""
+    return (
+        emb.select(label_col, F.posexplode(F.col(vec_col)).alias("i", "v"))
+        .groupBy(label_col, "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+        .select(F.col(label_col).alias("cand"), "i", "c")
+    )
+
+
+def _sq_dist_term(x, c):
+    return ((x - c) * (x - c)).cast("decimal(38,18)")
+
+
+def _pq_assign(
+    emb: DataFrame, subspaces: int, dim: int, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """(id, sub, b{d2, cand}) — nearest codebook entry per subspace."""
+    per_sub = dim // subspaces
+    expl = emb.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).withColumn("sub", F.expr(f"i div {per_sub}"))
+    cent = _pq_codebooks(emb, vec_col, label_col)
+    d2 = (
+        expl.join(F.broadcast(cent), "i")
+        .groupBy(id_col, "sub", "cand")
+        .agg(F.sum(_sq_dist_term(F.col("x").cast("double"), F.col("c"))).cast("double").alias("d2"))
+    )
+    return d2.groupBy(id_col, "sub").agg(
+        F.min(F.struct(F.col("d2"), F.col("cand"))).alias("b")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC).
+
+    The search half of PQ: the query is NOT quantized — instead a
+    (subspace × codebook-entry) lookup table of exact query↔centroid
+    squared distances is built once (M·K rows, a tiny aggregate), and each
+    corpus vector's approximate distance is the sum of M table lookups on
+    its stored codes. The corpus scan therefore touches only the M-byte
+    codes — the float vectors appear in NO per-candidate work — which is
+    the entire storage/bandwidth argument for PQ at 100 TB. Exact
+    re-ranking of the returned candidates on the float column is the
+    standard refinement step (q_similarity_topk's scan shape, restricted
+    to k rows).
+
+    Distance quality is bounded by quantization distortion: ADC error ≤
+    per-subspace distortion sums (Jégou et al. 2011, Eq. 12-13).
+
+    Plan: codes (one O(n·D·K) assignment, amortized across queries in a
+    real deployment) ⋈ broadcast LUT on (subspace, code) → one decimal sum
+    per vector → ascending top-k via TakeOrderedAndProject.
+    """
+    per_sub = dim // subspaces
+    codes = _pq_assign(emb, subspaces, dim, id_col, vec_col, label_col).select(
+        id_col, "sub", F.col("b.cand").alias("code")
+    )
+    qdims = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
+        .withColumn("sub", F.expr(f"i div {per_sub}"))
+    )
+    lut = (
+        qdims.join(F.broadcast(_pq_codebooks(emb, vec_col, label_col)), "i")
+        .groupBy("sub", "cand")
+        .agg(F.sum(_sq_dist_term(F.col("qx").cast("double"), F.col("c"))).cast("double").alias("lut_d2"))
+    )
+    return (
+        codes.join(
+            F.broadcast(lut),
+            (codes.sub == lut.sub) & (codes.code == lut.cand),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("lut_d2").cast("decimal(38,18)")).cast("double"), 6).alias("adc_d2"))
+        .orderBy("adc_d2", id_col)
+        .limit(k)
+    )

@@ -382,3 +382,106 @@ def q_embed_neardup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(cos >= 0.4).select(
         "id_a", "id_b", F.round(cos, 6).alias("cos")
     )
+
+
+@query(
+    "q_pq_codes",
+    # Every stage is the q_ann_ivf_portable determinism recipe applied per
+    # subspace: decimal-exact codebook means, per-candidate squared-distance
+    # decimal sums (identical IEEE (x-c)^2 terms, order-free accumulation),
+    # argmin with candidate tie-break. Codes therefore hash-match DuckDB.
+    oracle="""
+    WITH expl AS (
+      SELECT vec_id, CAST(i.i - 1 AS BIGINT) AS i,
+             (i.i - 1) // 16 AS sub,
+             CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) i(i)),
+    cent AS (
+      SELECT label AS cand, CAST(i.i - 1 AS BIGINT) AS i,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM embeddings, range(1, 65) i(i)
+      GROUP BY label, i.i),
+    d2 AS (
+      SELECT e.vec_id, e.sub, cent.cand,
+             CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS d2
+      FROM expl e JOIN cent ON e.i = cent.i
+      GROUP BY e.vec_id, e.sub, cent.cand),
+    best AS (
+      SELECT vec_id, sub, cand, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d2, cand) AS rk
+      FROM d2)
+    SELECT vec_id, CAST(sub AS BIGINT) AS subspace, CAST(cand AS BIGINT) AS code,
+           ROUND(d2, 6) AS d2
+    FROM best WHERE rk = 1
+    """,
+    description="product-quantization codes (PQ, Jégou et al. 2011 / FAISS IVFPQ): "
+    "4 independent 16-dim subspace codebooks (deterministic label-conditioned "
+    "decimal-exact means — the assignment-based seeding of the IVF coarse "
+    "quantizer), each vector assigned per-subspace to its nearest centroid via "
+    "order-free decimal squared-distance sums + struct-min argmin. 64× storage "
+    "cut (4 codes vs 256 float bytes) for the ADC candidate-scoring path; "
+    "O(n·D·K) map-side-combinable work, no UDF, no collect",
+    tags=("vector",),
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import pq_codes
+
+    return pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_pq_search",
+    # ADC = codes ⋈ query-centroid lookup table; extends the q_pq_codes CTE
+    # chain with lut + per-vector decimal sums. Ascending top-10, id
+    # tie-break; the query vector itself (vec_id 0, ADC distance = its own
+    # quantization distortion) is allowed to appear like any other corpus row.
+    oracle="""
+    WITH expl AS (
+      SELECT vec_id, CAST(i.i - 1 AS BIGINT) AS i,
+             (i.i - 1) // 16 AS sub,
+             CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) i(i)),
+    cent AS (
+      SELECT label AS cand, CAST(i.i - 1 AS BIGINT) AS i,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM embeddings, range(1, 65) i(i)
+      GROUP BY label, i.i),
+    d2 AS (
+      SELECT e.vec_id, e.sub, cent.cand,
+             CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS d2
+      FROM expl e JOIN cent ON e.i = cent.i
+      GROUP BY e.vec_id, e.sub, cent.cand),
+    codes AS (
+      SELECT vec_id, sub, cand AS code FROM (
+        SELECT vec_id, sub, cand, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rk
+        FROM d2) t WHERE rk = 1),
+    lut AS (
+      SELECT e.sub, cent.cand,
+             CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS lut_d2
+      FROM expl e JOIN cent ON e.i = cent.i
+      WHERE e.vec_id = 0
+      GROUP BY e.sub, cent.cand)
+    SELECT c.vec_id,
+           ROUND(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc_d2
+    FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cand
+    GROUP BY c.vec_id
+    ORDER BY adc_d2, c.vec_id LIMIT 10
+    """,
+    description="PQ asymmetric-distance search (ADC): query↔centroid lookup table "
+    "(M×K rows, built once per query) + per-vector sum of M code lookups — the "
+    "corpus scan touches only 4-byte codes, never the float vectors, which is "
+    "PQ's bandwidth win at 100 TB; ascending top-10 via TakeOrderedAndProject, "
+    "exact float re-rank of the k survivors is the standard refinement",
+    tags=("vector",),
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import pq_adc_topk
+
+    return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
