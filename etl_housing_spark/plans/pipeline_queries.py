@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..sources.warehouse import sql_zorder_key
 from ._util import sql_davg, sql_dsum
 from .registry import query
 
@@ -1477,5 +1478,44 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
             F.round("pr", 6).alias("pct_rank"),
             F.round("cd", 6).alias("cume"),
+        )
+    )
+
+
+@query(
+    "q_zorder_stats",
+    oracle=f"""
+    WITH z AS (
+      SELECT ({sql_zorder_key('(l_partkey % 1024)', '(l_orderkey % 1024)')}) AS zval,
+             (l_partkey % 1024) AS x, (l_orderkey % 1024) AS y
+      FROM lineitem)
+    SELECT zval >> 14 AS z_bucket, COUNT(*) AS n,
+           MIN(x) AS x_lo, MAX(x) AS x_hi, MIN(y) AS y_lo, MAX(y) AS y_hi
+    FROM z GROUP BY z_bucket
+    """,
+    description="Z-order (Morton) clustering statistics: interleaved-bit key over "
+    "(partkey, orderkey) — pure shift/mask codegen, no UDF — bucketed to the "
+    "64 leading z-ranges with per-bucket min/max of BOTH dimensions. Each "
+    "bucket covers a compact rectangle (~1/8 of each dim at 64 buckets), the "
+    "property that makes parquet footer min/max prune files for predicates on "
+    "EITHER column after a write_zordered rewrite; a linear sort narrows only "
+    "its leading column. Map + one partial+final aggregate",
+    tags=("pipeline",),
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warehouse import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("x"), (F.col("l_orderkey") % 1024).alias("y")
+    )
+    z = li.withColumn("zval", zorder_key("x", "y"))
+    return (
+        z.groupBy(F.shiftright("zval", 14).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
         )
     )

@@ -309,3 +309,60 @@ def write_training_shards(
         r[split_col]: r["n"]
         for r in written.groupBy(split_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+
+
+def zorder_key(x, y, bits: int = 10):
+    """Morton/Z-order value of two non-negative integer columns — pure
+    bit-shift arithmetic, codegen-only, identical in any engine.
+
+    Interleaves the low ``bits`` of x (even positions) and y (odd
+    positions): nearby z-values are nearby in BOTH dimensions, so sorting a
+    table by z clusters it for min/max data skipping on x AND y
+    simultaneously — a linear sort clusters only its leading column. This
+    is Delta/Iceberg OPTIMIZE ZORDER's construction (public docs; the
+    Morton curve itself is Morton 1966).
+    """
+    x = (F.col(x) if isinstance(x, str) else x).cast("long")
+    y = (F.col(y) if isinstance(y, str) else y).cast("long")
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1))
+        )
+    return z
+
+
+def sql_zorder_key(x: str, y: str, bits: int = 10) -> str:
+    """The identical Morton construction as ANSI/DuckDB SQL."""
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 10,
+    n_files: int = 8,
+) -> None:
+    """Z-order-clustered parquet rewrite: range-partition by the Morton key,
+    sort within partitions, drop the key from storage.
+
+    Each output file then covers a compact z-range ⇒ a compact rectangle in
+    (x, y) space ⇒ parquet footer min/max stats prune files for predicates
+    on EITHER column. The maintenance-rewrite twin of compact_table; at
+    100 TB this is the scheduled OPTIMIZE job, not a per-query step.
+    """
+    (
+        df.withColumn("__z", zorder_key(x, y, bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

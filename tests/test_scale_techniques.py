@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -121,3 +122,46 @@ def test_jdbc_roundtrip_with_pushdown(spark, tmp_path):
     # S7 append sink: reference's non-idempotent if_exists='append'
     write_jdbc(df, url, "apartments", mode="append", driver=DERBY)
     assert read_jdbc(spark, url, "apartments", driver=DERBY).count() == 6
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """write_zordered must make parquet footer min/max useful on BOTH
+    columns: for a point-range predicate on y, the x-sorted layout leaves
+    every file a candidate (each covers y's full range) while the z-ordered
+    layout prunes most files. This is the data-skipping property itself,
+    measured from the real file footers."""
+    import pyarrow.parquet as pq
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.sources.warehouse import write_zordered
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"), (F.col("l_orderkey") % 256).alias("y")
+    )
+    zdir, xdir = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_zordered(li, zdir, "x", "y", bits=8, n_files=8)
+    li.repartitionByRange(8, "x").sortWithinPartitions("x").write.mode("overwrite").parquet(xdir)
+
+    def candidate_files(d, lo, hi, col):
+        n_cand = n_total = 0
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            mins = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            maxs = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            n_total += 1
+            if not (maxs < lo or mins > hi):
+                n_cand += 1
+        return n_cand, n_total
+
+    zc, zt = candidate_files(zdir, 0, 2, "y")
+    xc, xt = candidate_files(xdir, 0, 2, "y")
+    # x-sorted layout: y spans its full range in every file -> no pruning
+    assert xc == xt
+    # z-ordered layout: a narrow y-range hits only the files whose y-rectangle
+    # overlaps it — at least half the files must be prunable
+    assert zc <= zt // 2, (zc, zt)
+    # and rows are preserved
+    assert spark.read.parquet(zdir).count() == li.count()
