@@ -648,3 +648,25 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+@query(
+    "q_heavy_hitters_sketch",
+    oracle=None,  # ⊘ DataSketches frequent-items sketch — engine-specific binary,
+    # accuracy-bound-tested against the exact q_token_counts in tests/test_approx.py
+    description="approximate heavy hitters over the token stream via approx_top_k "
+    "(DataSketches frequent-items): ONE pass, mergeable partial sketches, memory "
+    "bounded by maxItemsTracked instead of vocabulary size — the 100 TB "
+    "replacement for q_token_counts' exact groupBy when the vocabulary (URLs, "
+    "n-grams, user-ids) no longer fits a shuffle; guarantees every item with "
+    "frequency > N/maxItemsTracked surfaces, counts within the sketch's epsilon",
+    tags=("text",),
+)
+def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens("text")).alias("token"))
+        .agg(F.expr("approx_top_k(token, 20, 4096)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
+    )

@@ -85,3 +85,14 @@ def test_pq_adc_search_beats_chance_and_ranks_query_first(spark):
     ]
     recall = len(set(exact) & set(adc50)) / 10
     assert recall >= 0.3, recall
+
+
+def test_heavy_hitters_sketch_tracks_exact_counts(spark):
+    """With maxItemsTracked=4096 >> the 60-ish token vocabulary at sf0.01,
+    the frequent-items sketch degenerates to exact: same top-20 items, same
+    counts, same order as q_token_counts. At a real vocabulary scale the
+    guarantee weakens to the documented epsilon band — this pins the
+    contract where it is checkable."""
+    sketch = [tuple(r) for r in all_queries()["q_heavy_hitters_sketch"].fn(spark, SF_CORRECT).collect()]
+    exact = [tuple(r) for r in all_queries()["q_token_counts"].fn(spark, SF_CORRECT).collect()]
+    assert dict(sketch) == dict(exact)
