@@ -1373,3 +1373,80 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_moving_avg",
+    # Decimal-exact frame sums: a ROWS frame's membership is defined by the
+    # total (o_orderdate, o_orderkey) order, so both engines sum the same 7
+    # values; the decimal cast makes the accumulation order irrelevant and
+    # the single final division runs on identical operands.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS smooth_price,
+           COUNT(*) OVER w AS frame_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+    description="centered 7-row moving average per customer order history (the "
+    "sliding ROWS frame the window family was missing: cumulative = "
+    "q_window_running, time-valued RANGE = q_rolling_range, this is the "
+    "row-adjacency smoother): one shuffle on the partition key, one sort, "
+    "single WindowExec evaluating sum+count over the same frame; "
+    "decimal-exact frame sums, division on identical operands",
+    tags=("window",),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 3)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("smooth_price"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+@query(
+    "q_unpivot",
+    # Native DataFrame unpivot/melt (reshape family R2's inverse): wide
+    # measure columns to long (measure, value) rows — an Expand node, map-only,
+    # shuffle-free; the oracle is the portable UNION ALL spelling.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+    description="unpivot/melt wide→long (inverse of the R2 pivot family): three "
+    "measure columns become (measure, val) rows via the native unpivot — one "
+    "Expand over one scan, map-only and shuffle-free, vs the UNION ALL "
+    "spelling's three scans",
+    tags=("reshape",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "price")
+        .otherwise("discount"),
+    )

@@ -371,3 +371,25 @@ def test_big_order_customers_survivors_broadcast(spark):
     assert "partial_sum(" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    import re
+
+    plan = _plan(_q(spark, "q_unpivot"))
+    # native unpivot: one Expand over ONE scan, no union of three scans,
+    # no shuffle, no Python
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Union" not in plan
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_moving_avg_single_window_exec(spark):
+    import re
+
+    plan = _plan(_q(spark, "q_moving_avg"))
+    # sum+count over the same frame evaluate in ONE WindowExec after one
+    # shuffle on the partition key
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
