@@ -349,3 +349,44 @@ def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "q_forecast_revenue",
+    # TPC-H Q6: the canonical predicate-pushdown measurement — every filter
+    # (date range, discount band, quantity cap) reaches the parquet scan as
+    # PushedFilters, the aggregate is a single partial+final over the
+    # surviving ~0.2% of rows, and nothing else happens. The revenue
+    # product accumulates in decimal, matching the catalog contract.
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="forecast revenue change (TPC-H Q6): the pure scan+filter+aggregate "
+    "probe — date window, discount band and quantity cap ALL pushed to the "
+    "parquet reader (plan-asserted), one partial+final decimal aggregate over "
+    "the ~0.2% survivors; at 100 TB this query is bounded by how much the scan "
+    "can skip, which is exactly what the pushdown + min/max layout provide",
+    tags=("tpch",),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

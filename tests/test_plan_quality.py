@@ -393,3 +393,11 @@ def test_moving_avg_single_window_exec(spark):
     # shuffle on the partition key
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_forecast_revenue_pushes_every_filter(spark):
+    plan = _plan(_q(spark, "q_forecast_revenue"))
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters", 1)[1].split("ReadSchema", 1)[0], col
+    assert "partial_sum(" in plan and "Python" not in plan
