@@ -390,3 +390,148 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q_cust_order_distribution",
+    # TPC-H Q13: the distribution query — how many customers placed k
+    # orders, INCLUDING k = 0 (the rows only an outer join can produce).
+    oracle="""
+    SELECT c_count, COUNT(*) AS n_cust FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+    description="customer order-count distribution (TPC-H Q13): LEFT OUTER join so "
+    "zero-order customers survive with COUNT(o_orderkey)=0 — the k=0 bucket a "
+    "plain inner join silently loses; the per-customer count groups on the "
+    "JOIN KEY (exchange reused), and the final distribution aggregate runs "
+    "over |customers| rows, tiny at any corpus size",
+    tags=("join", "tpch"),
+)
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+@query(
+    "q_waiting_suppliers",
+    # TPC-H Q21 shape: for finished orders with MULTIPLE suppliers, find the
+    # supplier who shipped LAST (everyone else was waiting on them). EXISTS
+    # and NOT EXISTS both become hash joins — left-semi for "another
+    # supplier exists", left-anti for "nobody shipped after me".
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+    description="suppliers who kept orders waiting (TPC-H Q21): EXISTS → LEFT-SEMI "
+    "(another supplier on the order) and NOT EXISTS → LEFT-ANTI (no later "
+    "shipment by anyone else), both hash joins on the order key with the "
+    "supplier/date inequalities as residual predicates — the classic "
+    "multi-correlated-subquery query with zero nested loops; status filter "
+    "pushed to the orders scan, supplier dim broadcast",
+    tags=("join", "tpch"),
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_suppkey").alias("s1"),
+        F.col("l_shipdate").alias("d1"),
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    base = l1.join(o, l1.k1 == o.o_orderkey).drop("o_orderkey")
+    multi = base.join(
+        l2, (F.col("k1") == l2.k2) & (l2.s2 != F.col("s1")), "left_semi"
+    )
+    last = multi.join(
+        l3,
+        (F.col("k1") == l3.k3) & (l3.s3 != F.col("s1")) & (l3.d3 > F.col("d1")),
+        "left_anti",
+    )
+    return (
+        last.join(F.broadcast(s), F.col("s1") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q_idle_rich_customers",
+    # TPC-H Q22 shape: above-average balance, no recent orders. The global
+    # average is a scalar subquery (1-row aggregate cross-joined — the
+    # q_scalar_subquery decorrelation); "no recent orders" is a LEFT-ANTI
+    # against the date-pruned orders scan.
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(c_acctbal) AS a
+      FROM customer WHERE c_acctbal > 0)
+    SELECT substr(c.c_name, 10, 1) AS cgroup, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cgroup
+    """,
+    description="idle high-balance customers (TPC-H Q22): global average balance as "
+    "an in-plan scalar subquery (1-row aggregate broadcast-cross-joined, no "
+    "driver round-trip), dormancy as a LEFT-ANTI join against the date-pruned "
+    "orders scan, grouped decimal balance totals per name-digit cohort — the "
+    "positive-balance average and the anti probe each cost one scan",
+    tags=("join", "tpch"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (dsum("c_acctbal") / F.count("c_acctbal")).alias("a")
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.substring("c_name", 10, 1).alias("cgroup"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )

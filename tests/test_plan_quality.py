@@ -401,3 +401,25 @@ def test_forecast_revenue_pushes_every_filter(spark):
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in plan.split("PushedFilters", 1)[1].split("ReadSchema", 1)[0], col
     assert "partial_sum(" in plan and "Python" not in plan
+
+
+def test_cust_order_distribution_keeps_outer_join(spark):
+    plan = _plan(_q(spark, "q_cust_order_distribution"))
+    # the k=0 bucket requires the outer join to survive optimization
+    assert "LeftOuter" in plan or "RightOuter" in plan
+    assert "Python" not in plan
+
+
+def test_waiting_suppliers_semi_anti_no_loops(spark):
+    plan = _plan(_q(spark, "q_waiting_suppliers"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_idle_rich_customers_anti_join_date_pruned(spark):
+    plan = _plan(_q(spark, "q_idle_rich_customers"))
+    assert "LeftAnti" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "CartesianProduct" not in plan  # scalar subquery broadcasts, 1-row side
+    assert "Python" not in plan
