@@ -535,3 +535,137 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_nation_trade_volume",
+    # TPC-H Q7 shape: the SAME dimension joined twice under different roles
+    # (supplier's nation vs customer's nation) — two broadcast joins of two
+    # aliases of one table, with the cross-role inequality applied after
+    # both roles resolve. Year extraction groups the fact by calendar.
+    oracle=f"""
+    SELECT supp_nation, cust_nation, yr,
+           {_sql_rev()} AS revenue, COUNT(*) AS n_items
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             year(l.l_shipdate) AS yr,
+             l.l_extendedprice, l.l_discount
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      WHERE rs.r_name = 'EUROPE' AND rc.r_name = 'EUROPE'
+        AND ns.n_name <> nc.n_name) t
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+    description="bi-national trade volume (TPC-H Q7): nation dim joined TWICE under "
+    "different roles (supplier's vs customer's nation — two broadcast aliases "
+    "of one table), region-restricted on both roles, cross-role inequality "
+    "applied once both resolve, yearly decimal revenue rollup; the fact-fact "
+    "join is still the only shuffle",
+    tags=("join", "tpch"),
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    eur = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey", "n_name")
+    )
+    ns = eur.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = eur.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(dsum(_rev_col()).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "q_market_share",
+    # TPC-H Q8 shape: one nation's share of a region's PROMO-part revenue
+    # per year — the share is a conditional decimal sum over the SAME
+    # aggregate as the total (one pass), the denominator never a second
+    # query. Rounded 6dp once, on identical operands.
+    oracle=f"""
+    SELECT yr,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN rev
+                               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT year(o.o_orderdate) AS yr, ns.n_name AS supp_nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type LIKE 'PROMO%') t
+    GROUP BY yr
+    """,
+    description="national market share (TPC-H Q8): NATION_12's slice of ASIA's "
+    "PROMO-part revenue per year — numerator as a conditional decimal sum "
+    "INSIDE the same single aggregate as the denominator (no second pass, no "
+    "self-join); 8-table snowflake with nation again in two roles, every "
+    "dimension broadcast, one fact-fact shuffle",
+    tags=("join", "tpch"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("PROMO%"))
+        .select("p_partkey")
+    )
+    asia_cust_nations = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("nc_key"))
+    )
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    rev = _rev_col()
+    num = F.when(F.col("supp_nation") == "NATION_12", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(asia_cust_nations), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(num).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

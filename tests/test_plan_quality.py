@@ -423,3 +423,22 @@ def test_idle_rich_customers_anti_join_date_pruned(spark):
     assert "PushedFilters" in plan and "o_orderdate" in plan
     assert "CartesianProduct" not in plan  # scalar subquery broadcasts, 1-row side
     assert "Python" not in plan
+
+
+def test_nation_trade_volume_dual_role_broadcasts(spark):
+    plan = _plan(_q(spark, "q_nation_trade_volume"))
+    # nation appears twice (supplier role + customer role), both broadcast;
+    # the fact-fact join is the only shuffle join
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan and "Python" not in plan
+
+
+def test_market_share_single_aggregate(spark):
+    import re
+
+    plan = _plan(_q(spark, "q_market_share"))
+    # numerator and denominator share ONE final aggregate — no self-join,
+    # no second fact scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 8  # one per table
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "Python" not in plan
