@@ -670,3 +670,41 @@ def q_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("top").alias("e"))
         .select(F.col("e.item").alias("token"), F.col("e.count").alias("n"))
     )
+
+
+@query(
+    "q_udtf_tokenize",
+    # Python UDTF (Spark 3.5+/4 user-defined table function) — the declared
+    # custom-operator escape hatch demonstrated on a case where the pure
+    # relational twin exists, so the Python path is VALUE-CHECKED against
+    # the engine-native answer (same contract as the mapInPandas HTML
+    # extractor: Python at a boundary, correctness proven by oracle).
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS idx
+    FROM documents
+    """,
+    description="positional tokenizer as a Python UDTF lateral join (the Spark 4 "
+    "user-defined TABLE function surface — one input row to N output rows with "
+    "per-row Python state allowed): value-checked against the pure unnest "
+    "twin, so the Python boundary provably preserves semantics; at scale the "
+    "codegen twin (q_token_counts' explode) is the hot path and the UDTF form "
+    "is reserved for logic Catalyst cannot express (stateful tokenizers, "
+    "sentencepiece models)",
+    tags=("text",),
+)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, idx: long")
+    class PositionalTokens:
+        def eval(self, text: str):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    yield w, i
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.lateralJoin(
+        PositionalTokens(F.col("text").outer())
+    ).select("doc_id", "word", "idx")

@@ -326,3 +326,123 @@ def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@query(
+    "q_interpolate",
+    # Linear interpolation at hourly grid points (the pandas
+    # resample().interpolate() / TimescaleDB interpolate() operator): knot
+    # lookup is the as-of union trick run in BOTH directions from one sort —
+    # prev = last non-null over the preceding frame, next = first non-null
+    # over the following frame, same WindowExec ordering, no inequality
+    # join. All time arithmetic is integer microseconds (unix_micros ↔
+    # epoch_us — exact in both engines); the interpolation weight and blend
+    # are one identical IEEE expression tree, rounded 6dp once.
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, epoch_us(unnest(generate_series(lo, hi, INTERVAL 1 HOUR))) AS t
+      FROM bounds),
+    u AS (
+      SELECT user_id, t, value AS v, event_id, 0 AS is_grid FROM ev
+      UNION ALL
+      SELECT user_id, t, NULL, -1, 1 FROM grid),
+    c AS (
+      SELECT user_id, t, is_grid,
+             last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, is_grid, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM u)
+    SELECT user_id, make_timestamp(t) AS grid_ts,
+           ROUND(CASE WHEN nt IS NULL THEN pv
+                      WHEN pt IS NULL THEN nv
+                      ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                             / CAST(nt - pt AS DOUBLE)) END,
+                 6) AS v_interp
+    FROM c WHERE is_grid = 1
+    """,
+    description="hourly linear-interpolation resample per user (the pandas "
+    "resample().interpolate() / Timescale interpolate() operator): per-user "
+    "hourly grid from a tiny bounds aggregate, knots and grid unioned, prev/"
+    "next knot via last/first IGNORE NULLS over ONE sorted window pass in "
+    "both frame directions — no inequality join, one shuffle on the entity "
+    "key; integer-microsecond time math, identical IEEE blend",
+    tags=("timeseries",),
+)
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.expr("unix_micros(cast(ts as timestamp))")
+    knots = ev.select(
+        "user_id",
+        t_us.alias("t"),
+        F.col("value").alias("v"),
+        "event_id",
+        F.lit(0).alias("is_grid"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"), F.max("ts").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("g"),
+    ).select(
+        "user_id",
+        F.expr("unix_micros(cast(g as timestamp))").alias("t"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(1).alias("is_grid"),
+    )
+    u = knots.unionByName(grid)
+    w = Window.partitionBy("user_id").orderBy("t", "is_grid", "event_id")
+    knot_v = F.when(F.col("is_grid") == 0, F.col("v"))
+    knot_t = F.when(F.col("is_grid") == 0, F.col("t"))
+    c = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last(knot_v, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pv"),
+        F.last(knot_t, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pt"),
+        F.first(knot_v, ignorenulls=True)
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("nv"),
+        F.first(knot_t, ignorenulls=True)
+        .over(w.rowsBetween(0, Window.unboundedFollowing))
+        .alias("nt"),
+    )
+    blend = (
+        F.when(F.col("nt").isNull(), F.col("pv"))
+        .when(F.col("pt").isNull(), F.col("nv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    return (
+        c.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.timestamp_micros("t").cast("timestamp_ntz").alias("grid_ts"),
+            F.round(blend, 6).alias("v_interp"),
+        )
+    )

@@ -442,3 +442,15 @@ def test_market_share_single_aggregate(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 8  # one per table
     assert plan.count("BroadcastHashJoin") >= 5
     assert "Python" not in plan
+
+
+def test_interpolate_single_entity_shuffle(spark):
+    import re
+
+    plan = _plan(_q(spark, "q_interpolate"))
+    # knots + grid resolve in window passes over ONE user_id exchange of the
+    # union; the bounds aggregate adds its own tiny exchange — but no
+    # inequality join, no nested loop anywhere
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 2
+    assert "Python" not in plan
