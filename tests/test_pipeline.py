@@ -45,3 +45,18 @@ def test_engine_isolates_job_failures(spark):
     results = eng.run_all(spark)
     assert results["ok"].count() == 1
     assert isinstance(results["broken"], Exception)
+
+
+def test_cli_list_oracle_and_run(spark, capsys):
+    from etl_housing_spark.__main__ import main
+
+    assert main(["list", "--tag", "tpch"]) == 0
+    out = capsys.readouterr().out
+    assert "q_forecast_revenue" in out and "oracle" in out
+    assert main(["oracle", "q_topk"]) == 0
+    assert "SELECT" in capsys.readouterr().out.upper()
+    assert main(["run", "q_topk", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 3 and "o_totalprice" in lines[0]
+    assert main(["oracle", "nope"]) == 2
+    assert main(["run", "nope"]) == 2
