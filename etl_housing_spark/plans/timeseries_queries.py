@@ -446,3 +446,23 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(blend, 6).alias("v_interp"),
         )
     )
+
+
+@query(
+    "q_ewma",
+    oracle=None,  # ⊘ ordered per-entity fold — not expressible as an associative
+    # SQL aggregate (the closed form overflows); law-tested in
+    # tests/test_operators.py: hand fixture, alpha=1 degeneracy, constant
+    # fixed point, partitioning invariance
+    description="per-user EWMA trend smoothing (s_t = alpha*v_t + (1-alpha)*s_(t-1)) "
+    "via grouped applyInPandas — the declared batch pattern for order-dependent "
+    "per-entity logic: one shuffle on the entity key, Arrow-batched sequential "
+    "fold per group, O(1) state; batch twin of the applyInPandasWithState "
+    "streaming operators",
+    tags=("timeseries",),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.smoothing import ewma_by_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_by_key(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)

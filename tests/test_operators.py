@@ -509,3 +509,36 @@ def test_observed_write_counts_without_second_scan(spark, tmp_path):
     assert standalone.null_name == got["null_name"] and standalone.qty_range == got["qty_range"]
     # and the data landed intact
     assert spark.read.parquet(out).count() == 4
+
+
+def test_ewma_laws(spark):
+    from etl_housing_spark.operators.smoothing import ewma_by_key
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 10.0), (2, 1, 5.0), (2, 2, 5.0), (2, 3, 5.0)],
+        "k long, t long, v double",
+    )
+    out = {(r.k, r.t): r.ewma for r in ewma_by_key(df, "k", ["t"], "v", alpha=0.5).collect()}
+    # hand-computed: 10; 0.5*20+0.5*10=15; 0.5*10+0.5*15=12.5
+    assert out[(1, 1)] == 10.0 and out[(1, 2)] == 15.0 and out[(1, 3)] == 12.5
+    # constant series is a fixed point
+    assert out[(2, 1)] == out[(2, 2)] == out[(2, 3)] == 5.0
+    # alpha=1 degenerates to the raw series
+    raw = {(r.k, r.t): r.ewma for r in ewma_by_key(df, "k", ["t"], "v", alpha=1.0).collect()}
+    assert raw == {(1, 1): 10.0, (1, 2): 20.0, (1, 3): 10.0, (2, 1): 5.0, (2, 2): 5.0, (2, 3): 5.0}
+    # partitioning invariance: the fold happens per-group AFTER the shuffle,
+    # so shuffle-partition count cannot move any value
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = sorted(map(tuple, ewma_by_key(df, "k", ["t"], "v", alpha=0.3).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        many = sorted(map(tuple, ewma_by_key(df, "k", ["t"], "v", alpha=0.3).collect()))
+        assert one == many
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    # bad alpha refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ewma_by_key(df, "k", ["t"], "v", alpha=0.0)
