@@ -1450,3 +1450,46 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("measure") == "l_extendedprice", "price")
         .otherwise("discount"),
     )
+
+
+@query(
+    "q_date_dim",
+    # In-plan table GENERATION (no source scan): the calendar dimension
+    # every warehouse joins against, built from one sequence explode —
+    # map-only after a 1-row seed, every attribute pure date arithmetic.
+    oracle="""
+    SELECT CAST(d AS TIMESTAMP) AS d,
+           year(d) AS yr, quarter(d) AS qtr, month(d) AS mth,
+           dayofweek(CAST(d AS TIMESTAMP)) AS dow,
+           CAST(strftime(d, '%Y-%m') AS VARCHAR) AS ym,
+           CASE WHEN dayofweek(CAST(d AS TIMESTAMP)) IN (0, 6)
+                THEN 1 ELSE 0 END AS is_weekend
+    FROM generate_series(DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY) t(d)
+    """,
+    description="generated calendar dimension 1995-2001 (the date dim every "
+    "warehouse broadcast-joins against): one sequence explode from a literal "
+    "seed — no source scan — with year/quarter/month/day-of-week/weekend "
+    "attributes as pure date arithmetic; DuckDB dayofweek is 0=Sunday, "
+    "matched via Spark's dayofweek-1",
+    tags=("relational",),
+)
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seed = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("dd")
+    )
+    dow = F.dayofweek("dd") - 1  # Spark: 1=Sunday → DuckDB: 0=Sunday
+    return seed.select(
+        F.col("dd").cast("timestamp_ntz").alias("d"),
+        F.year("dd").cast("long").alias("yr"),
+        F.quarter("dd").cast("long").alias("qtr"),
+        F.month("dd").cast("long").alias("mth"),
+        dow.cast("long").alias("dow"),
+        F.date_format("dd", "yyyy-MM").alias("ym"),
+        F.when(dow.isin(0, 6), 1).otherwise(0).cast("int").alias("is_weekend"),
+    )

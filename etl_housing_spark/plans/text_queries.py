@@ -708,3 +708,53 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(
         PositionalTokens(F.col("text").outer())
     ).select("doc_id", "word", "idx")
+
+
+@query(
+    "q_cooccurrence",
+    # Token co-occurrence within a ±3 position window (the GloVe/PPMI
+    # count-matrix precursor). The pair generator is a positional self-join
+    # PER DOCUMENT: equi-join on doc_id with the window bound as a residual
+    # — fan-out is O(tokens × window), never O(tokens²); ordered pairs are
+    # canonicalized (a ≤ b) so the matrix is symmetric-upper.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents)
+    SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2, COUNT(*) AS n
+    FROM tok a JOIN tok b
+      ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+    GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 30
+    """,
+    description="token co-occurrence counts in a ±3 positional window (the count "
+    "matrix GloVe/PPMI embeddings train on): per-document positional self-join "
+    "— equi-join on doc_id with the window bound as a residual predicate, "
+    "fan-out O(tokens × window) never O(tokens²); canonicalized unordered "
+    "pairs, one grouped count, top-30 via TakeOrderedAndProject",
+    tags=("text",),
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = tok.select(F.col("doc_id").alias("d"), F.col("pos").alias("pa"), F.col("w").alias("wa"))
+    b = tok.select(F.col("doc_id").alias("d2"), F.col("pos").alias("pb"), F.col("w").alias("wb"))
+    pairs = a.join(
+        b,
+        (F.col("d") == F.col("d2"))
+        & (F.col("pb") > F.col("pa"))
+        & (F.col("pb") <= F.col("pa") + 3),
+    )
+    return (
+        pairs.select(
+            F.least("wa", "wb").alias("w1"), F.greatest("wa", "wb").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(30)
+    )
