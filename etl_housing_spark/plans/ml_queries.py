@@ -86,3 +86,20 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_ml_quality_gate",
+    oracle=None,  # ⊘ iterative LBFGS fit — determinism + AUC bound asserted in
+    # tests/test_ml.py (repeated fits bit-identical, holdout AUC >= 0.95)
+    description="quality-gate distillation classifier (the trained replacement for "
+    "the hand-tuned q_quality_score filter a corpus pipeline runs): Catalyst-only "
+    "feature projection (marker ratio, token stats) -> seed-7 split -> scaler + "
+    "LogisticRegression pipeline, tree-aggregated LBFGS; emits holdout AUC, "
+    "intercept and per-feature coefficients as a metrics frame",
+    tags=("ml",),
+)
+def q_ml_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.quality_gate import classifier_report
+
+    return classifier_report(load_table(spark, sf_dir, "documents"))

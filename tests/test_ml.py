@@ -15,7 +15,7 @@ from etl_housing_spark.ml import (
 )
 from etl_housing_spark.catalog import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_pipeline_fit_predict_r2(spark):
@@ -70,3 +70,22 @@ def test_pipeline_with_categorical_onehot(spark):
     n_containers = part.select("p_brand").distinct().count()
     # numeric features + (cardinality+1 indexed, dropLast) one-hot slots
     assert len(lr.coefficients) == len(features) + n_containers
+
+
+def test_quality_gate_auc_and_determinism(spark):
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.ml.quality_gate import (
+        fit_quality_gate,
+        prepare_gate_features,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    feats = prepare_gate_features(docs)
+    _, _, auc1 = fit_quality_gate(feats, seed=7)
+    assert auc1 >= 0.95, auc1  # marker ratio separates 'en' by construction
+    # determinism: identical split seed + zero-start LBFGS -> identical AUC
+    _, _, auc2 = fit_quality_gate(feats, seed=7)
+    assert auc1 == auc2
+    # features are Python-free Catalyst expressions
+    plan_buf = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan_buf
