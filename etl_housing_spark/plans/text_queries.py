@@ -758,3 +758,90 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(30)
     )
+
+
+@query(
+    "q_ppmi",
+    # PPMI association over the ±3-window co-occurrence counts (the matrix
+    # weighting word-embedding literature applies before factorization —
+    # Levy & Goldberg 2014): every count is integer-aggregated in-plan
+    # (pair counts, marginal counts, total) and the single log runs once
+    # per surviving pair on identical integer ratios, rounded 6dp.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    pairs AS (
+      SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2, COUNT(*) AS n
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+      GROUP BY w1, w2),
+    marg AS (
+      SELECT w1 AS w, CAST(SUM(n) AS BIGINT) AS m FROM (
+        SELECT w1, n FROM pairs UNION ALL SELECT w2, n FROM pairs) u(w1, n)
+      GROUP BY w),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM pairs)
+    SELECT p.w1, p.w2, p.n,
+           ROUND(ln(CAST(p.n AS DOUBLE) * t / (m1.m * CAST(m2.m AS DOUBLE))), 6)
+             AS pmi
+    FROM pairs p
+    JOIN marg m1 ON p.w1 = m1.w
+    JOIN marg m2 ON p.w2 = m2.w
+    CROSS JOIN tot
+    WHERE ln(CAST(p.n AS DOUBLE) * t / (m1.m * CAST(m2.m AS DOUBLE))) > 0
+    ORDER BY pmi DESC, p.w1, p.w2 LIMIT 25
+    """,
+    description="positive PMI association scores over the ±3-window co-occurrence "
+    "matrix (the weighting applied before factorizing into word embeddings, "
+    "Levy & Goldberg 2014): pair/marginal/total counts all integer in-plan "
+    "aggregates (marginals from a union of the pair list, broadcast back), one "
+    "ln per surviving pair on identical integer ratios, positives only, "
+    "top-25 via TakeOrderedAndProject",
+    tags=("text",),
+)
+def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    a = tok.select(F.col("doc_id").alias("d"), F.col("pos").alias("pa"), F.col("w").alias("wa"))
+    b = tok.select(F.col("doc_id").alias("d2"), F.col("pos").alias("pb"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("d") == F.col("d2"))
+            & (F.col("pb") > F.col("pa"))
+            & (F.col("pb") <= F.col("pa") + 3),
+        )
+        .select(F.least("wa", "wb").alias("w1"), F.greatest("wa", "wb").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    marg = (
+        pairs.select(F.col("w1").alias("w"), "n")
+        .unionAll(pairs.select(F.col("w2").alias("w"), "n"))
+        .groupBy("w")
+        .agg(F.sum("n").alias("m"))
+    )
+    tot = pairs.agg(F.sum("n").alias("t"))
+    m1 = marg.select(F.col("w").alias("mw1"), F.col("m").alias("m1"))
+    m2 = marg.select(F.col("w").alias("mw2"), F.col("m").alias("m2"))
+    pmi = (
+        pairs.join(F.broadcast(m1), F.col("w1") == F.col("mw1"))
+        .join(F.broadcast(m2), F.col("w2") == F.col("mw2"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("n").cast("double") * F.col("t") / (F.col("m1") * F.col("m2").cast("double"))
+            ),
+        )
+        .filter(F.col("pmi") > 0)
+    )
+    return (
+        pmi.select("w1", "w2", "n", F.round("pmi", 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )

@@ -485,3 +485,88 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import pq_adc_topk
 
     return pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_centroid_confusion",
+    # Nearest-centroid classification + confusion matrix — the evaluation
+    # report for the embedding space (are labels geometrically coherent?).
+    # Centroids/distances are the q_pq_codes determinism recipe over the
+    # FULL vector (decimal means, order-free decimal squared-distance sums,
+    # argmin with candidate tie-break); the confusion matrix is one grouped
+    # count of (true label, assigned label) cells.
+    oracle="""
+    WITH expl AS (
+      SELECT vec_id, label, CAST(i.i - 1 AS BIGINT) AS i,
+             CAST(embedding[i.i] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) i(i)),
+    cent AS (
+      SELECT label AS cand, CAST(i.i - 1 AS BIGINT) AS i,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DOUBLE) / COUNT(*) AS c
+      FROM embeddings, range(1, 65) i(i)
+      GROUP BY label, i.i),
+    d2 AS (
+      SELECT e.vec_id, MIN(e.label) AS true_label, cent.cand,
+             CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS d2
+      FROM expl e JOIN cent ON e.i = cent.i
+      GROUP BY e.vec_id, cent.cand),
+    best AS (
+      SELECT vec_id, true_label, cand AS pred_label FROM (
+        SELECT vec_id, true_label, cand, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rk
+        FROM d2) t WHERE rk = 1)
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           COUNT(*) AS n
+    FROM best GROUP BY true_label, pred_label
+    """,
+    description="nearest-centroid classification confusion matrix over the "
+    "embedding space (the label-coherence evaluation an embedding pipeline "
+    "reports): decimal-exact per-label centroids, order-free decimal squared-"
+    "distance sums per (vector, candidate), struct-min argmin, then one "
+    "grouped count of (true, predicted) cells — matrix size K², independent "
+    "of corpus size; O(n·D·K) map-side-combinable work, no UDF",
+    tags=("vector",),
+)
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
+    cent = (
+        emb.select(F.col("label").alias("cand"), F.posexplode("embedding").alias("i", "v"))
+        .groupBy("cand", "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    term = (
+        (F.col("x").cast("double") - F.col("c"))
+        * (F.col("x").cast("double") - F.col("c"))
+    ).cast("decimal(38,18)")
+    d2 = (
+        expl.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cand")
+        .agg(
+            F.min("label").alias("true_label"),
+            F.sum(term).cast("double").alias("d2"),
+        )
+    )
+    best = (
+        d2.groupBy("vec_id")
+        .agg(
+            F.min("true_label").alias("true_label"),
+            F.min(F.struct(F.col("d2"), F.col("cand"))).alias("b"),
+        )
+        .select("true_label", F.col("b.cand").alias("pred_label"))
+    )
+    return (
+        best.groupBy(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
