@@ -1493,3 +1493,90 @@ def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("dd", "yyyy-MM").alias("ym"),
         F.when(dow.isin(0, 6), 1).otherwise(0).cast("int").alias("is_weekend"),
     )
+
+
+@query(
+    "q_share_of_total",
+    # Unpartitioned window aggregate: each group's share of the grand
+    # total WITHOUT a second scan or a self-join — the ratio-to-report
+    # window shape. The grand total is a window sum OVER () on the tiny
+    # aggregated frame (|groups| rows), never over the fact table.
+    oracle=f"""
+    WITH g AS (
+      SELECT n.n_name, {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT n_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share
+    FROM g
+    """,
+    description="ratio-to-report (share of grand total) per nation: grouped decimal "
+    "revenue, then a window SUM OVER () on the |groups|-row aggregate — the "
+    "grand total costs one single-partition pass over K rows, not a second "
+    "fact scan or a self-join; share division on identical operands, rounded "
+    "once",
+    tags=("window", "relational"),
+)
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+@query(
+    "q_active_streaks",
+    # Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+    # The islands come from the classic (day − dense_rank) grouping key —
+    # two window passes over the per-user distinct-day frame (tiny vs the
+    # event table), no self-join, no iteration.
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    ranked AS (
+      SELECT user_id, d,
+             CAST(d AS DATE) - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      FROM days),
+    runs AS (
+      SELECT user_id, COUNT(*) AS run_len, MIN(d) AS run_start
+      FROM ranked GROUP BY user_id, grp)
+    SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY user_id
+    """,
+    description="gaps-and-islands longest consecutive-active-day streak per user: "
+    "distinct (user, day) frame, the day-minus-row_number island key, one "
+    "grouped count per island, max per user — two window/aggregate passes "
+    "over the per-user day frame (bounded by days, not events), no self-join, "
+    "no iteration; the engagement-streak report every activity warehouse runs",
+    tags=("window", "timeseries"),
+)
+def q_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    ranked = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = ranked.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
