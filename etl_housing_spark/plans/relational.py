@@ -1580,3 +1580,69 @@ def q_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
     )
+
+
+@query(
+    "q_scd2_pointintime",
+    # Point-in-time join against a versioned dimension: each order joins
+    # the dim VERSION that was valid at its order date (the temporal-
+    # consistency rule that stops a 1997 order reporting under a 1999
+    # segment). The versioned dim is synthesized deterministically in-plan
+    # (two versions per customer split at 1998-07-01, segment suffixed for
+    # the later slice). Physical shape: equi-join on the key with the
+    # validity window as a residual — fan-out is versions-per-key (2),
+    # NEVER a range-only join.
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             TIMESTAMP '1900-01-01' AS valid_from,
+             TIMESTAMP '1998-07-01' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '_V2',
+             TIMESTAMP '1998-07-01', TIMESTAMP '9999-01-01'
+      FROM customer)
+    SELECT d.segment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND o.o_orderdate >= d.valid_from
+              AND o.o_orderdate < d.valid_to
+    GROUP BY d.segment
+    """,
+    description="point-in-time join to an SCD2 versioned dimension (the temporal-"
+    "consistency join the scd2_merge warehouse surface exists to serve): each "
+    "order matches the dim version valid at its order date — equi-join on the "
+    "business key with the validity window as a residual predicate, fan-out "
+    "bounded by versions-per-key, never a range-only nested loop; versioned "
+    "dim synthesized deterministically in-plan",
+    tags=("join", "relational"),
+)
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1900-01-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("1998-07-01").cast("timestamp_ntz").alias("valid_to"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        F.lit("1998-07-01").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("9999-01-01").cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = o.join(
+        F.broadcast(dim),
+        (o.o_custkey == dim.c_custkey)
+        & (o.o_orderdate >= dim.valid_from)
+        & (o.o_orderdate < dim.valid_to),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+    )
