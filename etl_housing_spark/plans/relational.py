@@ -1646,3 +1646,88 @@ def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "q_mom_growth",
+    # Period-over-period growth: lag() runs on the MONTHLY AGGREGATE frame
+    # (|nations × months| rows), never the fact table — the BI report shape
+    # where the window cost is proportional to the report, not the data.
+    oracle=f"""
+    WITH m AS (
+      SELECT n.n_name, CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS mth,
+             {sql_dsum('o.o_totalprice')} AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, mth)
+    SELECT n_name, mth, revenue,
+           ROUND((revenue - LAG(revenue) OVER w)
+                 / LAG(revenue) OVER w, 6) AS mom_growth
+    FROM m
+    WINDOW w AS (PARTITION BY n_name ORDER BY mth)
+    """,
+    description="month-over-month revenue growth per nation: decimal monthly "
+    "rollup first (partial+final over the fact), then lag()+growth on the "
+    "|nations×months| report frame — the window pass costs report-size, not "
+    "data-size; first month's growth is NULL by definition",
+    tags=("window", "relational"),
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("mth"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("mth")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "n_name",
+        "mth",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
+@query(
+    "q_cumulative_users",
+    # Cumulative distinct users per day — computed WITHOUT a distinct-over-
+    # growing-window (which would re-scan every prefix, O(days²) at best):
+    # each user's FIRST-SEEN day (one aggregate), daily first-seen counts,
+    # then a running sum over the |days|-row frame. The standard rewrite
+    # that turns an unbounded-distinct window into two partial-agg passes.
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d)
+    SELECT CAST(d AS TIMESTAMP) AS d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cume_users
+    FROM daily
+    """,
+    description="cumulative distinct users per day via the first-seen rewrite: "
+    "MIN(day) per user (one partial+final aggregate), daily new-user counts, "
+    "running sum over the |days|-row frame — replaces the O(days²) distinct-"
+    "over-growing-window with two linear aggregates; the DAU/retention "
+    "companion every activity warehouse materializes",
+    tags=("window", "timeseries"),
+)
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").cast("timestamp_ntz").alias("d"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cume_users"),
+    )
