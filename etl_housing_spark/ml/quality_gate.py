@@ -33,9 +33,8 @@ from __future__ import annotations
 
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.classification import LogisticRegression
-from pyspark.ml.evaluation import BinaryClassificationEvaluator
 from pyspark.ml.feature import StandardScaler, VectorAssembler
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -57,6 +56,37 @@ def prepare_gate_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def rank_auc(pred: DataFrame, score_col: str, label_col: str = "label") -> float:
+    """ROC AUC as the Mann-Whitney U statistic, pure DataFrame ops.
+
+    AUC = (Σ midrank(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻), with midranks for
+    tied scores (rank + (ties−1)/2 — the textbook estimator). Stays entirely
+    in Catalyst: one sort-rank window + one aggregate, no RDD closure —
+    deliberately NOT ``BinaryClassificationEvaluator``, whose RDD-based
+    metrics serialize a closure that trips over a session that has ever run
+    an Observation (CollectMetrics listener state is not serializable); the
+    engine-side formulation is also the one you'd distribute at scale
+    (windowed rank over score-sorted partitions or a binned approximation).
+    """
+    w_rank = Window.orderBy(score_col)
+    w_tie = Window.partitionBy(score_col)
+    ranked = pred.select(
+        F.col(label_col),
+        (
+            F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col(label_col) == 1.0, F.col("midrank"))).alias("rank_sum"),
+        F.sum((F.col(label_col) == 1.0).cast("long")).alias("n_pos"),
+        F.sum((F.col(label_col) == 0.0).cast("long")).alias("n_neg"),
+    ).first()
+    if not agg.n_pos or not agg.n_neg:
+        return float("nan")
+    u = agg.rank_sum - agg.n_pos * (agg.n_pos + 1) / 2.0
+    return float(u / (agg.n_pos * agg.n_neg))
+
+
 def fit_quality_gate(feats: DataFrame, seed: int = 7) -> tuple[PipelineModel, DataFrame, float]:
     """Returns (model, holdout predictions, holdout AUC)."""
     train, test = feats.randomSplit([0.75, 0.25], seed=seed)
@@ -69,9 +99,14 @@ def fit_quality_gate(feats: DataFrame, seed: int = 7) -> tuple[PipelineModel, Da
     )
     model = pipe.fit(train)
     pred = model.transform(test)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", metricName="areaUnderROC"
-    ).evaluate(pred)
+    # positive-class probability as the ranking score (vector_to_array keeps
+    # the extraction in Catalyst — no Python row handling)
+    from pyspark.ml.functions import vector_to_array
+
+    scored = pred.select(
+        "label", vector_to_array("probability").getItem(1).alias("p1")
+    )
+    auc = rank_auc(scored, "p1")
     return model, pred, auc
 
 

@@ -85,12 +85,32 @@ def observed_write(
     promote or quarantine — one scan total.
 
     Returns {expectation_name: violation_count, "rows": n}.
+
+    Session hygiene: the job runs in a THROWAWAY ``newSession()`` (same
+    SparkContext, fresh session state) reached through a global temp view.
+    Registering an Observation materializes the owning session's
+    ObservationManager, and MLlib's UDF closures capture their session —
+    any later ``model.transform`` action on a session that ever observed
+    fails with ``NotSerializableException: ObservationManager``. Isolating
+    the observation in a discarded session keeps the caller's session
+    serialization-clean; the write itself is context-level and lands
+    identically.
     """
+    import uuid
+
     from pyspark.sql import Observation
 
-    obs = Observation(name)
-    metrics = [F.count(F.lit(1)).alias("rows")] + [
-        F.sum(F.when(cond, 1).otherwise(0)).alias(key) for key, cond in expectations.items()
-    ]
-    writer_fn(df.observe(obs, *metrics))
-    return dict(obs.get)
+    tmp = f"__ehs_obs_{uuid.uuid4().hex[:8]}"
+    df.createOrReplaceGlobalTempView(tmp)
+    try:
+        ns = df.sparkSession.newSession()
+        ndf = ns.table(f"global_temp.{tmp}")
+        obs = Observation(name)
+        metrics = [F.count(F.lit(1)).alias("rows")] + [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(key)
+            for key, cond in expectations.items()
+        ]
+        writer_fn(ndf.observe(obs, *metrics))
+        return dict(obs.get)
+    finally:
+        df.sparkSession.catalog.dropGlobalTempView(tmp)
