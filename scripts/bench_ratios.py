@@ -18,10 +18,13 @@ from __future__ import annotations
 
 import json
 import os
+import pathlib
 import sys
 import time
 
 import duckdb
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from bench import ingest_layout, materialize
 from etl_housing_spark.catalog import TABLES
