@@ -160,3 +160,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_near_dups(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.9)
     return canonicalize(docs, dedup_clusters(pairs), "doc_id").select("doc_id", "lang", "source")
+
+
+@query(
+    "q_dedup_keep_best",
+    # Survivor selection by VALUE, not arrival order: within each content
+    # fingerprint keep the highest-quality copy (longest here — the "keep
+    # the cleanest duplicate" rule corpus dedup actually wants, vs
+    # q_dedup_exact's keep-first-by-key). Same single-shuffle row_number
+    # shape; the survivor is deterministic because the order is total
+    # (quality desc, then id).
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(lower(trim(text)))
+               ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents) t
+    WHERE rk = 1
+    """,
+    description="exact dedup with keep-BEST survivor selection: one shuffle on the "
+    "normalized-content fingerprint, row_number ordered by (quality desc, id) — "
+    "the 'keep the longest/cleanest copy' rule a training corpus wants, vs "
+    "keep-first's arrival-order survivor; deterministic because the order is "
+    "total",
+    tags=("dedup",),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "n_chars")
+    )

@@ -66,3 +66,51 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.sample_per_key(orders, ["o_custkey"], ["o_orderkey"], k=2).select(
         "o_custkey", "o_orderkey"
     )
+
+
+@query(
+    "q_weighted_sample",
+    # Deterministic Bernoulli sampling with per-row inclusion probability =
+    # the row's quality weight (the training-mix primitive "sample documents
+    # proportional to quality"): keep iff hash-uniform(id) < weight.
+    # hash-uniform = first-8-hex of md5 scaled to [0,1) — identical
+    # construction on both engines, so membership is row-for-row
+    # reproducible under any run, partitioning, or cluster size (the
+    # property rand()-based sampling can never give). Map-only, no shuffle.
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             LEAST(n_chars / 400.0, 1.0) AS weight,
+             CAST('0x' || substr(md5(concat_ws(chr(31), 'ws', CAST(doc_id AS VARCHAR))), 1, 8)
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, n_chars, ROUND(weight, 6) AS weight
+    FROM w WHERE u < weight
+    """,
+    description="deterministic weighted Bernoulli sample (inclusion probability = "
+    "per-doc quality weight, here length-saturation): keep iff md5-uniform(id) < "
+    "weight — row-for-row reproducible across engines/runs/partitionings, "
+    "map-only and shuffle-free; the training-mix primitive for 'sample "
+    "proportional to quality' at corpus scale",
+    tags=("sampling",),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit("ws"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    weight = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    return (
+        docs.select("doc_id", "n_chars", weight.alias("weight"), u.alias("u"))
+        .filter(F.col("u") < F.col("weight"))
+        .select("doc_id", "n_chars", F.round("weight", 6).alias("weight"))
+    )
