@@ -1731,3 +1731,96 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cume_users"),
     )
+
+
+@query(
+    "q_weekend_activity",
+    # The generated calendar dim (q_date_dim) in actual use: a broadcast
+    # join from the event stream to its day row, rolled up by the dim's
+    # weekend attribute — the generated-dimension join every warehouse
+    # report runs.
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(d AS DATE) AS d,
+             CASE WHEN dayofweek(CAST(d AS TIMESTAMP)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS is_weekend
+      FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d))
+    SELECT e.event_type, dim.is_weekend, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN dim ON CAST(date_trunc('day', e.ts) AS DATE) = dim.d
+    GROUP BY e.event_type, dim.is_weekend
+    """,
+    description="weekend-vs-weekday activity rollup: the generated calendar "
+    "dimension joined (broadcast — 366 rows) onto the event stream by day, "
+    "grouped by the dim attribute with decimal-exact value sums; the "
+    "generated-dim join shape q_date_dim exists to serve",
+    tags=("join", "timeseries"),
+)
+def q_weekend_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-12-31").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("d")
+        )
+        .select(
+            "d",
+            F.when((F.dayofweek("d") - 1).isin(0, 6), 1).otherwise(0).alias("is_weekend"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(dim), F.date_trunc("day", "ts").cast("date") == dim.d)
+        .groupBy("event_type", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_nullsafe_join",
+    # Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL keys MATCH each
+    # other instead of vanishing — the semantics a changelog/state compare
+    # needs (two absent values are the "same"). Regular equality silently
+    # drops every NULL-keyed row; the plan is still a hash join (null-safe
+    # equality is hashable).
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_type IN ('view', 'click') THEN event_type END AS k
+      FROM events),
+    d AS (
+      SELECT * FROM (VALUES ('view', 'browse'), ('click', 'interact'),
+                            (NULL, 'other')) t(k, category))
+    SELECT d.category, COUNT(*) AS n
+    FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.category
+    """,
+    description="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match the dim's NULL row instead of being dropped — the state-compare/"
+    "changelog semantics where two absences agree; still a broadcast HASH "
+    "join (null-safe equality hashes), never a nested loop",
+    tags=("join", "relational"),
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type").isin("view", "click"), F.col("event_type")).alias("k"),
+    )
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "interact"), (None, "other")],
+        "k string, category string",
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.k.eqNullSafe(dim.k))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
