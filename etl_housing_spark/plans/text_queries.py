@@ -845,3 +845,63 @@ def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+@query(
+    "q_boilerplate",
+    # Cross-document repeated-passage detection (the CCNet/C4 boilerplate
+    # problem: headers, footers, templates recurring across pages): chunk
+    # every document into non-overlapping 8-token passages, fingerprint,
+    # and keep fingerprints appearing in 2+ DISTINCT documents. Chunking is
+    # the q_chunk_docs construction at stride = chunk (no overlap — a
+    # passage should count once per position); the report is one grouped
+    # aggregate over the fingerprint key.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, 8)) AS start
+      FROM t),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(toks, start, least(start + 7, len(toks))), ' ')) AS fp
+      FROM s
+      WHERE least(start + 7, len(toks)) - start + 1 = 8)
+    SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+    FROM ch GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, fp LIMIT 50
+    """,
+    description="cross-document repeated-passage (boilerplate) detection: non-"
+    "overlapping 8-token passages fingerprinted per document, fingerprints kept "
+    "when they recur in 2+ DISTINCT documents — the template/header removal "
+    "signal CCNet/C4 pipelines compute before training; chunk+hash is map-only, "
+    "then ONE grouped aggregate on the fingerprint (count + distinct-doc "
+    "count), top-50 via TakeOrderedAndProject; partial 8-token tails excluded "
+    "so every passage is the same shape",
+    tags=("text", "dedup"),
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(8))
+    chunk = F.slice(F.col("toks"), F.col("start"), 8)
+    ch = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .filter(
+            F.least(F.col("start") + 7, F.size("toks")) - F.col("start") + 1 == 8
+        )
+        .select("doc_id", F.md5(F.array_join(chunk, " ")).alias("fp"))
+    )
+    return (
+        ch.groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "fp")
+        .limit(50)
+    )
