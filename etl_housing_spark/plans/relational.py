@@ -1824,3 +1824,87 @@ def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_skyline",
+    # 2-D skyline (Pareto frontier: bigger part, cheaper price) via the
+    # sort + cumulative-strict-min trick: after ordering by size DESC, a
+    # part is dominated iff some EARLIER row (≥ size) was also strictly
+    # cheaper — i.e. iff running min(price) over the preceding frame
+    # undercuts it. One range shuffle + one window pass, O(n log n) — the
+    # classic nested-loop dominance join is O(n²) and never appears.
+    # Size ties order by price so an equal-size cheaper part precedes and
+    # dominates; equal (size, price) duplicates all survive (none strictly
+    # dominates another).
+    oracle="""
+    WITH s AS (
+      SELECT p_partkey, p_size, p_retailprice,
+             MIN(p_retailprice) OVER (
+               ORDER BY p_size DESC, p_retailprice, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+      FROM part)
+    SELECT p_partkey, p_size, p_retailprice
+    FROM s WHERE best_prev IS NULL OR p_retailprice < best_prev
+    """,
+    description="2-D skyline / Pareto frontier (largest-and-cheapest parts) via "
+    "sort + cumulative strict-min: a row is dominated iff the running minimum "
+    "price over the size-descending prefix undercuts it — one ordered window "
+    "pass, O(n log n), replacing the O(n²) dominance self-join; deterministic "
+    "under ties (equal-size rows ordered cheapest-first)",
+    tags=("window", "relational"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.orderBy(F.desc("p_size"), "p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = p.select(
+        "p_partkey", "p_size", "p_retailprice",
+        F.min("p_retailprice").over(w).alias("best_prev"),
+    )
+    return s.filter(
+        F.col("best_prev").isNull() | (F.col("p_retailprice") < F.col("best_prev"))
+    ).select("p_partkey", "p_size", "p_retailprice")
+
+
+@query(
+    "q_transition_matrix",
+    # First-order Markov transition counts over each user's event sequence
+    # — the behavior model (and sequence-corpus sanity report) built from
+    # one lead() over the per-user timeline + one grouped count. Row
+    # probabilities divide by the in-plan per-state totals (window sum on
+    # the K²-row matrix, not the event table).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    m AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt)
+    SELECT cur, nxt, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+    FROM m
+    """,
+    description="first-order Markov transition matrix over per-user event "
+    "sequences: lead() on the (ts, event_id)-ordered timeline (one entity-key "
+    "shuffle), grouped pair counts, row-normalized by a window sum over the "
+    "K²-row matrix — transition probabilities for behavior modeling and "
+    "sequence-corpus QA, never a self-join on the stream",
+    tags=("window", "timeseries"),
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    m = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("cur")
+    return m.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
+    )
