@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         relational,
         sampling_queries,
+        stats_queries,
         streaming_queries,
         timeseries_queries,
         tpch_queries,

@@ -1,0 +1,315 @@
+"""Statistical-analysis queries (round 3): distribution summaries, association
+tests, and corpus-distribution diagnostics.
+
+Reference parity: the reference's notebooks profile distributions with pandas
+``describe()``/``value_counts()`` (trulia_csv_to_nlp.ipynb cells 6-10) and fit
+models to inspect feature association (cells 30-36). These queries generalize
+that surface — deterministic mode/median, decile bucketing, a chi-square
+independence statistic, a Zipf rank-frequency fit, and Jensen-Shannon
+divergence between per-source token distributions (the "does this source look
+like the corpus?" drift check a pretraining pipeline runs before mixing).
+
+Cross-engine determinism: every double aggregation routes through the
+decimal-exact ``dsum`` (see ``_util``) so Spark's partial+final and DuckDB's
+vectorized accumulation cannot diverge; median and mode are DISCRETE
+constructions (integer-rank quantile, count+tie-break) rather than engine
+built-ins whose tie semantics differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import dsum, sql_dsum
+from .registry import query
+
+
+@query(
+    "q_mode_median",
+    # Both statistics come from ONE value histogram per lang (single scan of
+    # documents, one shuffle): median is the discrete type-1 quantile by
+    # integer rank (2·cum ≥ tot — no interpolation, so no float parity risk),
+    # mode is (count desc, value asc) rank 1 — deterministic under ties,
+    # unlike engine mode() whose tie choice is unspecified on both engines.
+    oracle="""
+    WITH h AS (
+      SELECT lang, n_chars AS v, COUNT(*) AS cnt
+      FROM documents GROUP BY lang, n_chars),
+    w AS (
+      SELECT lang, v, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS tot,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, v ASC) AS mode_rn
+      FROM h)
+    SELECT lang,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN v END) AS BIGINT) AS median_chars,
+           CAST(MIN(CASE WHEN mode_rn = 1 THEN v END) AS BIGINT) AS mode_chars,
+           CAST(MIN(CASE WHEN mode_rn = 1 THEN cnt END) AS BIGINT) AS mode_count,
+           CAST(MIN(tot) AS BIGINT) AS n_docs
+    FROM w GROUP BY lang
+    """,
+    description="deterministic per-group mode + discrete median from one value "
+    "histogram: groupBy(lang, value) count, then windowed cumulative rank — single "
+    "scan, one shuffle on (lang, value), two tiny windows on the histogram; engine "
+    "mode()/median() built-ins are avoided because their tie/interpolation "
+    "semantics are engine-specific",
+    tags=("stats",),
+)
+def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    w_mode = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("v"))
+    w = h.select(
+        "lang",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+        F.row_number().over(w_mode).alias("mode_rn"),
+    )
+    return w.groupBy("lang").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("median_chars"),
+        F.min(F.when(F.col("mode_rn") == 1, F.col("v"))).alias("mode_chars"),
+        F.min(F.when(F.col("mode_rn") == 1, F.col("cnt"))).alias("mode_count"),
+        F.min("tot").alias("n_docs"),
+    )
+
+
+@query(
+    "q_ntile_buckets",
+    # ntile over a TOTALLY ordered key (n_chars, doc_id tie-break) is
+    # deterministic on both engines: the SQL-standard bucket rule
+    # (first `count % n` buckets take the extra row) is identical. The
+    # global sort is one range-partitioned exchange; per-bucket stats then
+    # partial-aggregate. The decile report is the length-stratification step
+    # of a corpus pipeline (pack short docs together, inspect tail buckets).
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+    SELECT decile,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           ROUND({sql_dsum('n_chars')} / COUNT(*), 6) AS avg_chars
+    FROM t GROUP BY decile
+    """,
+    description="decile bucketing by document length: NTILE(10) over the "
+    "deterministic (n_chars, doc_id) order, then per-bucket min/max/avg — one "
+    "range exchange for the global order + one partial-agg shuffle; the "
+    "length-stratification primitive for packing/inspection",
+    tags=("stats",),
+)
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(dsum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "q_chi2_independence",
+    # Pearson chi-square for lang ⊥ source over documents. The expected-count
+    # grid MUST include zero-observed cells (o=0 still contributes e), so the
+    # grid is rowtotals × coltotals (|langs|·|sources| rows — tiny, and both
+    # marginals broadcast at any corpus scale), left-joined with observed
+    # cells. e = rt·ct/N on identical bigint operands → identical doubles;
+    # the (o-e)²/e terms sum through the decimal-exact dsum.
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, SUM(o) AS rtot FROM cells GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS ctot FROM cells GROUP BY source),
+    n AS (SELECT SUM(o) AS n FROM cells),
+    grid AS (
+      SELECT rt.lang, ct.source,
+             CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+      FROM rt CROSS JOIN ct CROSS JOIN n),
+    terms AS (
+      SELECT grid.lang, grid.source,
+             (COALESCE(cells.o, 0) - grid.e) * (COALESCE(cells.o, 0) - grid.e) / grid.e AS t
+      FROM grid LEFT JOIN cells ON grid.lang = cells.lang AND grid.source = cells.source)
+    SELECT ROUND({sql_dsum('t')}, 6) AS chi2,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof
+    FROM terms
+    """,
+    description="Pearson chi-square independence statistic for lang × source: one "
+    "scan to the contingency cells, marginals re-aggregated from the cells (no "
+    "second scan), expected grid built as rowtotals × coltotals so zero-observed "
+    "cells contribute correctly, terms summed decimal-exact — the 'is this "
+    "attribute independent of that one' screen of corpus audits",
+    tags=("stats",),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("rtot"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("ctot"))
+    n = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            (
+                F.col("rtot").cast("double") * F.col("ctot").cast("double") / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    terms = grid.join(cells, ["lang", "source"], "left").select(
+        ((F.coalesce(F.col("o"), F.lit(0)) - F.col("e")) ** 2 / F.col("e")).alias("t")
+    )
+    dof = (
+        rt.agg(F.count(F.lit(1)).alias("r"))
+        .crossJoin(ct.agg(F.count(F.lit(1)).alias("c")))
+        .select(((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"))
+    )
+    return terms.agg(F.round(dsum("t"), 6).alias("chi2")).crossJoin(F.broadcast(dof))
+
+
+@query(
+    "q_zipf_slope",
+    # Least-squares slope of ln(freq) on ln(rank) over the token frequency
+    # table — the Zipf-law fit that flags synthetic/degenerate corpora
+    # (natural language ≈ −1). regr_slope() is NOT used: its double
+    # accumulation is order-dependent on both engines. Instead the four
+    # component sums (Σx, Σy, Σxy, Σx²) run decimal-exact and the closed form
+    # evaluates once on identical operands. Rank = row_number over
+    # (freq desc, token asc): total order, engine-agnostic.
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM freq),
+    s AS (
+      SELECT COUNT(*) AS n, {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+             {sql_dsum('x * y')} AS sxy, {sql_dsum('x * x')} AS sxx
+      FROM ranked)
+    SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM s
+    """,
+    description="Zipf rank-frequency slope of the corpus token distribution: "
+    "explode + grouped count, deterministic row_number rank, least-squares slope "
+    "from decimal-exact component sums (engine regr_slope avoided for order "
+    "dependence) — natural text fits ≈ −1, template/synthetic corpora deviate; "
+    "one scan, two shuffles (token agg + rank exchange)",
+    tags=("stats", "text"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.select(
+        F.log(F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))).cast("double")).alias(
+            "x"
+        ),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+        F.col("n").cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "q_js_divergence",
+    # Jensen-Shannon divergence of each source's token distribution vs the
+    # corpus distribution — the source-drift check run before fixing a
+    # pretraining mixture. The sum must run over the FULL corpus vocabulary
+    # per source (tokens absent from a source still contribute ½·q·log2 2),
+    # so the term grid is corpus-tokens × sources (|V|·|sources| rows; the
+    # source list and totals broadcast; the grid partial-aggregates straight
+    # back down to |sources| rows). p,q,m derive from bigint counts →
+    # identical doubles; terms sum decimal-exact; log2 on both engines.
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    sc AS (SELECT source, tok, COUNT(*) AS cs FROM occ GROUP BY source, tok),
+    stot AS (SELECT source, SUM(cs) AS ts FROM sc GROUP BY source),
+    corpus AS (SELECT tok, SUM(cs) AS c FROM sc GROUP BY tok),
+    ctot AS (SELECT SUM(c) AS t FROM corpus),
+    grid AS (
+      SELECT stot.source, corpus.tok,
+             COALESCE(sc.cs, 0) / CAST(stot.ts AS DOUBLE) AS p,
+             corpus.c / CAST(ctot.t AS DOUBLE) AS q
+      FROM corpus CROSS JOIN ctot CROSS JOIN stot
+      LEFT JOIN sc ON sc.source = stot.source AND sc.tok = corpus.tok),
+    terms AS (
+      SELECT source,
+             CASE WHEN p > 0 THEN 0.5 * p * log2(p / ((p + q) / 2)) ELSE 0 END
+             + CASE WHEN q > 0 THEN 0.5 * q * log2(q / ((p + q) / 2)) ELSE 0 END AS t
+      FROM grid)
+    SELECT source, ROUND({sql_dsum('t')}, 6) AS jsd
+    FROM terms GROUP BY source
+    """,
+    description="Jensen-Shannon divergence between each source's token "
+    "distribution and the corpus distribution (bounded [0,1] in log2 — the "
+    "mixture-drift diagnostic): per-source and corpus token counts from one "
+    "explode scan, full-vocabulary term grid so absent tokens contribute their "
+    "½·q mass, decimal-exact term sums — two shuffles on token keys plus one "
+    "broadcast of the 20-row source totals",
+    tags=("stats", "text"),
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sc = occ.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cs"))
+    stot = sc.groupBy("source").agg(F.sum("cs").alias("ts"))
+    corpus = sc.groupBy("tok").agg(F.sum("cs").alias("c"))
+    ctot = corpus.agg(F.sum("c").alias("t"))
+    grid = (
+        corpus.crossJoin(F.broadcast(ctot))
+        .crossJoin(F.broadcast(stot))
+        .join(sc, ["source", "tok"], "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("cs"), F.lit(0)) / F.col("ts").cast("double")).alias("p"),
+            (F.col("c") / F.col("t").cast("double")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log2(F.col("p") / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log2(F.col("q") / m)).otherwise(F.lit(0.0))
+    return grid.select("source", term.alias("t")).groupBy("source").agg(
+        F.round(dsum("t"), 6).alias("jsd")
+    )
