@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         timeseries_queries,
         tpch_queries,
         text_queries,
+        validation_queries,
         vector_queries,
     )
 

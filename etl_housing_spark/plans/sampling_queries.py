@@ -69,6 +69,49 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_temperature_mix",
+    # Temperature-scaled source mixing (the pretraining-mixture primitive:
+    # α<1 upsamples small sources, α=1 is proportional, α→0 is uniform):
+    # w_i = n_i^α / Σ n_j^α over per-source doc counts. n^α is rounded to
+    # 6dp BEFORE the normalizing sum (a cross-libm pow() 1-ulp wobble cannot
+    # move the 6th decimal except exactly at a rounding boundary), and the
+    # denominator is the decimal-exact sum of those rounded values — so both
+    # engines normalize identical operands. One grouped count + a 20-row
+    # broadcast of the total: scale cost is the count, nothing else.
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n,
+             ROUND(pow(COUNT(*), 0.7), 6) AS p
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS z FROM counts)
+    SELECT source, n,
+           ROUND(p / z, 6) AS weight,
+           CAST(ROUND(100000 * p / z, 0) AS BIGINT) AS target_docs
+    FROM counts CROSS JOIN tot
+    """,
+    description="temperature-scaled corpus mixture weights (w_i = n_i^0.7 / Σ "
+    "n_j^0.7): per-source counts, 6dp-rounded pow so cross-libm wobble cannot "
+    "reach the reported digits, decimal-exact normalizer — yields the per-source "
+    "sampling budget for a 100k-doc training mix; one grouped count, everything "
+    "after is broadcast-sized",
+    tags=("sampling",),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    counts = counts.select("source", "n", F.round(F.pow("n", F.lit(0.7)), 6).alias("p"))
+    tot = counts.agg(F.sum(F.col("p").cast("decimal(18,6)")).cast("double").alias("z"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.round(F.col("p") / F.col("z"), 6).alias("weight"),
+        F.round(F.lit(100000) * F.col("p") / F.col("z"), 0).cast("bigint").alias("target_docs"),
+    )
+
+
+@query(
     "q_weighted_sample",
     # Deterministic Bernoulli sampling with per-row inclusion probability =
     # the row's quality weight (the training-mix primitive "sample documents

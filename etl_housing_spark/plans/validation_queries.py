@@ -1,0 +1,110 @@
+"""Record-linkage and cross-system validation queries (round 3).
+
+Reference parity: the reference hand-normalizes near-identical strings
+("Studio" vs "studio", trulia_scrape.py:166-168) and trusts its CSV→SQL→Mongo
+copies blindly. These queries give both concerns a first-class, scale-safe
+form: a blocked fuzzy-match (the record-linkage primitive for canonicalizing
+dirty dimension values) and an order-independent table fingerprint (the
+"did the migration copy every row" check between any two engines — the
+repo's own Spark↔DuckDB oracle protocol, turned into a query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "q_fuzzy_match",
+    # Dedupe-then-match: fuzzy joins NEVER run on the raw table — distinct
+    # names first (64 values here; bounded by the dirty-vocabulary size, not
+    # the row count, at any scale), then a self-join *within blocks* (last
+    # token of the name) so the candidate set is Σ|block|², not |V|². The
+    # Levenshtein threshold then canonicalizes; applying the mapping back to
+    # the fact table is a broadcast equi-join. Edit distance is the standard
+    # DP on both engines — integer, no float parity risk.
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             split_part(p_name, ' ', 2) AS block
+      FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+    description="blocked fuzzy string match over the distinct part-name vocabulary "
+    "(record-linkage canonicalization): distinct-first so cost is bounded by "
+    "vocabulary size not row count, block on the head noun so the self-join is "
+    "Σ|block|² not |V|², Levenshtein ≤ 3 — the scale-safe shape for entity "
+    "resolution on dirty dimensions",
+    tags=("matching",),
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("block"),
+    ).distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 3)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).cast("bigint").alias("dist"),
+        )
+    )
+
+
+@query(
+    "q_table_checksum",
+    # Order-independent per-group fingerprint: each row folds to a 32-bit
+    # integer (first 8 md5 hex chars of the canonical row string), and the
+    # group checksum is the exact integer SUM — associative, so any
+    # partitioning/merge order gives the same value, and any single-row
+    # difference changes it. The sum runs in DECIMAL(38,0) (no overflow until
+    # ~1e28 rows) and is reported mod 1e18 to stay in BIGINT. Timestamps
+    # render through an explicit format string (engine-default casts differ
+    # on fractional seconds). Map-only + one partial-agg shuffle: the
+    # cheapest possible "are these two copies identical" scan at 100 TB.
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws(chr(31),
+                  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                  o_orderpriority, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))), 1, 8)
+                AS BIGINT) AS DECIMAL(38,0))) % 1000000000000000000 AS BIGINT) AS checksum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    description="order-independent table fingerprint per order status: md5-fold "
+    "each row to a 32-bit int (explicit timestamp format — engine cast defaults "
+    "differ), exact decimal SUM mod 1e18 — the cross-engine migration-validation "
+    "checksum; map-only plus one partial-agg shuffle, identical by construction "
+    "on any engine and any row order",
+    tags=("matching", "warehouse"),
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "\x1f",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("bigint")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(10**18)).cast("bigint").alias("checksum"),
+    )
