@@ -542,3 +542,41 @@ def test_ewma_laws(spark):
 
     with _pytest.raises(ValueError):
         ewma_by_key(df, "k", ["t"], "v", alpha=0.0)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """operators/graph.py pagerank vs a dense NumPy power iteration with the
+    identical dangling-mass-redistribution update, on a graph that exercises
+    every branch: a cycle, a hub, a dangling node (5→ nothing), and a node
+    with no in-edges (4)."""
+    import numpy as np
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3)][:5] + [(3, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from etl_housing_spark.operators.graph import degree_stats, pagerank
+
+    iters, d = 12, 0.85
+    got = {r.node: r.rank for r in pagerank(df, iterations=iters, damping=d).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _t in edges:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        recv = np.zeros(n)
+        for s, t in edges:
+            recv[idx[t]] += r[idx[s]] / out[idx[s]]
+        dmass = r[out == 0].sum()
+        r = (1 - d) / n + d * (recv + dmass / n)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-9, (node, got[node], r[idx[node]])
+    # conservation: ranks are a distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub (3) must outrank the no-in-edge node (4)
+    assert got[3] > got[4]
+
+    deg = {r_.node: (r_.out_deg, r_.in_deg) for r_ in degree_stats(df).collect()}
+    assert deg[3] == (2, 3) and deg[4] == (1, 0) and deg[5] == (0, 1)
