@@ -52,10 +52,17 @@ def shingles(
     if n == 1:
         sh = F.explode(F.array_distinct(toks))
     else:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+        # Docs shorter than n tokens contribute their whole text as one
+        # shingle (the q_minhash_portable convention). The size guard also
+        # avoids Spark's descending sequence(1, 0) when size < n, which
+        # would hit slice() with an invalid 0 start.
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
         sh = F.explode(F.array_distinct(grams))
     out = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
     if max_df is not None:
@@ -94,6 +101,40 @@ def ngram_jaccard_pairs(
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ t.
+
+    Catches the case Jaccard misses: a short document wholly embedded in a
+    much longer one (quote-plus-commentary, chunk-of-article) has high
+    containment but low Jaccard because the union is dominated by the long
+    side. Directional, so (a→b) and (b→a) are distinct rows — the a-side is
+    the *contained* document, the dedup candidate to drop. Same plan shape
+    and skew guard (``max_df`` stop-shingle cap) as ``ngram_jaccard_pairs``;
+    BIGINT/BIGINT division → oracle-checkable.
+    """
+    sh = shingles(df, id_col, text_col, n, max_df)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .select("id_a", "id_b", (F.col("n_inter") / F.col("n_a")).alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -43,6 +43,47 @@ def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_containment_dedup",
+    # Directional: the a-side is the contained (droppable) document. Same
+    # shingle self-join as q_neardup_ngram but normalized by |S(A)| alone —
+    # the asymmetric measure that catches short-doc-inside-long-doc, which
+    # Jaccard's union denominator washes out. Word TRIGRAMS, not unigrams:
+    # unigram token sets over a bounded vocabulary are near-universally
+    # contained in each other (measured 144k pairs vs 50 real ones at
+    # sf0.01); trigrams make containment mean shared word order. Short docs
+    # (<3 tokens) contribute their whole text as one shingle — the
+    # q_minhash_portable convention, mirrored in the oracle's CASE.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(
+                   list_filter(list_zip(t, t[2:], t[3:]), p -> p[3] IS NOT NULL),
+                   p -> concat_ws(' ', p[1], p[2], p[3]))
+               ELSE [array_to_string(t, ' ')] END)) AS sh
+      FROM t),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id <> b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b, n_inter / sa.n_sh AS containment
+    FROM inter JOIN sizes sa ON inter.id_a = sa.id
+    WHERE n_inter / sa.n_sh >= 0.8
+    """,
+    description="directional word-trigram containment ≥ 0.8 (|S(A)∩S(B)| / |S(A)|): "
+    "the near-dup measure for short-document-embedded-in-long-document that "
+    "Jaccard misses — same shingle self-join + max_df skew guard as "
+    "q_neardup_ngram, integer-ratio scores so fully oracle-checked",
+    tags=("dedup",),
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@query(
     "q_dedup_minhash",
     oracle=None,  # Spark murmur3 signatures — rows-only (⊘, SURVEY §2.13)
     description="MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join), "

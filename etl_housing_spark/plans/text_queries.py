@@ -905,3 +905,50 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "fp")
         .limit(50)
     )
+
+
+@query(
+    "q_inverted_index",
+    # Search-index construction: token → document frequency + the head of the
+    # sorted posting list. collect_set is partitioning-nondeterministic, so
+    # the list is sorted before slicing and serialized to a string — the
+    # stored layout is then byte-identical on any engine/cluster. The head
+    # cap (20) bounds the per-token payload: at 100 TB the full posting list
+    # of a stop-word would be the corpus itself; real indexes shard postings
+    # by (token, doc_id range) — this query materializes the dictionary +
+    # head shard, which is the broadcastable part. One explode scan + one
+    # grouped aggregate (map-side combinable after the per-doc distinct).
+    oracle="""
+    WITH occ AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents)
+    SELECT tok,
+           COUNT(*) AS df,
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',') AS postings_head
+    FROM occ GROUP BY tok HAVING COUNT(*) >= 5
+    """,
+    description="inverted-index dictionary + posting-list heads (token → df + "
+    "first 20 sorted doc ids as a string): per-doc distinct tokens, one grouped "
+    "aggregate, deterministic sorted-then-sliced postings — the broadcastable "
+    "dictionary shard of a search index; df ≥ 5 prunes the hapax tail",
+    tags=("text",),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).distinct()
+    return (
+        occ.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )

@@ -570,3 +570,128 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_hard_negatives",
+    # Hard-negative mining: for each anchor vector, the top-2 most-similar
+    # vectors with a DIFFERENT label — the contrastive-training pair-builder.
+    # The label-inequality join is the expensive direction (blocks don't
+    # prune it); at this catalog's scale it runs as one shuffle join, and at
+    # 100 TB the anchor side joins against an IVF cell list covering other
+    # labels (q_ann_ivf's layout) — same ranking logic, pruned candidates.
+    # Scores round to 6dp before ranking so rank order is engine-identical.
+    oracle="""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+             a.label AS anchor_label, b.label AS neg_label,
+             ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings a JOIN embeddings b ON a.label <> b.label)
+    SELECT anchor_id, neg_id, anchor_label, neg_label, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY score DESC, neg_id) AS rk
+      FROM scored) t
+    WHERE rk <= 2
+    """,
+    description="hard-negative mining for contrastive training: per anchor, the "
+    "top-2 highest-dot vectors with a different label — cross-label scored join + "
+    "per-anchor window rank on 6dp-rounded scores; the candidate generator that an "
+    "IVF cell list prunes at 100 TB",
+    tags=("vector", "pipeline"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"),
+        F.col("label").alias("anchor_label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("embedding").alias("b_emb"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = a.join(b, F.col("anchor_label") != F.col("neg_label")).select(
+        "anchor_id", "neg_id", "anchor_label", "neg_label",
+        F.round(V.dot_seq(F.col("a_emb"), F.col("b_emb")), 6).alias("score"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("anchor_id", "neg_id", "anchor_label", "neg_label", "score")
+    )
+
+
+@query(
+    "q_rrf_fusion",
+    # Reciprocal-rank fusion (the hybrid-retrieval combiner): two rankings of
+    # the same candidate set — inner-product and Euclidean — fuse as
+    # Σ 1/(60+rank). Ranks are row_numbers over 6dp-rounded scores with id
+    # tie-breaks (engine-identical); the fused score is then arithmetic on
+    # small integers — identical doubles. ‖a−b‖² derives from the three dot
+    # products (‖a‖²+‖b‖²−2a·b), each rounded 6dp, so no new float surface.
+    # One scored join + two windows over the same partition key + one final
+    # per-anchor top-3.
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS dot,
+             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6)
+             + ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6)
+             - 2 * ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS d2
+      FROM embeddings q JOIN embeddings e
+        ON q.label = e.label AND q.vec_id <> e.vec_id),
+    ranked AS (
+      SELECT q_id, n_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS r_dot,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2 ASC, n_id) AS r_l2
+      FROM scored)
+    SELECT q_id, n_id, r_dot, r_l2,
+           ROUND(1.0 / (60 + r_dot) + 1.0 / (60 + r_l2), 6) AS rrf
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id
+            ORDER BY 1.0 / (60 + r_dot) + 1.0 / (60 + r_l2) DESC, n_id) AS rk
+          FROM ranked) t
+    WHERE rk <= 3
+    """,
+    description="reciprocal-rank fusion of inner-product and Euclidean rankings "
+    "within each label block (the hybrid-search combiner, k=60): one scored join "
+    "feeds two window ranks on the same partition key (one shuffle, two in-memory "
+    "sorts), fused score 1/(60+r_dot)+1/(60+r_l2), per-anchor top-3 — rank "
+    "arithmetic on integers so cross-engine exact",
+    tags=("vector", "pipeline"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "label")
+    e = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "label")
+    dot = F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6)
+    qq = F.round(V.dot_seq(F.col("q_emb"), F.col("q_emb")), 6)
+    nn = F.round(V.dot_seq(F.col("n_emb"), F.col("n_emb")), 6)
+    scored = (
+        q.join(e, "label")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot.alias("dot"), (qq + nn - 2 * dot).alias("d2"))
+    )
+    w_dot = Window.partitionBy("q_id").orderBy(F.desc("dot"), "n_id")
+    w_l2 = Window.partitionBy("q_id").orderBy(F.asc("d2"), "n_id")
+    ranked = scored.select(
+        "q_id", "n_id",
+        F.row_number().over(w_dot).alias("r_dot"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    )
+    fused = F.lit(1.0) / (60 + F.col("r_dot")) + F.lit(1.0) / (60 + F.col("r_l2"))
+    w_f = Window.partitionBy("q_id").orderBy(fused.desc(), "n_id")
+    return (
+        ranked.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "n_id", "r_dot", "r_l2", F.round(fused, 6).alias("rrf"))
+    )
