@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         cleaning_queries,
         dedup_queries,
+        eval_queries,
         graph_queries,
         ml_queries,
         pipeline_queries,
