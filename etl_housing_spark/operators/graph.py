@@ -103,6 +103,70 @@ def pagerank(
     return ranks
 
 
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    fixed_col: str = "fixed",
+) -> DataFrame:
+    """Synchronous label propagation: semi-supervised labeling over a graph.
+
+    ``seeds`` is (node, label, fixed): fixed nodes keep their label forever;
+    the rest start NULL and each round adopt the majority label of their
+    in-neighbors (count desc, label asc tie-break — deterministic, so with a
+    fixed iteration count the whole result is engine-reproducible and
+    oracle-checkable, unlike float-weighted variants). Nodes with no labeled
+    neighbor keep their current label.
+
+    Per round: one equi-join (labels ⋈ edges on src), one grouped count, one
+    per-node argmax window on the vote table (|nodes|·|labels| rows at most),
+    one left join back — all partial-agg friendly; same reused partitioning
+    story as :func:`pagerank`.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    state = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(label_col).alias("lab"),
+        F.col(fixed_col).alias("fixed"),
+    ).persist()
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        labeled = state.filter(F.col("lab").isNotNull()).select(
+            F.col("node").alias("src"), F.col("lab").alias("vote")
+        )
+        votes = (
+            e.join(labeled, "src")
+            .groupBy(F.col("dst").alias("node"), "vote")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("vote"))
+        best = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("vote").alias("best"))
+        )
+        new_state = (
+            state.join(best, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("fixed"), F.col("lab"))
+                .otherwise(F.coalesce(F.col("best"), F.col("lab")))
+                .alias("lab"),
+                "fixed",
+            )
+            .persist()
+        )
+        new_state.count()
+        state.unpersist()
+        state = new_state
+    return state.select("node", F.col("lab").alias("label"))
+
+
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node in/out degree — the graph-shape sanity report (skew check:
     a max in-degree ≫ mean means the rank join needs salting at scale)."""

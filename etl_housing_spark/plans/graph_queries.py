@@ -99,3 +99,99 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _knn_edges(spark, sf_dir)
     pr = G.pagerank(edges, damping=0.85, iterations=6)
     return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+def _knn_edges_global(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k kNN edges WITHOUT label blocking (for label propagation, where
+    within-label edges would make the task degenerate). All-pairs scored —
+    the exact tier; at 100 TB the candidate set comes from q_ann_ivf's cell
+    routing instead, same ranking logic."""
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"))
+    e = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("n_emb"))
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6).alias("score"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).select(
+        "src", "dst"
+    )
+
+
+_LP_EDGES_SQL = """
+    WITH scored AS (
+      SELECT q.vec_id AS src, e.vec_id AS dst,
+             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS score
+      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
+        FROM scored) t
+      WHERE rk <= 3),
+    und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn)
+"""
+
+_LP_ROUND = """
+    v{i} AS (
+      SELECT und.dst AS node, s{p}.lab AS vote, COUNT(*) AS c
+      FROM und JOIN s{p} ON und.src = s{p}.node
+      WHERE s{p}.lab IS NOT NULL
+      GROUP BY und.dst, s{p}.lab),
+    b{i} AS (
+      SELECT node, vote FROM (
+        SELECT node, vote,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, vote ASC) AS rn
+        FROM v{i}) t
+      WHERE rn = 1),
+    s{i} AS (
+      SELECT s{p}.node,
+             CASE WHEN s{p}.node % 5 = 0 THEN s{p}.lab
+                  ELSE COALESCE(b{i}.vote, s{p}.lab) END AS lab
+      FROM s{p} LEFT JOIN b{i} ON s{p}.node = b{i}.node)
+"""
+
+
+@query(
+    "q_label_propagation",
+    # Fully oracle-checked BECAUSE the update is integer majority voting with
+    # a deterministic (count desc, label asc) tie-break and a fixed round
+    # count — the two synchronous rounds unroll as chained CTEs. Seeds: every
+    # 5th vector keeps its true label, the rest start unlabeled and adopt
+    # neighbor majorities over the global (unblocked) kNN graph.
+    oracle=_LP_EDGES_SQL
+    + """,
+    s0 AS (
+      SELECT vec_id AS node,
+             CASE WHEN vec_id % 5 = 0 THEN label END AS lab
+      FROM embeddings),
+    """
+    + _LP_ROUND.format(i=1, p=0)
+    + ","
+    + _LP_ROUND.format(i=2, p=1)
+    + """
+    SELECT node, CAST(lab AS BIGINT) AS label FROM s2
+    """,
+    description="semi-supervised label propagation (2 synchronous majority-vote "
+    "rounds, 20% seed labels) over the global kNN embedding graph: per round one "
+    "equi-join + one grouped vote count + one per-node argmax window — integer "
+    "votes and deterministic tie-breaks make the whole iteration "
+    "oracle-checkable, the property float-weighted variants lose",
+    tags=("graph", "vector"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = _knn_edges_global(spark, sf_dir)
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    seeds = emb.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("vec_id") % 5 == 0, F.col("label")).alias("label"),
+        (F.col("vec_id") % 5 == 0).alias("fixed"),
+    )
+    out = G.label_propagation(und, seeds, iterations=2)
+    return out.select("node", F.col("label").cast("bigint").alias("label"))
