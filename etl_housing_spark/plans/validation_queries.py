@@ -108,3 +108,84 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         (F.sum(h.cast("decimal(38,0)")) % F.lit(10**18)).cast("bigint").alias("checksum"),
     )
+
+
+@query(
+    "q_referential_audit",
+    # The whole-warehouse FK health report in one result set: for every
+    # foreign-key edge, total rows and orphan rows (fact keys with no parent).
+    # Each edge is one LEFT ANTI join aggregated to a single row, then a
+    # union of seven one-row frames — the anti-joins against small dims
+    # broadcast; the two fact-fact edges (lineitem→orders/part/supplier)
+    # shuffle once each on the key. NULL FKs count as orphans here (audit
+    # semantics: a row that cannot join its parent is broken either way).
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+              (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+              (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+              (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+    """,
+    description="referential-integrity audit of every FK edge in the star schema "
+    "(total vs orphan rows per edge, one result set): seven anti-join counts — "
+    "dim-side edges broadcast, fact-fact edges shuffle once on the key; the "
+    "nightly warehouse health check",
+    tags=("matching", "warehouse"),
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for fact, fk, dim, pk in edges:
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim).select(pk)
+        orphans = f.join(d, f[fk] == d[pk], "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        row = (
+            f.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(f"{fact}.{fk}->{dim}").alias("fk_edge"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
