@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_queries,
         relational,
         sampling_queries,
+        sketch_queries,
         stats_queries,
         streaming_queries,
         timeseries_queries,

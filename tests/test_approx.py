@@ -96,3 +96,19 @@ def test_heavy_hitters_sketch_tracks_exact_counts(spark):
     sketch = [tuple(r) for r in all_queries()["q_heavy_hitters_sketch"].fn(spark, SF_CORRECT).collect()]
     exact = [tuple(r) for r in all_queries()["q_token_counts"].fn(spark, SF_CORRECT).collect()]
     assert dict(sketch) == dict(exact)
+
+
+def test_portable_sketch_accuracy(spark):
+    """q_countmin_portable estimates are ≥ true (CMS guarantee) and the
+    q_hll_portable estimate lands within 3σ (3·1.04/√64 ≈ 39%) of truth."""
+    from etl_housing_spark.plans import all_queries
+
+    specs = all_queries()
+    sf = "/root/testdata/sf0.01"
+    cms = specs["q_countmin_portable"].fn(spark, sf).collect()
+    assert len(cms) == 10
+    for r in cms:
+        assert r.cms_estimate >= r.true_count, (r.tok, r.cms_estimate, r.true_count)
+    hll = specs["q_hll_portable"].fn(spark, sf).collect()[0]
+    rel = abs(hll.hll_estimate - hll.true_distinct) / hll.true_distinct
+    assert rel <= 0.39, (hll.hll_estimate, hll.true_distinct, rel)
