@@ -195,3 +195,141 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = G.label_propagation(und, seeds, iterations=2)
     return out.select("node", F.col("label").cast("bigint").alias("label"))
+
+
+_UND_SQL = _EDGE_SQL + """,
+    und AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges GROUP BY a, b)
+"""
+
+
+@query(
+    "q_graph_triangles",
+    # Canonical-form triangle counting: undirected edges as (a<b) pairs, then
+    # the a<b<c three-way self-join counts each triangle exactly once. The
+    # global clustering coefficient 3·Δ/wedges comes from the same undirected
+    # degree table (wedges = Σ d(d−1)/2) — all integer arithmetic until the
+    # one final ratio. Two self-joins on the edge key: the standard
+    # distributed triangle plan; at scale the join input is pre-filtered by
+    # degree (high-degree hubs dominate cost — the known optimization, not
+    # needed at this density).
+    oracle=_UND_SQL
+    + """,
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3
+        ON e3.a = e1.a AND e3.b = e2.b),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und) t
+      GROUP BY node),
+    wed AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges, COUNT(*) AS n_nodes FROM deg)
+    SELECT CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           CAST(wed.n_nodes AS BIGINT) AS n_nodes,
+           ROUND(3.0 * tri.n_tri / wed.n_wedges, 6) AS clustering_coeff
+    FROM tri CROSS JOIN wed
+    """,
+    description="triangle count + global clustering coefficient of the kNN "
+    "similarity graph (the community-structure summary: high clustering = "
+    "semantically coherent neighborhoods): canonical a<b<c three-way self-join "
+    "counts each triangle once, wedges from the degree table — two equi-joins "
+    "on edge keys, integer arithmetic to one final ratio",
+    tags=("graph",),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.round(3.0 * F.col("n_tri") / F.col("n_wedges"), 6).alias("clustering_coeff"),
+        )
+    )
+
+
+@query(
+    "q_link_prediction",
+    # Common-neighbors link prediction: for NON-adjacent pairs, how many
+    # shared neighbors — the classic "you may also like" / missing-edge
+    # score. Wedge join (und ⋈ und on the shared endpoint) generates
+    # candidate pairs, an anti-join removes existing edges, top-20 by
+    # (count desc, pair) is deterministic. Wedge-join cost is Σ d² — the
+    # same degree-bounded budget as triangle counting.
+    oracle=_UND_SQL
+    + """,
+    wedges AS (
+      SELECT e1.a AS x, e1.b AS u, e2.b AS v FROM und e1 JOIN und e2
+        ON e1.a = e2.a AND e1.b < e2.b
+      UNION ALL
+      SELECT e1.b AS x, e1.a AS u, e2.b AS v FROM und e1 JOIN und e2
+        ON e1.b = e2.a
+      UNION ALL
+      SELECT e1.b AS x, e1.a AS u, e2.a AS v FROM und e1 JOIN und e2
+        ON e1.b = e2.b AND e1.a < e2.a),
+    cn AS (
+      SELECT u, v, COUNT(*) AS common_neighbors
+      FROM wedges GROUP BY u, v),
+    nonadj AS (
+      SELECT cn.u, cn.v, cn.common_neighbors
+      FROM cn LEFT JOIN und ON cn.u = und.a AND cn.v = und.b
+      WHERE und.a IS NULL)
+    SELECT u, v, common_neighbors FROM nonadj
+    ORDER BY common_neighbors DESC, u, v LIMIT 20
+    """,
+    description="common-neighbor link prediction over the kNN graph (the "
+    "missing-edge / recommendation score): wedge self-join through each shared "
+    "endpoint, anti-join strips existing edges, deterministic top-20 — candidate "
+    "generation bounded by Σ degree², the same budget as triangle counting",
+    tags=("graph",),
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    w1 = e1.join(
+        e2, (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b"))
+    ).select(F.col("e1.b").alias("u"), F.col("e2.b").alias("v"))
+    w2 = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("u"), F.col("e2.b").alias("v")
+    )
+    w3 = e1.join(
+        e2, (F.col("e1.b") == F.col("e2.b")) & (F.col("e1.a") < F.col("e2.a"))
+    ).select(F.col("e1.a").alias("u"), F.col("e2.a").alias("v"))
+    cn = w1.unionAll(w2).unionAll(w3).groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    nonadj = cn.join(
+        und, (cn["u"] == und["a"]) & (cn["v"] == und["b"]), "left_anti"
+    )
+    return nonadj.orderBy(F.desc("common_neighbors"), "u", "v").limit(20)
