@@ -33,7 +33,11 @@ def main() -> None:
     count = f"**{n} queries; {n_oracle} oracle-checked, {n - n_oracle} rows-only ⊘.**"
 
     old = COVERAGE.read_text()
-    head, _, rest = old.partition("| q_agg_stats")
+    # Anchor on the first data row of the table (any query id), NOT a named
+    # query: a named anchor silently duplicates every row that sorts before
+    # it on each regeneration.
+    head, _, rest = old.partition("\n| q_")
+    head += "\n"
     assert rest, "COVERAGE.md table anchor not found"
     _, _, tail = old.partition("\nNon-query surface")
     COVERAGE.write_text(head + "\n".join(rows) + "\n\n" + count + "\n\nNon-query surface" + tail)
