@@ -42,8 +42,13 @@ def pagerank(
     order — callers needing convergence control can compare successive
     rank vectors themselves.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    # Persist the edge list BEFORE deriving nodes/outdeg/fanout: all three
+    # setup frames consume it, and without the persist each one re-executes
+    # the (possibly expensive — e.g. a kNN scoring join) edge lineage.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -63,7 +68,20 @@ def pagerank(
     fanout = e.join(outdeg, "src").select("src", "dst", "outdeg").persist()
     fanout.count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
+    # The dangling-node SET is static across iterations: flag it ONCE on the
+    # node table, and let the flag ride along on every rank frame. Each
+    # round's dangling mass is then a filter+aggregate over the cached ranks
+    # — zero per-iteration joins for the correction (an earlier anti-join /
+    # semi-join per round doubled the iteration's job count).
+    flagged = nodes.join(
+        outdeg.select(F.col("src").alias("node"), F.lit(False).alias("_d")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("_d", F.lit(True)).alias("is_dangling")).persist()
+    flagged.count()
+    nodes.unpersist()
+
+    ranks = flagged.select("node", F.lit(1.0 / n).alias("rank"), "is_dangling").persist()
     base = (1.0 - damping) / n
     for i in range(iterations):
         recv = (
@@ -72,12 +90,11 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("w").alias("recv"))
         )
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        dangling = ranks.filter("is_dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
         new_ranks = (
-            nodes.join(recv, nodes["node"] == recv["dst"], "left")
+            flagged.join(recv, flagged["node"] == recv["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -86,21 +103,26 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce(F.col("recv"), F.lit(0.0)) + F.col("dmass") / F.lit(float(n)))
                 ).alias("rank"),
+                "is_dangling",
             )
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            # Truncate lineage: without this the logical plan doubles per
-            # round and Catalyst planning time dominates by iteration ~15.
+        if (i + 1) % checkpoint_every == 0 and i != iterations - 1:
+            # Truncate lineage at interior boundaries: without this the
+            # logical plan grows per round and Catalyst planning time
+            # dominates by iteration ~15. The final round uses the cheaper
+            # persist (an eager checkpoint re-caches every partition; the
+            # caller's first action materializes the persist anyway).
             new_ranks = new_ranks.localCheckpoint(eager=True)
         else:
             new_ranks = new_ranks.persist()
             new_ranks.count()
         ranks.unpersist()
         ranks = new_ranks
-    nodes.unpersist()
     outdeg.unpersist()
     fanout.unpersist()
-    return ranks
+    flagged.unpersist()
+    e.unpersist()
+    return ranks.select("node", "rank")
 
 
 def label_propagation(
@@ -127,7 +149,10 @@ def label_propagation(
     one left join back — all partial-agg friendly; same reused partitioning
     story as :func:`pagerank`.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Persisted: every round joins against the same edge table, and an
+    # unpersisted edge lineage (e.g. the kNN scoring join) would re-execute
+    # once per round.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     state = seeds.select(
         F.col(node_col).alias("node"),
         F.col(label_col).alias("lab"),
@@ -164,6 +189,7 @@ def label_propagation(
         new_state.count()
         state.unpersist()
         state = new_state
+    e.unpersist()
     return state.select("node", F.col("lab").alias("label"))
 
 
