@@ -44,3 +44,34 @@ def test_docstring_test_file_references_exist():
             if not (root / "tests" / ref).is_file():
                 stale.append(f"{py.relative_to(root)} -> tests/{ref}")
     assert not stale, f"stale test-file references: {stale}"
+
+
+def test_driver_window_rotation_policy():
+    """Enumeration order IS the driver's sampling order: the correctness
+    driver checks ``list(all_queries())[:50]``.  Policy (registry.py): ids
+    never verified by a CORRECTNESS_r*.json come first — priority ids, then
+    oracle-checked, then rows-only — verified ids last.  This pins the
+    rotation so a module import reshuffle can't silently hide queries from
+    the driver."""
+    from etl_housing_spark.plans.registry import (
+        _WINDOW_PRIORITY,
+        _rotation_key,
+        driver_verified_ids,
+    )
+
+    specs = all_queries()
+    for name in _WINDOW_PRIORITY:
+        assert name in specs, f"priority id {name} not in registry"
+
+    verified = driver_verified_ids()
+    ordered = list(specs.items())
+    assert ordered == sorted(ordered, key=_rotation_key(verified))
+
+    unverified = [n for n in specs if n not in verified]
+    window = list(specs)[:50]
+    expected_fresh = min(50, len(unverified))
+    fresh = [n for n in window if n not in verified]
+    assert len(fresh) == expected_fresh, (
+        f"driver window holds {len(fresh)} never-verified ids, "
+        f"expected {expected_fresh} — rotation broken"
+    )
