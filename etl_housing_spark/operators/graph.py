@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "degree_stats"]
+__all__ = ["pagerank", "degree_stats", "label_propagation"]
 
 
 def pagerank(
@@ -60,7 +60,10 @@ def pagerank(
     # constant for every subsequent iteration.
     n = nodes.count()
     if n == 0:
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+        out = nodes.select("node", F.lit(0.0).alias("rank"))
+        e.unpersist()
+        nodes.unpersist()
+        return out
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     # Pre-join the per-edge fan-out weight once; iterations then only join

@@ -1,10 +1,12 @@
-"""Graph queries over the embedding kNN similarity graph (round 3).
+"""Graph queries over the embedding kNN similarity graph (round 3; edge
+construction de-quadratified in round 4).
 
-The corpus-curation story: q_knn_blocked's top-3-neighbor join defines a
-directed similarity graph over documents; centrality on that graph
-(PageRank) ranks documents by how "representative" they are — a published
-data-selection signal — and the degree profile is the skew diagnostic that
-says whether the rank-propagation join needs salting at scale.
+The corpus-curation story: a top-3-neighbor ranking over hyperplane-bucketed
+candidates defines a directed similarity graph over documents; centrality on
+that graph (PageRank) ranks documents by how "representative" they are — a
+published data-selection signal — and the degree profile is the skew
+diagnostic that says whether the rank-propagation join needs salting at
+scale.
 
 ``q_graph_degree`` is fully oracle-checked (the edge construction and the
 degree aggregation are both plain SQL). ``q_pagerank`` registers rows-only:
@@ -20,39 +22,145 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import graph as G
 from .registry import query
+from .vector_queries import _RP
 
-# Shared kNN edge construction (q_knn_blocked's shape, k=3 within label block).
-_EDGE_SQL = """
-    WITH scored AS (
-      SELECT q.vec_id AS src, e.vec_id AS dst,
-             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])), 6) AS score
-      FROM embeddings q JOIN embeddings e
-        ON q.label = e.label AND q.vec_id <> e.vec_id),
+# ---------------------------------------------------------------------------
+# Bucketed kNN edge construction (round-4 de-quadratification).
+#
+# Round 1-3 built edges from an all-pairs join (label-blocked or a literal
+# crossJoin) — O(n²) candidate generation, flagged as the one scale-killer in
+# a checked query path. Edges are now defined over HYPERPLANE-BUCKETED
+# candidates: each vector gets sign-bit bucket ids from the deterministic
+# Rademacher projections of q_random_projection (the matrix is a plan literal
+# in BOTH engines), candidates are pairs sharing a bucket in at least one of
+# two independent tables (the multi-table recall knob of
+# operators/similarity.py hyperplane LSH), and the edge set is the
+# deterministic top-k by (score DESC, dst) within candidates. The plan is a
+# pair of shuffled equi-joins + one per-src window — no CartesianProduct /
+# BroadcastNestedLoopJoin anywhere (pinned by tests/test_plan_quality.py).
+#
+# Scale story: bucket bit-width is the layout knob. Expected candidate count
+# is 2·n²/2^bits, so holding per-bucket occupancy constant (bits ≈ log2(n/c))
+# makes candidate generation O(n·c) — the same knob discipline as shuffle
+# partition sizing, with the plan shape invariant in the knob. At sf0.01
+# (500 vectors, 10 labels) the label-blocked form uses 2-bit tables (~12
+# vectors per (label, bucket) cell) and the global form 4-bit tables, so the
+# toy graph keeps enough candidates per node for a meaningful top-3.
+# ---------------------------------------------------------------------------
+
+# (table_a_bits, table_b_bits): indexes into the shared _RP sign matrix.
+_BLOCKED_TABLES: tuple[tuple[int, ...], ...] = ((0, 1), (2, 3))
+_GLOBAL_TABLES: tuple[tuple[int, ...], ...] = ((0, 1, 2, 3), (4, 5, 6, 7))
+
+
+def _bucket_sql(alias: str, bits: tuple[int, ...]) -> str:
+    """DuckDB sign-bit bucket id over ``alias.embedding`` — same construction
+    as q_random_projection, proven bitwise-equal to the Spark fold."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(CAST({alias}.embedding AS DOUBLE[]), {_RP[k]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, k in enumerate(bits)
+    )
+
+
+def _edge_cte(tables: tuple[tuple[int, ...], ...], blocked: bool, k: int = 3) -> str:
+    """Edges CTE: bucketed candidates (union of the two hash tables) → top-k."""
+    ba = _bucket_sql("embeddings", tables[0])
+    bb = _bucket_sql("embeddings", tables[1])
+    label_eq = "q.label = e.label AND " if blocked else ""
+    score = (
+        "ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])), 6)"
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             CAST({ba} AS BIGINT) AS ba,
+             CAST({bb} AS BIGINT) AS bb
+      FROM embeddings),
+    cand AS (
+      SELECT q.vec_id AS src, e.vec_id AS dst, {score} AS score
+      FROM b q JOIN b e ON {label_eq}q.ba = e.ba AND q.vec_id <> e.vec_id
+      UNION
+      SELECT q.vec_id AS src, e.vec_id AS dst, {score} AS score
+      FROM b q JOIN b e ON {label_eq}q.bb = e.bb AND q.vec_id <> e.vec_id),
     edges AS (
       SELECT src, dst FROM (
         SELECT src, dst,
                ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
-        FROM scored) t
-      WHERE rk <= 3)
+        FROM cand) t
+      WHERE rk <= {k})
 """
 
 
-def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+_EDGE_SQL = _edge_cte(_BLOCKED_TABLES, blocked=True)
+
+
+def _bucketed_vectors(emb: DataFrame, tables: tuple[tuple[int, ...], ...]) -> DataFrame:
     from ..functions import vectors as V
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"), "label")
-    e = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("n_emb"), "label")
-    scored = (
-        q.join(e, "label")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6).alias("score"))
+    cols = []
+    for t, bits in enumerate(tables):
+        expr = sum(
+            (
+                F.when(
+                    V.dot_seq(F.col("embedding"), F.array(*[F.lit(s) for s in _RP[k]])) > 0,
+                    F.lit(1 << j),
+                ).otherwise(F.lit(0))
+                for j, k in enumerate(bits)
+            ),
+            start=F.lit(0),
+        ).cast("long")
+        cols.append(expr.alias("ba" if t == 0 else "bb"))
+    return emb.select("vec_id", "label", "embedding", *cols)
+
+
+def _bucketed_knn(
+    emb: DataFrame, tables: tuple[tuple[int, ...], ...], blocked: bool, k: int
+) -> DataFrame:
+    """Top-k kNN edges over hyperplane-bucketed candidates (Spark twin of
+    :func:`_edge_cte`): two shuffled equi-joins on (label?, bucket), a
+    distinct union of the candidate tables, one per-src window."""
+    from ..functions import vectors as V
+
+    b = _bucketed_vectors(emb, tables)
+    q = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        F.col("ba").alias("q_ba"),
+        F.col("bb").alias("q_bb"),
     )
+    e = b.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("n_emb"),
+        F.col("label").alias("n_label"),
+        F.col("ba").alias("n_ba"),
+        F.col("bb").alias("n_bb"),
+    )
+    score = F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6).alias("score")
+    branches = []
+    for qb, nb in (("q_ba", "n_ba"), ("q_bb", "n_bb")):
+        cond = F.col(qb) == F.col(nb)
+        if blocked:
+            cond = cond & (F.col("q_label") == F.col("n_label"))
+        branches.append(
+            q.join(e, cond)
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst", score)
+        )
+    cand = branches[0].union(branches[1]).distinct()
     w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).select(
-        "src", "dst"
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst")
     )
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _bucketed_knn(emb, _BLOCKED_TABLES, blocked=True, k=k)
 
 
 @query(
@@ -98,46 +206,30 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "vector"),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _knn_edges(spark, sf_dir)
+    # Materialize the edge list before iterating: the bucketed-kNN lineage
+    # (two hyperplane-literal joins + union + window) replayed under 4 power
+    # iterations makes the composed plan tree explode (an un-truncated run
+    # OOMed the driver just *printing* the plan).
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
     pr = G.pagerank(edges, damping=0.85, iterations=4, checkpoint_every=5)
     return pr.select("node", F.round("rank", 8).alias("rank"))
 
 
 def _knn_edges_global(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k kNN edges WITHOUT label blocking (for label propagation, where
-    within-label edges would make the task degenerate). All-pairs scored —
-    the exact tier; at 100 TB the candidate set comes from q_ann_ivf's cell
-    routing instead, same ranking logic."""
-    from ..functions import vectors as V
-
+    within-label blocking would make the task degenerate). Candidates come
+    from two independent 4-bit hyperplane-bucket tables — never all-pairs;
+    same ranking logic as the blocked form."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb"))
-    e = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("n_emb"))
-    scored = (
-        q.crossJoin(e)
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6).alias("score"))
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).select(
-        "src", "dst"
-    )
+    return _bucketed_knn(emb, _GLOBAL_TABLES, blocked=False, k=k)
 
 
-_LP_EDGES_SQL = """
-    WITH scored AS (
-      SELECT q.vec_id AS src, e.vec_id AS dst,
-             ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])), 6) AS score
-      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id),
-    knn AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
-               ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rk
-        FROM scored) t
-      WHERE rk <= 3),
+_LP_EDGES_SQL = (
+    _edge_cte(_GLOBAL_TABLES, blocked=False).replace("edges AS (", "knn AS (", 1)
+    + """,
     und AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn)
 """
+)
 
 _LP_ROUND = """
     v{i} AS (
@@ -188,7 +280,8 @@ _LP_ROUND = """
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = _knn_edges_global(spark, sf_dir)
+    # Materialized once: the undirected union consumes the edge lineage twice.
+    edges = _knn_edges_global(spark, sf_dir).localCheckpoint(eager=True)
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     seeds = emb.select(
         F.col("vec_id").alias("node"),

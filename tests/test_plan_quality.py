@@ -454,3 +454,24 @@ def test_interpolate_single_entity_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 2
     assert "Python" not in plan
+
+
+def test_graph_edge_construction_never_all_pairs(spark):
+    """Round-4 de-quadratification, pinned: the kNN graph's edge candidates
+    come from hyperplane-bucket equi-joins (union of two hash tables), so no
+    graph query may plan a CartesianProduct or BroadcastNestedLoopJoin in
+    its edge construction — the round-1..3 all-pairs crossJoin must never
+    come back."""
+    from etl_housing_spark.plans import graph_queries as GQ
+
+    for builder in (GQ._knn_edges, GQ._knn_edges_global):
+        plan = _plan(builder(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, builder.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, builder.__name__
+        assert "Python" not in plan, builder.__name__
+    # and end-to-end for the two fully-composed checked queries whose whole
+    # plan (edges + aggregation) contains no 1-row scalar crossJoin at all
+    for name in ("q_graph_degree", "q_label_propagation"):
+        plan = _plan(_q(spark, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
