@@ -47,5 +47,24 @@ def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
+# Wide variant for rank-weighted / product terms whose per-element magnitude
+# can exceed the (18,6) long-representation bound of 1e12 (e.g. q_gini's
+# row_number·price products at TPC-H sf2+). The module-header margin analysis
+# covers measure COLUMNS only; products of a global rank with a measure need
+# the full (38,6) headroom. Slower (BigDecimal per element) but these terms
+# appear once per query, never in a hot grouped path.
+DEC_WIDE = "decimal(38,6)"
+
+
+def dsum_wide(col: Column | str) -> Column:
+    """Order-independent SUM == DuckDB CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC_WIDE)).cast("double")
+
+
+def sql_dsum_wide(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
 def sql_davg(expr: str) -> str:
     return f"{sql_dsum(expr)} / COUNT({expr})"

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import dsum, sql_dsum
+from ._util import dsum, dsum_wide, sql_dsum, sql_dsum_wide
 from .registry import query
 
 # Shared pseudo-labels/scores over documents: "is English" as the positive
@@ -318,7 +318,9 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_gini",
     # Gini concentration of order value: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with
     # x ascending and i the deterministic (value, key) rank. The rank·value
-    # products and the plain sum both run decimal-exact; n is integer. The
+    # products run DECIMAL(38,6)-exact (the (18,6) element bound of 1e12
+    # would overflow once rank·price crosses it, ~TPC-H sf2); the plain sum
+    # stays (18,6); n is integer. The
     # global row_number is the one range exchange — same cost class as any
     # total sort, and the standard concentration metric for "how skewed is
     # this key" capacity planning.
@@ -328,7 +330,7 @@ def q_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS i
       FROM orders),
     s AS (
-      SELECT COUNT(*) AS n, {sql_dsum('x')} AS sx, {sql_dsum('i * x')} AS six
+      SELECT COUNT(*) AS n, {sql_dsum('x')} AS sx, {sql_dsum_wide('i * x')} AS six
       FROM r)
     SELECT ROUND(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini,
            CAST(n AS BIGINT) AS n_orders
@@ -349,7 +351,8 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = r.agg(
         F.count(F.lit(1)).alias("n"),
         dsum("x").alias("sx"),
-        dsum(F.col("i") * F.col("x")).alias("six"),
+        # rank·price exceeds the (18,6) element bound at ~sf2 — wide variant
+        dsum_wide(F.col("i") * F.col("x")).alias("six"),
     )
     return s.select(
         F.round(

@@ -186,7 +186,11 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
-    vals = docs.select(F.explode(grams).alias("tok")).distinct()
+    # Materialized once (the q_graph_degree pattern): both the register
+    # pipeline and the true_distinct aggregate consume the distinct-bigram
+    # frame — without this each branch replays the explode+distinct shuffle
+    # over the full corpus.
+    vals = docs.select(F.explode(grams).alias("tok")).distinct().localCheckpoint(eager=True)
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     hashed = vals.select(h.alias("h"))
     suffix = (F.col("h") / 64).cast("bigint") % 67108864  # 26-bit suffix

@@ -104,7 +104,7 @@ def test_portable_sketch_accuracy(spark):
     from etl_housing_spark.plans import all_queries
 
     specs = all_queries()
-    sf = "/root/testdata/sf0.01"
+    sf = SF_CORRECT
     cms = specs["q_countmin_portable"].fn(spark, sf).collect()
     assert len(cms) == 10
     for r in cms:
