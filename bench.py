@@ -39,12 +39,22 @@ import sys
 import time
 
 from etl_housing_spark.plans import all_queries
-from etl_housing_spark.session import get_session
+from etl_housing_spark.session import get_session, graft_cpus
 
 # Tables above this size get the multi-file layout; tiny dims stay 1 file
 # (splitting a 3 KB dim into 8 files is pure scheduler overhead).
 _BIG_TABLE_BYTES = 2_000_000
-_FILES_PER_BIG_TABLE = 8
+# File count scales with table size (~1 MB per file, floor 8, cap = cores):
+# a fixed count either starves scan parallelism at larger SFs (8 tasks on 32
+# cores was 2x slower for the sf1 lineitem aggregations) or shreds small SFs
+# into scheduler overhead. Same discipline as sizing shuffle partitions.
+_TARGET_FILE_BYTES = 1_000_000
+
+
+def _n_files(size_bytes: int, cpus: int) -> int:
+    if size_bytes <= _BIG_TABLE_BYTES:
+        return 1
+    return min(cpus, max(8, size_bytes // _TARGET_FILE_BYTES))
 
 
 def materialize(df) -> None:
@@ -82,7 +92,7 @@ def ingest_layout(spark, sf_dir: str) -> str:
         if not f.endswith(".parquet"):
             continue
         src = os.path.join(sf_dir, f)
-        n_files = _FILES_PER_BIG_TABLE if os.path.getsize(src) > _BIG_TABLE_BYTES else 1
+        n_files = _n_files(os.path.getsize(src), graft_cpus())
         (
             spark.read.parquet(src)
             .repartition(n_files)
