@@ -1,0 +1,134 @@
+"""Minimal pure-stdlib PNG codec (zlib + struct).
+
+The multimodal decode stage (operators/multimodal.py) routes real PNG/JPEG
+payloads to Pillow when it is importable; this container ships no Pillow, so
+the real-codec branch previously never executed anywhere. This module
+implements just enough of the public PNG specification (RFC 2083) to close
+that gap without native libraries: 8-bit greyscale / RGB / RGBA,
+non-interlaced, all five scanline filters (None/Sub/Up/Average/Paeth).
+It is a correctness fixture, not a performance path — real deployments wire
+Pillow/libjpeg on the workers and this module is never consulted
+(``operators.multimodal._decode_real`` tries PIL first).
+
+Encoding (test fixtures) writes filter-0 scanlines; decoding handles any
+filter so externally-produced baseline PNGs parse too.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit greyscale, non-interlaced, filter 0 on every scanline."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG → (width, height, channels, interleaved 8-bit samples).
+
+    Supports 8-bit depth, color types 0 (grey) / 2 (RGB) / 6 (RGBA),
+    non-interlaced. Anything else raises NotImplementedError — that subset
+    is the declared fixture boundary, not a silent wrong answer.
+    """
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG byte stream")
+    pos, width = 8, 0
+    height = depth = ctype = interlace = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if depth != 8 or ctype not in _CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"pure-python PNG fixture decodes 8-bit grey/RGB/RGBA non-interlaced "
+            f"only (got depth={depth} color_type={ctype} interlace={interlace}) "
+            f"— install Pillow for full coverage"
+        )
+    ch = _CHANNELS[ctype]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline payload has the wrong length")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, ch, bytes(out)
+
+
+def decode_gray_stats(data: bytes) -> tuple[int, int, float]:
+    """(width, height, mean sample value in [0, 1]) for a greyscale PNG —
+    the exact quantity operators.multimodal's decode stage reports. For
+    grey input this matches PIL's ``convert('L')`` identity conversion
+    bit-for-bit; color inputs raise (PIL's ITU-R 601-2 luma rounding is
+    not replicated here — that stays the Pillow path)."""
+    width, height, ch, samples = decode(data)
+    if ch != 1:
+        raise NotImplementedError(
+            "mean-luma without Pillow is defined for greyscale PNGs only"
+        )
+    return width, height, (sum(samples) / len(samples)) / 255.0

@@ -78,11 +78,24 @@ def _is_real_image(payload: bytes) -> bool:
 
 def _decode_real(payload: bytes) -> tuple[int, int, float]:
     """The real codec path: PIL decode → grayscale mean luma in [0, 1].
-    Executes on the worker; import happens per-process (cached thereafter)."""
+    Executes on the worker; import happens per-process (cached thereafter).
+    Without Pillow, greyscale PNGs fall back to the pure-stdlib decoder
+    (functions/png.py) — same numbers, no native codec — so the real-image
+    branch is exercisable in codec-free containers; JPEG/color stay the
+    honestly-declared Pillow boundary."""
     import io
 
-    import numpy as np
-    from PIL import Image
+    try:
+        import numpy as np
+        from PIL import Image
+    except ImportError:
+        from ..functions import png as _png
+
+        if payload[:8] == _PNG_MAGIC:
+            return _png.decode_gray_stats(payload)
+        raise NotImplementedError(
+            "JPEG decode requires Pillow/libjpeg — not installed on this worker"
+        ) from None
 
     img = Image.open(io.BytesIO(payload)).convert("L")
     arr = np.asarray(img, dtype="float64")
@@ -108,11 +121,13 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
                 if _is_real_image(b):
-                    if not have_pil:
+                    if not have_pil and b[:3] == _JPEG_MAGIC:
                         raise NotImplementedError(
-                            "payload is a real PNG/JPEG but Pillow is not installed "
-                            "on this worker — install PIL/libjpeg to decode it"
+                            "payload is a JPEG but Pillow is not installed on "
+                            "this worker — install PIL/libjpeg to decode it"
                         )
+                    # PNG decodes with or without Pillow (pure-stdlib
+                    # fallback in functions/png.py for greyscale)
                     w, h, mean_luma = _decode_real(b)
                 else:
                     if strict:

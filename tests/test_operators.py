@@ -184,25 +184,33 @@ def test_decode_strict_is_marked_stub(media):
         decode_media(media, strict=True).collect()
 
 
-def test_decode_real_codec_when_pil_present(spark):
-    """Codec dispatch: a real PNG payload routes through Pillow (probed at
-    runtime, skipped when the library is absent in this container); the
-    synthetic path above covers the stub mode — together the two modes
-    parametrize the decode boundary."""
-    from etl_housing_spark.operators.multimodal import pil_available
+def test_decode_real_codec_png(spark):
+    """Codec dispatch: a REAL PNG payload routes through the real-image
+    branch — Pillow when importable, else the pure-stdlib PNG decoder
+    (functions/png.py) — so this branch executes in codec-free containers
+    too (the perpetual skip this test used to carry is gone). The synthetic
+    path above covers the stub mode; together the two modes parametrize the
+    decode boundary."""
+    from etl_housing_spark.functions.png import encode_gray
 
-    if not pil_available():
-        pytest.skip("Pillow not installed — real-codec mode unavailable")
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("L", (5, 3), color=128).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "media_id long, payload binary")
+    payload = encode_gray(5, 3, bytes([128] * 15))
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
     r = decode_media(df).first()
     assert (r.width, r.height) == (5, 3)
     assert abs(r.mean_luma - 128 / 255.0) < 1e-9
+
+
+def test_decode_real_codec_jpeg_without_pillow_is_marked(spark):
+    """JPEG stays the declared Pillow boundary: without the library the
+    decode raises the honest NotImplementedError instead of guessing."""
+    from etl_housing_spark.operators.multimodal import pil_available
+
+    if pil_available():
+        pytest.skip("Pillow installed — the no-codec boundary is not reachable")
+    fake_jpeg = b"\xff\xd8\xff" + b"\x00" * 32
+    df = spark.createDataFrame([(1, bytearray(fake_jpeg))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="Pillow"):
+        decode_media(df).collect()
 
 
 def test_extract_features_shape(media):
