@@ -1,0 +1,469 @@
+"""Behavioral & corpus-growth analytics (round 4): basket affinity, journey
+attribution, rolling engagement, vocabulary growth, weighted quantiles, and
+categorical association.
+
+Reference parity: the reference's analysis surface is pandas group/merge
+reporting over the scraped listings (trulia_csv_to_nlp.ipynb cells 6-36,
+advanced.ipynb cells 10-30) — "which features co-occur", "how does a
+listing's history unfold", "how is the corpus distributed". These queries
+generalize that surface to the shapes an activity warehouse and a
+pretraining-corpus pipeline actually run: co-purchase lift over baskets,
+first/last-touch conversion attribution, trailing-7-day active users,
+a Heaps-law bigram-vocabulary growth curve, a weighted median, and the
+mutual information between two categorical columns.
+
+Scale notes (100 TB story, per query):
+- co-purchase: the self-join is keyed on the basket id with bounded per-basket
+  fan-out (C(k,2) pairs for a k-line order; k is Poisson-distributed), so the
+  pair stream is linear in input, never all-pairs across the catalog.
+- attribution: one row_number window + two grouped aggregates, all
+  partitioned by user_id — a single shuffle key reused end-to-end.
+- rolling actives: the distinct-users-in-trailing-window is rewritten as a
+  bounded 7-way day-offset explode of the (day, user) frame + one distinct —
+  the linear rewrite of a COUNT(DISTINCT) OVER RANGE that engines either
+  reject or recompute per-frame.
+- vocab growth: token-pair first-occurrence is one grouped MIN; the cumulative
+  curve is a prefix sum over the |docs|-row per-doc aggregate (at corpus
+  scale you bucket doc_ids first; the aggregates stay linear).
+- weighted median: per-value weight histogram with DECIMAL weights so the
+  cumulative window sum is exact and order-independent on both engines.
+- mutual information: contingency counts are one scan; everything downstream
+  operates on the |langs|x|sources| cell grid (localCheckpointed so the
+  corpus is scanned exactly once).
+
+Cross-engine determinism: every float is derived from BIGINT/DECIMAL exact
+quantities through identical operand-by-operand arithmetic (see _util), ratio
+windows order on unique keys, and log/sqrt terms are summed via the
+decimal-exact ``dsum``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ._util import DEC, dsum, sql_dsum
+from .registry import query
+
+# Minimum orders containing a part pair before it enters the affinity report
+# (rare pairs are noise: lift on a support-1 pair is meaningless).
+_MIN_PAIR_SUPPORT = 3
+
+
+@query(
+    "q_copurchase_lift",
+    # Market-basket affinity: which part pairs co-occur in orders more than
+    # chance predicts. The self-join is on l_orderkey (bounded fan-out per
+    # order), NOT across the part catalog — pair candidates are linear in
+    # lineitem. lift/cosine/jaccard all derive from BIGINT supports through
+    # identical double arithmetic on both engines.
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS n FROM b GROUP BY l_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    pairs AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS pair_n
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MIN_PAIR_SUPPORT})
+    SELECT p1, p2, pair_n,
+           ROUND(pair_n * n_orders / CAST(i1.n * i2.n AS DOUBLE), 6) AS lift,
+           ROUND(pair_n / sqrt(CAST(i1.n * i2.n AS DOUBLE)), 6) AS cosine,
+           ROUND(pair_n / CAST(i1.n + i2.n - pair_n AS DOUBLE), 6) AS jaccard
+    FROM pairs
+    JOIN item i1 ON p1 = i1.l_partkey
+    JOIN item i2 ON p2 = i2.l_partkey
+    CROSS JOIN tot
+    """,
+    description="market-basket co-purchase affinity (support/lift/cosine/"
+    "jaccard) over order baskets: distinct (order, part) frame, self-join on "
+    "the order key with p1<p2 canonicalization — per-order C(k,2) fan-out, "
+    "linear in lineitem, never catalog x catalog — grouped pair supports, two "
+    "shuffled joins back to per-item supports, broadcast scalar order count",
+    tags=("behavior", "join"),
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("c.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= _MIN_PAIR_SUPPORT)
+    )
+    i1 = item.select(F.col("l_partkey").alias("p1"), F.col("n").alias("n1"))
+    i2 = item.select(F.col("l_partkey").alias("p2"), F.col("n").alias("n2"))
+    return (
+        pairs.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1",
+            "p2",
+            "pair_n",
+            F.round(
+                (F.col("pair_n") * F.col("n_orders"))
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("pair_n") / F.sqrt((F.col("n1") * F.col("n2")).cast("double")),
+                6,
+            ).alias("cosine"),
+            F.round(
+                F.col("pair_n")
+                / (F.col("n1") + F.col("n2") - F.col("pair_n")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_attribution_touch",
+    # Conversion attribution: for every user whose journey contains a
+    # purchase, the channel that opened the journey (first touch) and the
+    # one immediately before conversion (last touch), rolled up into the
+    # (first, last) attribution report. One row_number window and two
+    # aggregates, all on user_id — the shuffle key is reused end-to-end.
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    conv AS (
+      SELECT user_id, MIN(rn) AS conv_rn
+      FROM r WHERE event_type = 'purchase' GROUP BY user_id),
+    per AS (
+      SELECT r.user_id,
+             MIN(CASE WHEN rn = 1 THEN event_type END) AS first_touch,
+             COALESCE(MIN(CASE WHEN rn = conv_rn - 1 THEN event_type END),
+                      '(direct)') AS last_touch,
+             MIN(conv_rn) - 1 AS steps,
+             (MIN(CASE WHEN rn = conv_rn THEN epoch_us(ts) END)
+              - MIN(CASE WHEN rn = 1 THEN epoch_us(ts) END)) / 1000000.0 AS secs
+      FROM r JOIN conv ON r.user_id = conv.user_id
+      GROUP BY r.user_id)
+    SELECT first_touch, last_touch,
+           COUNT(*) AS n_users,
+           ROUND({sql_dsum('steps')} / COUNT(*), 6) AS avg_steps,
+           ROUND({sql_dsum('secs')} / COUNT(*), 6) AS avg_secs
+    FROM per GROUP BY first_touch, last_touch
+    """,
+    description="first/last-touch conversion attribution over user journeys: "
+    "row_number per user on (ts, event_id), earliest purchase row per user, "
+    "conditional aggregation pulls first touch / pre-conversion touch / "
+    "steps-and-seconds-to-convert in one grouped pass, rolled up to the "
+    "(first_touch, last_touch) report — one window + two aggregates, single "
+    "shuffle key (user_id) throughout",
+    tags=("behavior", "window"),
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.row_number().over(w).alias("rn"),
+    )
+    conv = (
+        r.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    per = (
+        r.join(conv, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("first_touch"),
+            F.coalesce(
+                F.min(
+                    F.when(F.col("rn") == F.col("conv_rn") - 1, F.col("event_type"))
+                ),
+                F.lit("(direct)"),
+            ).alias("last_touch"),
+            (F.min("conv_rn") - 1).alias("steps"),
+            (
+                (
+                    F.min(F.when(F.col("rn") == F.col("conv_rn"), F.col("us")))
+                    - F.min(F.when(F.col("rn") == 1, F.col("us")))
+                )
+                / 1000000.0
+            ).alias("secs"),
+        )
+    )
+    return per.groupBy("first_touch", "last_touch").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(dsum("steps") / F.count(F.lit(1)), 6).alias("avg_steps"),
+        F.round(dsum("secs") / F.count(F.lit(1)), 6).alias("avg_secs"),
+    )
+
+
+@query(
+    "q_rolling_active_users",
+    # Trailing-7-day distinct actives (WAU) + same-day actives (DAU) +
+    # stickiness. COUNT(DISTINCT) OVER a RANGE frame is either unsupported
+    # or O(days x window) re-scanned; the linear rewrite: each (day, user)
+    # activity row covers the 7 window-end days d..d+6, so explode a bounded
+    # 0..6 offset, dedup (window_end, user), count. Shuffles touch the
+    # (day, user) frame — already collapsed from raw events — never 7x the
+    # event table.
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    grid AS (
+      SELECT du.d + CAST(g.k AS INTEGER) AS wd, du.user_id
+      FROM du, (SELECT unnest(generate_series(0, 6)) AS k) g),
+    wau AS (
+      SELECT wd, COUNT(*) AS wau7 FROM (
+        SELECT DISTINCT grid.wd, grid.user_id
+        FROM grid JOIN days ON grid.wd = days.d)
+      GROUP BY wd),
+    dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d)
+    SELECT CAST(dau.d AS TIMESTAMP) AS d, dau.dau, wau.wau7,
+           ROUND(dau.dau / CAST(wau.wau7 AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.wd
+    """,
+    description="DAU / trailing-7-day WAU / stickiness via the bounded "
+    "day-offset explode rewrite of COUNT(DISTINCT) OVER RANGE: distinct "
+    "(day, user) frame, 7-way offset explode to every window-end it covers, "
+    "semi-join to observed days, dedup + count — linear in activity rows, no "
+    "per-frame distinct recomputation",
+    tags=("behavior", "timeseries", "window"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "wd")
+    grid = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d", "user_id"
+    ).select(F.date_add("d", F.col("k")).alias("wd"), "user_id")
+    wau = (
+        grid.join(days, "wd")
+        .select("wd", "user_id")
+        .distinct()
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("wau7"))
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.d == wau.wd)
+        .select(
+            F.col("d").cast("timestamp_ntz").alias("d"),
+            "dau",
+            "wau7",
+            F.round(F.col("dau") / F.col("wau7").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@query(
+    "q_vocab_growth",
+    # Heaps-law vocabulary growth over the corpus in doc_id order: cumulative
+    # token-pair (bigram) volume vs cumulative distinct bigrams first seen.
+    # First-occurrence is one grouped MIN over the bigram stream; the curve
+    # is a prefix sum over the |docs|-row per-doc aggregate (bucket doc_ids
+    # before the window at corpus scale — the aggregates stay linear).
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bi AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS bg
+      FROM (SELECT doc_id, unnest(list_zip(t, t[2:])) AS p FROM toks)
+      WHERE p[2] IS NOT NULL),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_bi FROM bi GROUP BY doc_id),
+    firsts AS (SELECT bg, MIN(doc_id) AS fd FROM bi GROUP BY bg),
+    newv AS (SELECT fd, COUNT(*) AS new_v FROM firsts GROUP BY fd)
+    SELECT p.doc_id,
+           CAST(SUM(p.n_bi) OVER w AS BIGINT) AS cum_bigrams,
+           CAST(SUM(COALESCE(n.new_v, 0)) OVER w AS BIGINT) AS cum_vocab,
+           ROUND(CAST(SUM(COALESCE(n.new_v, 0)) OVER w AS BIGINT)
+                 / CAST(SUM(p.n_bi) OVER w AS DOUBLE), 6) AS ttr
+    FROM per_doc p LEFT JOIN newv n ON p.doc_id = n.fd
+    WINDOW w AS (ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    description="Heaps-law bigram vocabulary growth curve: adjacent-pair "
+    "stream from one explode scan, per-doc pair counts + first-occurrence "
+    "doc per bigram (grouped MIN), prefix sums over the per-doc aggregate "
+    "give cumulative volume / cumulative vocabulary / type-token ratio — the "
+    "corpus-saturation diagnostic for dedup and mixture decisions",
+    tags=("behavior", "text", "window"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_doc = bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bi"))
+    firsts = bi.groupBy("bg").agg(F.min("doc_id").alias("fd"))
+    newv = firsts.groupBy("fd").agg(F.count(F.lit(1)).alias("new_v"))
+    base = per_doc.join(
+        newv, per_doc.doc_id == newv.fd, "left"
+    ).select("doc_id", "n_bi", F.coalesce("new_v", F.lit(0)).alias("new_v"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum_bi = F.sum("n_bi").over(w).cast("long")
+    cum_v = F.sum("new_v").over(w).cast("long")
+    return base.select(
+        "doc_id",
+        cum_bi.alias("cum_bigrams"),
+        cum_v.alias("cum_vocab"),
+        F.round(cum_v / cum_bi.cast("double"), 6).alias("ttr"),
+    )
+
+
+@query(
+    "q_weighted_median",
+    # Weighted median price per return flag, quantity-weighted: per-value
+    # DECIMAL weight histogram (exact, order-free), cumulative weight window
+    # in DECIMAL (no float accumulation anywhere), discrete rule
+    # 2*cum >= total. The weighted analog of q_mode_median's histogram
+    # construction — one scan, one shuffle on (flag, value), window on the
+    # collapsed histogram only.
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS wt
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT flag, v, wt,
+             SUM(wt) OVER (PARTITION BY flag ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER (PARTITION BY flag) AS tot
+      FROM h)
+    SELECT flag,
+           MIN(CASE WHEN 2 * cum >= tot THEN v END) AS wmedian_price,
+           CAST(MIN(tot) AS DOUBLE) AS total_qty
+    FROM w GROUP BY flag
+    """,
+    description="quantity-weighted median price per return flag: per-value "
+    "decimal weight histogram, exact cumulative-weight window over the "
+    "collapsed histogram, discrete 2*cum >= tot rule — no float accumulation "
+    "anywhere, so both engines agree bit-for-bit; the weighted-quantile "
+    "primitive for corpus mixing and skew reporting",
+    tags=("behavior", "stats"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("wt"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    wf = h.select(
+        "flag",
+        "v",
+        F.sum("wt").over(w_cum).alias("cum"),
+        F.sum("wt").over(w_all).alias("tot"),
+    )
+    return wf.groupBy("flag").agg(
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))).alias(
+            "wmedian_price"
+        ),
+        F.min("tot").cast("double").alias("total_qty"),
+    )
+
+
+@query(
+    "q_mutual_information",
+    # Mutual information (and normalized MI) between the lang and source
+    # columns — "does source predict language?", the categorical-association
+    # audit run before stratifying a corpus mix. Contingency counts are one
+    # scan (localCheckpointed: marginals, totals, and the term grid all
+    # derive from the |langs|x|sources| cell frame, not from re-scans); every
+    # float comes from BIGINT counts through identical arithmetic; ln terms
+    # sum decimal-exact.
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+    l AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY lang),
+    s AS (SELECT source, SUM(n) AS ns FROM c GROUP BY source),
+    t AS (SELECT SUM(n) AS nt FROM c),
+    mi AS (
+      SELECT {sql_dsum("(n / CAST(nt AS DOUBLE)) * ln((n * nt) / CAST(nl * ns AS DOUBLE))")} AS mi
+      FROM c JOIN l ON c.lang = l.lang JOIN s ON c.source = s.source CROSS JOIN t),
+    hl AS (
+      SELECT {sql_dsum("-(nl / CAST(nt AS DOUBLE)) * ln(nl / CAST(nt AS DOUBLE))")} AS h_lang
+      FROM l CROSS JOIN t),
+    hs AS (
+      SELECT {sql_dsum("-(ns / CAST(nt AS DOUBLE)) * ln(ns / CAST(nt AS DOUBLE))")} AS h_source
+      FROM s CROSS JOIN t)
+    SELECT ROUND(mi, 6) AS mi_nats,
+           ROUND(h_lang, 6) AS h_lang,
+           ROUND(h_source, 6) AS h_source,
+           ROUND(mi / sqrt(h_lang * h_source), 6) AS nmi
+    FROM mi CROSS JOIN hl CROSS JOIN hs
+    """,
+    description="mutual information + entropies + normalized MI between lang "
+    "and source: one contingency-count scan (localCheckpointed cell grid), "
+    "marginals and totals derived from the grid, per-cell ln terms summed "
+    "decimal-exact, NMI = MI / sqrt(H_lang * H_source) — the categorical "
+    "association audit before corpus stratification",
+    tags=("behavior", "stats"),
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    l_m = c.groupBy("lang").agg(F.sum("n").alias("nl"))
+    s_m = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    t = c.agg(F.sum("n").alias("nt"))
+    grid = (
+        c.join(l_m, "lang").join(s_m, "source").crossJoin(F.broadcast(t))
+    )
+    mi_term = (F.col("n") / F.col("nt").cast("double")) * F.log(
+        (F.col("n") * F.col("nt")) / (F.col("nl") * F.col("ns")).cast("double")
+    )
+    mi = grid.agg(dsum(mi_term).alias("mi"))
+    pl = F.col("nl") / F.col("nt").cast("double")
+    hl = l_m.crossJoin(F.broadcast(t)).agg(dsum(-pl * F.log(pl)).alias("h_lang"))
+    ps = F.col("ns") / F.col("nt").cast("double")
+    hs = s_m.crossJoin(F.broadcast(t)).agg(
+        dsum(-ps * F.log(ps)).alias("h_source")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("h_lang", 6).alias("h_lang"),
+            F.round("h_source", 6).alias("h_source"),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_lang") * F.col("h_source")), 6
+            ).alias("nmi"),
+        )
+    )

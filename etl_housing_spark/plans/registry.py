@@ -128,6 +128,7 @@ def _rotation_key(verified: frozenset[str]):
 def all_queries() -> dict[str, QuerySpec]:
     # import for side-effect registration of every plan module
     from . import (  # noqa: F401
+        behavior_queries,
         cleaning_queries,
         dedup_queries,
         eval_queries,
