@@ -13,6 +13,8 @@ with truncating division so values match what DuckDB/pyarrow see
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,9 +34,25 @@ TABLES = [
 ]
 
 
+# Handle cache: spark.read.parquet eagerly lists files and reads the footer
+# schema (driver RPCs + filesystem round-trips), and a catalog session builds
+# hundreds of plans over the same handful of immutable table snapshots — the
+# repeated footer reads are pure per-query fixed floor. DataFrames are
+# immutable, so the resolved handle is safe to share; keyed by applicationId
+# so a new session (or a restarted one) never sees a stale context. The
+# testdata/warehouse-layout dirs are written-once-then-read, which is what
+# makes snapshot caching sound; anything that rewrites files mid-session
+# (streaming ingest, format round-trips) uses its own readers, not this.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing types for engine use."""
     ensure_runtime_confs(spark)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
@@ -46,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    _DF_CACHE[key] = df
     return df
 
 
