@@ -1,0 +1,118 @@
+"""Edge-case semantics for the round-4 behavior family (SURVEY.md §5.2 item 3):
+tiny synthetic table snapshots exercise the boundary rules the sf-data parity
+suite cannot reach (instant conversions, pair-less baskets, independence)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from etl_housing_spark.plans import all_queries
+
+Q = all_queries()
+
+
+def _write(df, tmp_path, name):
+    df.write.mode("overwrite").parquet(f"{tmp_path}/{name}.parquet")
+
+
+def _events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    _write(df, tmp_path, "events")
+
+
+def test_attribution_instant_and_nonconverting(spark, tmp_path):
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    t2 = datetime(2024, 1, 1, 13, 0, 0)
+    _events(
+        spark,
+        tmp_path,
+        [
+            # user 1 converts on their very first event → '(direct)', 0 steps
+            (1, t, 1, "purchase"),
+            (2, t2, 1, "view"),
+            # user 2 never purchases → excluded from the report
+            (3, t, 2, "view"),
+            (4, t2, 2, "click"),
+        ],
+    )
+    out = Q["q_attribution_touch"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.first_touch, row.last_touch) == ("purchase", "(direct)")
+    assert row.n_users == 1 and row.avg_steps == 0.0 and row.avg_secs == 0.0
+
+
+def test_rolling_actives_single_day_covers_following_window_ends(spark, tmp_path):
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    _events(spark, tmp_path, [(1, t, 7, "view")])
+    out = {r.d.day: (r.dau, r.wau7) for r in
+           Q["q_rolling_active_users"].fn(spark, str(tmp_path)).collect()}
+    # only observed days are reported: one activity day → one report row,
+    # where the user is both the DAU and the trailing-7 WAU
+    assert out == {1: (1, 1)}
+
+
+def test_copurchase_singleton_baskets_make_no_pairs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "l_orderkey long, l_partkey long"
+    )
+    _write(df, tmp_path, "lineitem")
+    assert Q["q_copurchase_lift"].fn(spark, str(tmp_path)).count() == 0
+
+
+def test_copurchase_lift_above_one_for_always_together(spark, tmp_path):
+    # parts 10 and 20 co-occur in all 3 of 4 orders they appear in
+    rows = [(o, p) for o in (1, 2, 3) for p in (10, 20)] + [(4, 30)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    _write(df, tmp_path, "lineitem")
+    out = Q["q_copurchase_lift"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # support 3, each item in 3 of 4 baskets: lift = 3*4/(3*3)
+    assert (r.p1, r.p2, r.pair_n) == (10, 20, 3)
+    # lift is reported rounded to 6dp
+    assert abs(r.lift - 4.0 / 3.0) < 1e-6 and r.cosine == 1.0 and r.jaccard == 1.0
+
+
+def test_weighted_median_discrete_rule_takes_lower_value_on_tie(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 1, 1.0, 10.0, "A"), (2, 1, 1.0, 20.0, "A")],
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_returnflag string",
+    )
+    _write(df, tmp_path, "lineitem")
+    row = Q["q_weighted_median"].fn(spark, str(tmp_path)).collect()[0]
+    # 2*cum == tot exactly at the first value → discrete rule picks it
+    assert row.wmedian_price == 10.0 and row.total_qty == 2.0
+
+
+def test_vocab_growth_skips_single_token_docs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, "one", "en", "s"), (1, "a b a b", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    _write(df, tmp_path, "documents")
+    out = {r.doc_id: (r.cum_bigrams, r.cum_vocab) for r in
+           Q["q_vocab_growth"].fn(spark, str(tmp_path)).collect()}
+    # doc 0 has no bigram → not on the curve; doc 1: pairs (a b, b a, a b)
+    assert out == {1: (3, 2)}
+
+
+def test_mutual_information_zero_under_independence(spark, tmp_path):
+    rows = [
+        (i * 4 + j, "t", lang, src)
+        for i, lang in enumerate(["en", "fr"])
+        for j, src in enumerate(["s1", "s2"])
+        for _ in range(5)
+    ]
+    df = spark.createDataFrame(
+        [(k, t, la, so) for (k, t, la, so) in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    _write(df, tmp_path, "documents")
+    row = Q["q_mutual_information"].fn(spark, str(tmp_path)).collect()[0]
+    # uniform grid: p(lang, src) == p(lang)p(src) → every ln term is 0
+    assert row.mi_nats == 0.0 and row.nmi == 0.0
+    assert row.h_lang > 0.0 and row.h_source > 0.0
