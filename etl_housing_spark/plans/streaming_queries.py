@@ -1,9 +1,11 @@
 """Streaming queries (SURVEY.md §2.11) — real readStream plans executed with
 trigger(availableNow) and returned as batch DataFrames.
 
-Both are ⊘ rows-only for the driver (watermark semantics aren't
+All but one are ⊘ rows-only for the driver (watermark/state semantics aren't
 DuckDB-expressible); the strong check is tests/test_streaming_equiv.py's
 batch⇄stream equivalence assertion against the oracle-checked batch twins.
+The exception is q_stream_enrich — a stateless row-deterministic stream-static
+join — which carries the full hash-checked oracle.
 """
 
 from __future__ import annotations
@@ -88,6 +90,46 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{d}/*")
     )
     return jobs.run_available_now(jobs.anomaly_stream(stream))
+
+
+@query(
+    "q_stream_enrich",
+    # The one streaming shape whose output IS batch-deterministic (row-level
+    # left join to a static snapshot, no watermark, no state), so unlike the
+    # rest of the streaming family it gets the full hash check: the oracle
+    # is the identical dimension expressed as a CASE over the same rows.
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                WHEN event_type = 'error' THEN 'ops'
+                WHEN event_type IN ('click', 'view') THEN 'engagement'
+                ELSE NULL END AS tier,
+           value
+    FROM events
+    """,
+    description="stream-static enrichment join: each micro-batch broadcast-joins "
+    "the static tier dimension onto the event stream (no streaming state at all "
+    "— the planner re-reads the dim per batch); the enrichment shape every event "
+    "pipeline runs, and the one streaming query that is row-deterministic, so it "
+    "is fully hash-checked against the batch oracle",
+    tags=("streaming", "join"),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+            ("click", "engagement"),
+            ("view", "engagement"),
+        ],
+        "event_type string, tier string",
+    )
+    events = jobs.read_events_stream(spark, sf_dir)
+    enriched = jobs.enrich_with_dim(events, dim, "event_type")
+    return jobs.run_available_now(
+        enriched.select("event_id", "event_type", "tier", "value")
+    )
 
 
 @query(
