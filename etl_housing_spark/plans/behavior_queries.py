@@ -467,3 +467,55 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+@query(
+    "q_drawdown",
+    # Maximum drawdown of each user's cumulative value series — the
+    # running-extremum window primitive (peak-to-trough distance) the
+    # window family was missing. Every intermediate is DECIMAL: cumulative
+    # sum, running max, and their difference are exact and order-free, so
+    # both engines agree bit-for-bit; one shuffle on user_id, one sort,
+    # all three frames evaluate in a single WindowExec pass.
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER w AS cum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    d AS (
+      SELECT user_id,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY cum
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cum AS dd
+      FROM c)
+    SELECT user_id, CAST(MAX(dd) AS DOUBLE) AS max_drawdown
+    FROM d GROUP BY user_id
+    """,
+    description="maximum drawdown per user over the cumulative event-value "
+    "series: decimal-exact cumulative sum, running max, peak-to-trough "
+    "difference, grouped max — the running-extremum window primitive "
+    "(regression/alerting on any monotone-expected metric); one shuffle on "
+    "the entity key, zero float accumulation",
+    tags=("behavior", "window", "timeseries"),
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = ev.select(
+        "user_id", F.sum(F.col("value").cast(DEC)).over(w).alias("cum")
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("cum")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = c.select("user_id", (F.max("cum").over(w2) - F.col("cum")).alias("dd"))
+    return d.groupBy("user_id").agg(
+        F.max("dd").cast("double").alias("max_drawdown")
+    )
