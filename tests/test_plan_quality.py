@@ -475,3 +475,52 @@ def test_graph_edge_construction_never_all_pairs(spark):
         plan = _plan(_q(spark, name))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_copurchase_pairs_are_equi_join_on_basket_key(spark):
+    """The pair generator must join on l_orderkey (bounded per-basket
+    fan-out), never a cartesian over the part catalog. The one
+    BroadcastNestedLoopJoin allowed is the benign 1-row scalar total
+    (crossJoin(broadcast(tot)) — the documented scalar-subquery pattern)."""
+    plan = _plan(_q(spark, "q_copurchase_lift"))
+    assert "CartesianProduct" not in plan
+    # one tree node (formatted mode prints each node twice: tree + details)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_rolling_actives_explode_before_distinct(spark):
+    """The COUNT(DISTINCT) OVER RANGE rewrite: a bounded Generate (the 0..6
+    offset explode) feeding aggregates — no window distinct, no loops."""
+    plan = _plan(_q(spark, "q_rolling_active_users"))
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_drawdown_single_entity_shuffle(spark):
+    """Cumulative sum, running max and the grouped max all partition on
+    user_id — exactly one shuffle exchange, on the entity key (the final
+    grouped max reuses the window partitioning, no second exchange)."""
+    plan = _plan(_q(spark, "q_drawdown"))
+    assert plan.count(" Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" in plan
+
+
+def test_attribution_reuses_user_exchange(spark):
+    """Window + self-join + aggregates all keyed on user_id; no plan node
+    may fall back to a loop join."""
+    plan = _plan(_q(spark, "q_attribution_touch"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_mutual_information_grid_from_checkpoint(spark):
+    """All marginals must derive from the localCheckpointed contingency
+    grid: the documents parquet is scanned exactly once (at checkpoint
+    build), so the final plan contains no documents scan at all."""
+    plan = _plan(_q(spark, "q_mutual_information"))
+    assert "documents.parquet" not in plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
