@@ -519,3 +519,85 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("user_id").agg(
         F.max("dd").cast("double").alias("max_drawdown")
     )
+
+
+@query(
+    "q_rfm_segments",
+    # RFM (recency / frequency / monetary) segmentation — the classic
+    # customer-value report. Per-user metrics are one grouped aggregate;
+    # quintile assignment is NTILE over the (metric, user_id) total order
+    # (deterministic under ties, SQL-standard remainder rule on both
+    # engines); the windows run on the |users|-row aggregate, not the event
+    # table. At 1B users the global NTILE sorts become the q_corpus_mix
+    # situation: switch to histogram-rank bucketing; the report shape is
+    # unchanged. Monetary sums are decimal-exact, so the quintile ORDER BY
+    # doubles are identical on both engines.
+    oracle=f"""
+    WITH g AS (SELECT CAST(MAX(ts) AS DATE) AS gday FROM events),
+    per AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE), g.gday) AS rec_days,
+             COUNT(*) AS f,
+             {sql_dsum('value')} AS m
+      FROM events CROSS JOIN g GROUP BY user_id, g.gday),
+    b AS (
+      SELECT user_id, rec_days, f, m,
+             NTILE(5) OVER (ORDER BY rec_days ASC, user_id) AS r_b,
+             NTILE(5) OVER (ORDER BY f DESC, user_id) AS f_b,
+             NTILE(5) OVER (ORDER BY m DESC, user_id) AS m_b
+      FROM per)
+    SELECT CAST(r_b AS VARCHAR) || '-' || CAST(f_b AS VARCHAR) || '-'
+             || CAST(m_b AS VARCHAR) AS segment,
+           COUNT(*) AS n_users,
+           ROUND({sql_dsum('rec_days')} / COUNT(*), 6) AS avg_recency_days,
+           ROUND({sql_dsum('f')} / COUNT(*), 6) AS avg_frequency,
+           ROUND({sql_dsum('m')} / COUNT(*), 6) AS avg_monetary
+    FROM b GROUP BY segment
+    """,
+    description="RFM quintile segmentation: per-user recency/frequency/"
+    "monetary from one grouped aggregate (decimal-exact value sums), "
+    "deterministic NTILE(5) per dimension over the (metric, user_id) order "
+    "on the collapsed per-user frame, rolled up per segment — bucket 1 is "
+    "best on every axis; the customer-value report every activity warehouse "
+    "ships, with histogram-rank bucketing as the 1B-user scale path",
+    tags=("behavior", "stats", "window"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").cast("date").alias("gday"))
+    per = (
+        ev.crossJoin(F.broadcast(g))
+        .groupBy("user_id", "gday")
+        .agg(
+            F.max("ts").cast("date").alias("last_day"),
+            F.count(F.lit(1)).alias("f"),
+            dsum("value").alias("m"),
+        )
+        .select(
+            "user_id",
+            F.datediff("gday", "last_day").alias("rec_days"),
+            "f",
+            "m",
+        )
+    )
+    b = per.select(
+        "user_id",
+        "rec_days",
+        "f",
+        "m",
+        F.ntile(5).over(Window.orderBy(F.asc("rec_days"), "user_id")).alias("r_b"),
+        F.ntile(5).over(Window.orderBy(F.desc("f"), "user_id")).alias("f_b"),
+        F.ntile(5).over(Window.orderBy(F.desc("m"), "user_id")).alias("m_b"),
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_b").cast("string"),
+        F.col("f_b").cast("string"),
+        F.col("m_b").cast("string"),
+    )
+    return b.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(dsum("rec_days") / F.count(F.lit(1)), 6).alias("avg_recency_days"),
+        F.round(dsum("f") / F.count(F.lit(1)), 6).alias("avg_frequency"),
+        F.round(dsum("m") / F.count(F.lit(1)), 6).alias("avg_monetary"),
+    )
