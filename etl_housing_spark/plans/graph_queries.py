@@ -12,6 +12,9 @@ scale.
 degree aggregation are both plain SQL). ``q_pagerank`` registers rows-only:
 its per-iteration float sums are order-dependent by nature; the value-level
 check lives in tests/test_operators.py against a NumPy power iteration.
+``q_pagerank_portable`` closes that gap: four unrolled iterations with
+DECIMAL(38,18) contribution sums are order-free, so the rank vector itself
+hash-matches DuckDB.
 """
 
 from __future__ import annotations
@@ -435,3 +438,108 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         und, (cn["u"] == und["a"]) & (cn["v"] == und["b"]), "left_anti"
     )
     return nonadj.orderBy(F.desc("common_neighbors"), "u", "v").limit(20)
+
+
+_PR_ITER = """
+    dg{i} AS (
+      SELECT CAST(COALESCE(SUM(CAST(r{p}.r AS DECIMAL(38,18))), 0) AS DOUBLE) AS dang
+      FROM r{p} LEFT JOIN od ON r{p}.node = od.node WHERE od.d IS NULL),
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(r{p}.r / od.d AS DECIMAL(38,18))) AS DOUBLE) AS c
+      FROM edges e JOIN r{p} ON e.src = r{p}.node JOIN od ON e.src = od.node
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT nodes.node,
+             CAST(0.15 AS DOUBLE) / nt.n
+               + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(c{i}.c, CAST(0 AS DOUBLE)) + dg{i}.dang / nt.n) AS r
+      FROM nodes CROSS JOIN nt CROSS JOIN dg{i}
+      LEFT JOIN c{i} ON nodes.node = c{i}.node)
+"""
+
+_PR_DEC = "decimal(38,18)"
+
+
+@query(
+    "q_pagerank_portable",
+    # The hash-checked PageRank twin: q_pagerank's float iteration sums in
+    # partition order (rows-only by nature), but with every per-iteration
+    # aggregate routed through DECIMAL(38,18) the rank vector after each
+    # synchronous step is the SAME double on both engines — so four unrolled
+    # power iterations (damping 0.85, dangling mass redistributed uniformly)
+    # are fully oracle-checkable, the same promotion the portable
+    # MinHash/SimHash/sketch twins made. Production path remains the
+    # operators.graph.pagerank loop (checkpointed, arbitrary iterations).
+    oracle=_EDGE_SQL
+    + """,
+    nodes AS (SELECT vec_id AS node FROM embeddings),
+    nt AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / nt.n AS r FROM nodes CROSS JOIN nt),
+    """
+    + ",".join(_PR_ITER.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT node, ROUND(r, 8) AS rank FROM r4
+    """,
+    description="oracle-checked PageRank over the kNN graph: 4 unrolled "
+    "synchronous power iterations (damping 0.85, uniform dangling-mass "
+    "redistribution) with every incoming-contribution and dangling sum "
+    "accumulated in DECIMAL(38,18) — order-free, so each iteration's rank "
+    "vector is bit-identical on both engines; per iteration one equi-join on "
+    "the edge key + one partial-agg shuffle, ranks sum to 1",
+    tags=("graph", "vector"),
+)
+def q_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    nt = nodes.agg(F.count(F.lit(1)).alias("n"))
+    od = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    r = nodes.crossJoin(F.broadcast(nt)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(4):
+        # localCheckpoint keeps the composed plan linear in iterations (the
+        # rank frame is consumed twice per step: dangling + contributions);
+        # materialization does not change the decimal-exact values.
+        r = r.localCheckpoint(eager=True)
+        dang = (
+            r.join(od, "node", "left")
+            .where(F.col("d").isNull())
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("r").cast(_PR_DEC)), F.lit(0).cast(_PR_DEC)
+                )
+                .cast("double")
+                .alias("dang")
+            )
+        )
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(od.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum((F.col("r") / F.col("d")).cast(_PR_DEC))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dang") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+        )
+    return r.select("node", F.round("r", 8).alias("rank"))
