@@ -543,3 +543,63 @@ def q_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("node", F.round("r", 8).alias("rank"))
+
+
+_CC_ITER = """
+    l{i} AS (
+      SELECT l{p}.node,
+             LEAST(l{p}.lab, COALESCE(m{i}.nm, l{p}.lab)) AS lab
+      FROM l{p} LEFT JOIN (
+        SELECT und.dst AS node, MIN(l{p}.lab) AS nm
+        FROM und JOIN l{p} ON und.src = l{p}.node
+        GROUP BY und.dst) m{i}
+      ON l{p}.node = m{i}.node)
+"""
+
+
+@query(
+    "q_graph_components",
+    # Connected components by synchronous min-label propagation, 4 unrolled
+    # rounds — every update is an integer MIN (commutative, associative,
+    # order-free), so unlike float-weighted iteration the whole computation
+    # hash-matches by construction; q_dedup_clusters' loop-until-converged
+    # operator remains the production path, this is its bounded-round
+    # checked twin. Labels after round k = min node id within k hops; on
+    # this graph 4 rounds converge (small component diameters), and the
+    # bounded-round semantics are well-defined either way.
+    oracle=_EDGE_SQL
+    + """,
+    und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    l0 AS (SELECT vec_id AS node, vec_id AS lab FROM embeddings),
+    """
+    + ",".join(_CC_ITER.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+    SELECT node, lab AS component_id FROM l4
+    """,
+    description="connected components of the kNN graph via 4 unrolled rounds "
+    "of synchronous min-label propagation (component id = min node id within "
+    "4 hops; converged on this graph's small-diameter components): per round "
+    "one equi-join on the edge key + one integer MIN aggregate — commutative "
+    "and order-free, so the labeling hash-matches the oracle; the bounded-"
+    "round checked twin of q_dedup_clusters' loop-until-converged operator",
+    tags=("graph",),
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    lab = emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lab"))
+    for _ in range(4):
+        lab = lab.localCheckpoint(eager=True)
+        nm = (
+            und.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nm"))
+        )
+        lab = lab.join(nm, "node", "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce(F.col("nm"), F.col("lab"))).alias("lab"),
+        )
+    return lab.select("node", F.col("lab").alias("component_id"))
