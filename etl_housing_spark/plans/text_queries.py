@@ -952,3 +952,69 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+@query(
+    "q_image_decode",
+    # The first ORACLE-CHECKED real-codec multimodal query. Each document id
+    # deterministically defines a greyscale image (width 16 + id % 16,
+    # height 16 + id % 8, pixel(i) = (id*31 + i*7) % 256); the Spark side
+    # ENCODES it to a real PNG (pure-stdlib codec, functions/png.py) and
+    # pushes the bytes through operators.multimodal.decode_media — the
+    # actual Arrow-batched production decode stage, magic-byte sniffed,
+    # Pillow or stdlib fallback — while the oracle recomputes the same
+    # dimensions and mean luma from the closed-form pixel formula in pure
+    # SQL. The decoded stats are exact-integer sums divided in the same
+    # operand order on both sides, so the real decode path itself
+    # hash-matches. At scale the encode stage is the test fixture standing
+    # in for stored media bytes; decode_media is the real path.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+      FROM documents),
+    px AS (
+      -- range() takes no lateral args in DuckDB: fixed 0..1023 (>= max w*h
+      -- = 31*23) joined on i < w*h
+      SELECT d.doc_id, d.w, d.h, ((d.doc_id * 31 + i.i * 7) % 256) AS v
+      FROM dims d JOIN range(0, 1024) i(i) ON i.i < d.w * d.h)
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 255.0, 6) AS mean_luma
+    FROM px GROUP BY doc_id, w, h
+    """,
+    description="real-codec multimodal decode, hash-checked: deterministic "
+    "greyscale PNGs (one per document, pixels a closed-form function of the "
+    "id) encoded with the stdlib codec and decoded through the production "
+    "mapInPandas decode_media stage (magic-byte sniff, Pillow-or-stdlib); "
+    "the oracle recomputes dimensions + mean luma from the pixel formula in "
+    "pure SQL — proving the Arrow decode path returns the right numbers, "
+    "not just rows",
+    tags=("multimodal",),
+)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as _png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 16, 16 + d % 8
+                pixels = bytes((d * 31 + i * 7) % 256 for i in range(w * h))
+                payloads.append(_png.encode_gray(w, h, pixels))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    out = decode_media(media)
+    return out.select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
