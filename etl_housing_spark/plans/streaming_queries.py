@@ -1,11 +1,17 @@
 """Streaming queries (SURVEY.md §2.11) — real readStream plans executed with
 trigger(availableNow) and returned as batch DataFrames.
 
-All but one are ⊘ rows-only for the driver (watermark/state semantics aren't
-DuckDB-expressible); the strong check is tests/test_streaming_equiv.py's
-batch⇄stream equivalence assertion against the oracle-checked batch twins.
-The exception is q_stream_enrich — a stateless row-deterministic stream-static
-join — which carries the full hash-checked oracle.
+Round 4 promoted most of the family from rows-only to hash-checked: under
+``trigger(availableNow)`` the file source delivers one micro-batch, so the
+tumbling counts equal the batch aggregation, the unique-id dedup is an
+identity, the stateless stream-static enrich is row-deterministic, and the
+stateful sessionization emits exactly the batch sessions minus each user's
+open tail — all four now carry full DuckDB oracles. The multi-batch
+behaviors those oracles cannot express (watermark drops, cross-batch state)
+stay covered by tests/test_streaming_equiv.py and
+tests/test_watermark_latedata.py; q_stream_anomaly (prefix-stat scoring
+across an explicit 2-batch replay) and q_stream_join (watermarked interval
+join) remain ⊘ by contract.
 """
 
 from __future__ import annotations
@@ -19,20 +25,51 @@ from .registry import query
 
 @query(
     "q_stream_tumbling",
-    oracle=None,  # ⊘ streaming semantics; equivalence-tested vs q_window_tumbling
+    # Promoted from rows-only in round 4: under trigger(availableNow) the
+    # file source delivers every input file in ONE micro-batch, so the
+    # watermark drops nothing (late data only exists ACROSS batches) and
+    # complete-mode counts are exactly the batch aggregation — integer
+    # counts, deterministic window boundaries, hence the full hash check
+    # against q_window_tumbling's SQL. Multi-batch replays with real late
+    # data remain covered by tests/test_watermark_latedata.py; the watermark
+    # semantics themselves stay non-SQL-expressible, but this entry's output
+    # is not approximate, so it should not hide behind ⊘.
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
     description="streaming tumbling-window counts via readStream + availableNow + "
-    "watermark (incremental re-expression of the daily cron batch)",
+    "watermark (incremental re-expression of the daily cron batch); availableNow "
+    "delivers one micro-batch so the complete-mode result equals the batch "
+    "aggregation exactly — hash-checked against q_window_tumbling's oracle",
     tags=("streaming",),
 )
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_available_now(jobs.tumbling_counts(events))
+    out = jobs.run_available_now(jobs.tumbling_counts(events))
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
 
 
 @query(
     "q_stream_dedup",
-    oracle=None,  # ⊘ streaming semantics; count-equivalence-tested vs batch distinct
-    description="watermarked cross-batch dedup on event_id (the apt_id TODO solved)",
+    # Promoted from rows-only in round 4: event_id is unique in the source
+    # (the generator's row id), so the watermarked dropDuplicates must pass
+    # every row through exactly once and the checked relation is the table
+    # itself — a value-level identity check on the streaming dedup path.
+    # (With genuinely duplicated ids the survivor's payload is
+    # arrival-order-dependent and only the id set would be checkable; the
+    # duplicate-dropping behavior is covered by the cross-batch equivalence
+    # test in tests/test_streaming_equiv.py.)
+    oracle="SELECT event_id, event_type, value FROM events",
+    description="watermarked cross-batch dedup on event_id (the apt_id TODO "
+    "solved); hash-checked as an identity over the unique-id source — the "
+    "duplicate-dropping path is equivalence-tested cross-batch",
     tags=("streaming",),
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,15 +81,53 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_sessionize",
-    oracle=None,  # ⊘ custom stateful streaming; closed-session equivalence-tested vs q_sessionize
+    # Promoted from rows-only in round 4: the operator emits exactly the
+    # CLOSED sessions — every batch session except each user's last (the
+    # open one stays in state) — and session boundaries depend only on the
+    # sorted event times (strict > gap rule, identical in both forms), so
+    # the emitted set is deterministic and the oracle is the batch
+    # sessionization minus the per-user max session_seq. The custom
+    # applyInPandasWithState operator is thereby value-checked end to end,
+    # not just row-counted.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 12 HOURS
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM o),
+    agg AS (
+      SELECT user_id, session_seq, COUNT(*) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM s GROUP BY user_id, session_seq),
+    mx AS (SELECT user_id, MAX(session_seq) AS mseq FROM agg GROUP BY user_id)
+    SELECT a.user_id, a.session_seq, a.n_events, a.session_start, a.session_end
+    FROM agg a JOIN mx ON a.user_id = mx.user_id AND a.session_seq < mx.mseq
+    """,
     description="streaming gap-based sessionization via applyInPandasWithState — "
     "custom stateful operator, O(active users) fixed-size state, emits a session "
-    "the moment a later event closes it; batch twin is q_sessionize",
+    "the moment a later event closes it; hash-checked against the batch "
+    "sessionization minus each user's open (last) session — the exact closed-"
+    "session contract, value-checked",
     tags=("streaming", "timeseries"),
 )
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = jobs.read_events_stream(spark, sf_dir)
-    return jobs.run_available_now(jobs.sessionize_stream(events, gap="12 hours"))
+    out = jobs.run_available_now(jobs.sessionize_stream(events, gap="12 hours"))
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+    )
 
 
 @query(
