@@ -6,12 +6,13 @@ Round 4 promoted most of the family from rows-only to hash-checked: under
 tumbling counts equal the batch aggregation, the unique-id dedup is an
 identity, the stateless stream-static enrich is row-deterministic, and the
 stateful sessionization emits exactly the batch sessions minus each user's
-open tail — all four now carry full DuckDB oracles. The multi-batch
-behaviors those oracles cannot express (watermark drops, cross-batch state)
-stay covered by tests/test_streaming_equiv.py and
-tests/test_watermark_latedata.py; q_stream_anomaly (prefix-stat scoring
-across an explicit 2-batch replay) and q_stream_join (watermarked interval
-join) remain ⊘ by contract.
+open tail, and the stream-stream interval join emits the batch inequality
+join's relation verbatim — five of seven now carry full DuckDB oracles.
+The multi-batch behaviors those oracles cannot express (watermark drops,
+cross-batch state retirement) stay covered by
+tests/test_streaming_equiv.py and tests/test_watermark_latedata.py;
+q_stream_anomaly remains ⊘ by contract — its scores depend on the
+pandas partition-order float sums of the explicit 2-batch replay.
 """
 
 from __future__ import annotations
@@ -209,16 +210,39 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_join",
-    oracle=None,  # ⊘ streaming semantics; equivalence-tested vs the batch interval join
+    # Promoted from rows-only in round 4: an inner stream-stream join's
+    # output is a pure relation — every (click, view) pair satisfying the
+    # predicate, emitted exactly once — and under availableNow's single
+    # micro-batch the watermark retires nothing before matching, so the
+    # result equals the batch inequality join verbatim and hash-checks.
+    # What the oracle cannot express — state retirement across batches —
+    # stays equivalence-tested in tests/test_streaming_equiv.py.
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM events c JOIN events v
+      ON c.event_type = 'click' AND v.event_type = 'view'
+     AND v.user_id = c.user_id
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+    """,
     description="stream-stream watermarked interval join (click ← same-user views "
     "in the prior hour, the attribution lookback): both sides watermarked and the "
     "event-time bound in the join condition lets Spark retire per-side state at "
-    "the rate × horizon bound instead of buffering stream history; batch twin "
-    "equivalence in tests/test_streaming_equiv.py",
+    "the rate × horizon bound instead of buffering stream history; the emitted "
+    "relation hash-matches the batch inequality join, and cross-batch state "
+    "retirement stays equivalence-tested",
     tags=("streaming", "join"),
 )
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = jobs.read_events_stream(spark, sf_dir)
     clicks = events.filter(F.col("event_type") == "click")
     views = events.filter(F.col("event_type") == "view")
-    return jobs.run_available_now(jobs.interval_join_streams(clicks, views))
+    out = jobs.run_available_now(jobs.interval_join_streams(clicks, views))
+    return out.select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    )
