@@ -116,3 +116,25 @@ def test_mutual_information_zero_under_independence(spark, tmp_path):
     # uniform grid: p(lang, src) == p(lang)p(src) → every ln term is 0
     assert row.mi_nats == 0.0 and row.nmi == 0.0
     assert row.h_lang > 0.0 and row.h_source > 0.0
+
+
+def test_stream_sessionize_single_event_user_emits_nothing(spark, tmp_path):
+    # one event → the session stays open in state; closed-session output is
+    # empty, matching the oracle (batch sessions minus each user's last)
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    _events(spark, tmp_path, [(1, t, 7, "view")])
+    assert Q["q_stream_sessionize"].fn(spark, str(tmp_path)).count() == 0
+
+
+def test_rfm_single_user_lands_in_the_all_ones_segment(spark, tmp_path):
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, t, 7, "view", 10.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    _write(df, tmp_path, "events")
+    out = Q["q_rfm_segments"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.segment == "1-1-1" and r.n_users == 1
+    assert r.avg_recency_days == 0.0 and r.avg_frequency == 1.0 and r.avg_monetary == 10.0
