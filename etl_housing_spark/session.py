@@ -55,13 +55,23 @@ def get_session(
     return builder.getOrCreate()
 
 
+_ENSURED_APPS: set[str] = set()
+
+
 def ensure_runtime_confs(spark: SparkSession) -> None:
     """Set the runtime-settable confs this engine's plans rely on.
 
     Called at the top of every catalog loader so that queries also work in a
     session we did not create (the correctness driver passes us its own).
     All of these are SQLConf runtime entries, safe to set post-creation.
+    Memoized per applicationId: a multi-query session (the 50-query driver
+    sweep, the bench) calls this hundreds of times and the conf RPCs are
+    idempotent.
     """
+    app = spark.sparkContext.applicationId
+    if app in _ENSURED_APPS:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _ENSURED_APPS.add(app)
