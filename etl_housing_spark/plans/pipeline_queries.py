@@ -1519,3 +1519,83 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_hi"),
         )
     )
+
+
+_DEDUP_CC_ROUND = """
+    dl{i} AS (
+      SELECT dl{p}.node,
+             LEAST(dl{p}.lab, COALESCE(dm{i}.nm, dl{p}.lab)) AS lab
+      FROM dl{p} LEFT JOIN (
+        SELECT du.dst AS node, MIN(dl{p}.lab) AS nm
+        FROM du JOIN dl{p} ON du.src = dl{p}.node
+        GROUP BY du.dst) dm{i}
+      ON dl{p}.node = dm{i}.node)
+"""
+
+# est_jaccard >= 0.75 ⟺ n_match >= 12 of 16 — integer threshold, no float
+_DEDUP_MIN_MATCH = 12
+
+
+def _dedup_pipeline_oracle() -> str:
+    rounds = ",".join(_DEDUP_CC_ROUND.format(i=i, p=i - 1) for i in range(1, 4))
+    return f"""
+    WITH mp AS ({_mh_pairs_oracle()}),
+    du AS (
+      SELECT id_a AS src, id_b AS dst FROM mp WHERE n_match >= {_DEDUP_MIN_MATCH}
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mp WHERE n_match >= {_DEDUP_MIN_MATCH}),
+    dl0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents),
+    {rounds}
+    SELECT node AS doc_id, lab AS cluster_id, node = lab AS keep
+    FROM dl3
+    """
+
+
+@query(
+    "q_dedup_pipeline_portable",
+    # The END-TO-END dedup decision, hash-checked: portable MinHash
+    # signatures → LSH band candidates → signature-agreement threshold
+    # (n_match >= 12 of 16 ⟺ estimated Jaccard >= 0.75, pure integer) →
+    # connected components via 3 unrolled min-label rounds → keep-first
+    # survivor (a doc survives iff it is its cluster's minimum id). Every
+    # stage is integer/string arithmetic, so the final keep/drop verdict a
+    # corpus pipeline acts on — not just the candidate pairs — hash-matches
+    # DuckDB. Production twin: operators.dedup.minhash_near_dups +
+    # connected_components (seeded murmur3, loop-until-converged).
+    oracle=_dedup_pipeline_oracle(),
+    description="end-to-end near-dup dedup verdict, oracle-checked: portable "
+    "MinHash -> LSH banding -> integer agreement threshold (12/16 ~ Jaccard "
+    "0.75) -> 3-round min-label components -> keep-first survivor flag per "
+    "document — the keep/drop decision itself hash-matches, closing the loop "
+    "the pair-level portable twins left open; one banding self-join + three "
+    "bounded label joins, never all-pairs",
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mp = q_minhash_pairs_portable(spark, sf_dir).filter(
+        F.col("n_match") >= _DEDUP_MIN_MATCH
+    )
+    edges = (
+        mp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(mp.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
+    for _ in range(3):
+        lab = lab.localCheckpoint(eager=True)
+        nm = (
+            edges.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nm"))
+        )
+        lab = lab.join(nm, "node", "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce(F.col("nm"), F.col("lab"))).alias("lab"),
+        )
+    return lab.select(
+        F.col("node").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("node") == F.col("lab")).alias("keep"),
+    )
