@@ -90,8 +90,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 def driver_verified_ids() -> frozenset[str]:
     """Ids with a passing verdict in any ``CORRECTNESS_r*.json`` at the repo
     root.  A sampled-but-failed id (``err`` set or rows mismatch) is NOT
-    treated as verified, so it rotates back to the front of the window."""
-    verified: set[str] = set()
+    treated as verified, so it rotates back to the front of the window.
+    Returns id → strongest verdict seen: ``"hash"`` (value-level pass) or
+    ``"rows"`` (the weaker rows-only check for a then-⊘ query) — the
+    rotation treats a rows-only verdict as spent once the query gains an
+    oracle, so promotions rotate back in for a value-level verdict."""
+    verified: dict[str, str] = {}
     for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(path.read_text())
@@ -102,20 +106,25 @@ def driver_verified_ids() -> frozenset[str]:
                 continue
             err = row.get("err")
             if err is None and row.get("rows_match", False):
-                verified.add(name)
+                verified[name] = "hash"
             elif err == "no_oracle" and row.get("spark_rows") is not None:
                 # ⊘ query: rows-only is its maximal check — it ran and
                 # returned a frame, which is all the driver can assert.
-                verified.add(name)
-    return frozenset(verified)
+                verified.setdefault(name, "rows")
+    return verified
 
 
-def _rotation_key(verified: frozenset[str]):
+def _rotation_key(verified: dict[str, str]):
     prio = {name: i for i, name in enumerate(_WINDOW_PRIORITY)}
 
     def key(item: tuple[str, QuerySpec]):
         name, spec = item
-        if name not in verified:
+        verdict = verified.get(name)
+        # a rows-only verdict on a query that NOW carries an oracle is
+        # stale — the value-level check never ran, so it re-enters the
+        # window alongside never-sampled oracle-checked ids
+        done = verdict == "hash" or (verdict == "rows" and spec.oracle is None)
+        if not done:
             if name in prio:
                 return (0, prio[name], name)
             # oracle-checked unverified before rows-only unverified

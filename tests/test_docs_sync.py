@@ -67,10 +67,16 @@ def test_driver_window_rotation_policy():
     ordered = list(specs.items())
     assert ordered == sorted(ordered, key=_rotation_key(verified))
 
-    unverified = [n for n in specs if n not in verified]
+    def done(name):
+        # mirror of registry._rotation_key: a rows-only verdict is spent
+        # once the query carries an oracle (the value check never ran)
+        v = verified.get(name)
+        return v == "hash" or (v == "rows" and specs[name].oracle is None)
+
+    unverified = [n for n in specs if not done(n)]
     window = list(specs)[:50]
     expected_fresh = min(50, len(unverified))
-    fresh = [n for n in window if n not in verified]
+    fresh = [n for n in window if not done(n)]
     assert len(fresh) == expected_fresh, (
         f"driver window holds {len(fresh)} never-verified ids, "
         f"expected {expected_fresh} — rotation broken"
