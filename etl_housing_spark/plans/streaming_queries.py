@@ -6,13 +6,13 @@ Round 4 promoted most of the family from rows-only to hash-checked: under
 tumbling counts equal the batch aggregation, the unique-id dedup is an
 identity, the stateless stream-static enrich is row-deterministic, and the
 stateful sessionization emits exactly the batch sessions minus each user's
-open tail, and the stream-stream interval join emits the batch inequality
-join's relation verbatim — five of seven now carry full DuckDB oracles.
-The multi-batch behaviors those oracles cannot express (watermark drops,
+open tail, the stream-stream interval join emits the batch inequality
+join's relation verbatim, and the anomaly scorer's per-batch state sums
+became decimal-exact (order-free, so the 2-batch-replay scores are the
+identical doubles) — ALL SEVEN now carry full DuckDB oracles. The
+multi-batch behaviors those oracles cannot express (watermark drops,
 cross-batch state retirement) stay covered by
-tests/test_streaming_equiv.py and tests/test_watermark_latedata.py;
-q_stream_anomaly remains ⊘ by contract — its scores depend on the
-pandas partition-order float sums of the explicit 2-batch replay.
+tests/test_streaming_equiv.py and tests/test_watermark_latedata.py.
 """
 
 from __future__ import annotations
@@ -133,13 +133,38 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_anomaly",
-    oracle=None,  # ⊘ custom stateful streaming; prefix-stat scoring
-    # equivalence-tested against the batch formula in
-    # tests/test_streaming_equiv.py::test_anomaly_stream_scores_against_prefix_stats
+    # Promoted from rows-only in round 4: the operator's per-batch Σv / Σv²
+    # now accumulate in 6-dp DECIMAL and convert to double once (the dsum
+    # recipe), so the batch-1 state — and every batch-2 score derived from
+    # it — is the identical double on both engines regardless of partition
+    # order. The oracle replays the same two-batch split (even ids = batch
+    # 1, odd ids = batch 2) and the same scoring arithmetic operand for
+    # operand.
+    oracle=f"""
+    WITH b1 AS (
+      SELECT event_type, value FROM events WHERE event_id % 2 = 0),
+    st AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM b1 GROUP BY event_type),
+    sc AS (
+      SELECT o.event_id, o.event_type, o.value,
+             (o.value - st.s / st.n)
+               / sqrt(st.s2 / st.n - (st.s / st.n) * (st.s / st.n)) AS z
+      FROM events o JOIN st ON o.event_type = st.event_type
+      WHERE o.event_id % 2 = 1
+        AND st.n >= 2
+        AND st.s2 / st.n - (st.s / st.n) * (st.s / st.n) > 0)
+    SELECT event_id, event_type, value, z FROM sc WHERE abs(z) >= 3.0
+    """,
     description="streaming z-score anomaly scoring via applyInPandasWithState — "
     "O(event types) fixed-size state (count, Σv, Σv²), each micro-batch scored "
     "against the stats of all PREVIOUS batches (causally honest alerting); "
-    "batch twin is q_anomaly_zscore",
+    "per-batch sums are decimal-exact then doubled once, so the two-batch "
+    "replay hash-matches the SQL twin of the same prefix scoring; batch twin "
+    "is q_anomaly_zscore",
     tags=("streaming", "timeseries"),
 )
 def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -240,14 +240,22 @@ def anomaly_stream(events: DataFrame, threshold: float = 3.0) -> DataFrame:
     O(event types) — fixed, not data-bounded. Until a type has seen ≥ 2
     events and a positive variance, nothing is emitted for it.
 
-    The double running sums here are the streaming tradeoff: the batch
-    twin's decimal-exact sums don't fit a fixed-size state record economy;
-    scoring drift vs batch is bounded by the doubles' accumulated error
-    (~ulp·n), far below the 3σ decision scale.
+    Determinism (round 4, what promoted this operator to hash-checked):
+    each micro-batch's Σv and Σv² are accumulated in 6-dp-quantized
+    DECIMAL (the catalog's dsum recipe) and converted to double once —
+    correctly rounded, order-free — so the per-batch state record, and
+    therefore every score, is the identical double regardless of
+    partition/arrival order and matches the SQL twin
+    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) bit for bit. Cross-batch
+    accumulation adds those per-batch doubles in batch order (the batch
+    sequence is the stream's defined order). State stays three numbers.
     """
     import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
+
+    q6 = Decimal("0.000001")
 
     def fn(key, pdfs, state):
         (event_type,) = key
@@ -270,11 +278,24 @@ def anomaly_stream(events: DataFrame, threshold: float = 3.0) -> DataFrame:
                             "z": z[hit],
                         }
                     )
+        # v and the DOUBLE product v*v are quantized at 6 dp BEFORE summing
+        # (the catalog's dsum / q_gini product recipe): the summed unscaled
+        # decimals stay within 2^53, where both engines' decimal→double
+        # conversion is exactly rounded. (A full-scale 12-dp product sum
+        # crosses 2^53 and DuckDB's two-step int128/10^s conversion can be
+        # off by one ulp from Python's correctly-rounded float(Decimal).)
+        qvals = [
+            (
+                Decimal(float(v)).quantize(q6, rounding=ROUND_HALF_UP),
+                Decimal(float(v) * float(v)).quantize(q6, rounding=ROUND_HALF_UP),
+            )
+            for v in rows["value"]
+        ]
         state.update(
             (
                 int(n + len(rows)),
-                float(s + rows["value"].sum()),
-                float(s2 + (rows["value"] * rows["value"]).sum()),
+                float(s + float(sum((q for q, _ in qvals), Decimal(0)))),
+                float(s2 + float(sum((p for _, p in qvals), Decimal(0)))),
             )
         )
 
