@@ -1018,3 +1018,50 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
     )
+
+
+@query(
+    "q_rolling_fingerprint_portable",
+    # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's
+    # crc32 base hash has no DuckDB twin, so this variant derives per-token
+    # hashes from md5 (the portable-hash recipe shared with the MinHash /
+    # sketch twins) and folds them with the same polynomial recurrence
+    # h = (h*31 + tok) mod (2^31 - 1) — an ordered fold over the token
+    # ARRAY, whose order is data-defined, not partitioning-defined, so the
+    # value is stable on any cluster and reproducible in SQL via
+    # list_reduce. Seed = first token's hash on both sides (list_reduce has
+    # no explicit zero); intermediate magnitudes stay below 2^38, far from
+    # int64 overflow on either engine. Map-only, zero shuffle, pure codegen.
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(t, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))
+               AS hs
+      FROM t)
+    SELECT doc_id,
+           CAST(list_reduce(hs, (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT)
+             AS rfp
+    FROM h
+    """,
+    description="portable order-sensitive document fingerprint: md5-derived "
+    "per-token hashes folded with h = (h*31 + tok) mod (2^31 - 1) over the "
+    "token array — sequence-sensitive (reordered tokens change the value, "
+    "unlike set-based fingerprints), map-only and shuffle-free, and the fold "
+    "order is array-defined so the value hash-matches DuckDB's list_reduce; "
+    "the checked twin of q_rolling_fingerprint's crc32 fast path",
+    tags=("text", "pipeline"),
+)
+def q_rolling_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.expr(
+        "transform(split(text, ' '),"
+        " x -> cast(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
+    )
+    rfp = F.expr(
+        "aggregate(slice(hs, 2, size(hs) - 1), hs[0],"
+        " (a, x) -> (a * 31 + x) % 2147483647)"
+    )
+    return docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id", rfp.cast("bigint").alias("rfp")
+    )
