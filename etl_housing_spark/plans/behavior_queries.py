@@ -601,3 +601,62 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dsum("f") / F.count(F.lit(1)), 6).alias("avg_frequency"),
         F.round(dsum("m") / F.count(F.lit(1)), 6).alias("avg_monetary"),
     )
+
+
+@query(
+    "q_survival_curve",
+    # User-lifetime survival curve (the Kaplan-Meier-shaped retention view
+    # without censoring — every user's span is fully observed in the
+    # window): lifespan = days between first and last activity, collapsed
+    # to a lifespan histogram, then a DESCENDING prefix sum gives "users
+    # surviving >= k days". All integers until one final division of
+    # identical bigints; the suffix-sum window runs on the |distinct
+    # lifespans|-row histogram, never the event table.
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS lifespan
+      FROM events GROUP BY user_id),
+    h AS (SELECT lifespan, COUNT(*) AS n FROM per GROUP BY lifespan),
+    t AS (SELECT SUM(n) AS total FROM h)
+    SELECT h.lifespan AS days, h.n AS n_ending,
+           CAST(SUM(h.n) OVER (ORDER BY h.lifespan DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_surviving,
+           ROUND(CAST(SUM(h.n) OVER (ORDER BY h.lifespan DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                / CAST(t.total AS DOUBLE), 6) AS surv_frac
+    FROM h CROSS JOIN t
+    """,
+    description="user-lifetime survival curve: per-user activity span in days "
+    "(one grouped aggregate), lifespan histogram, descending prefix sum for "
+    "'surviving >= k days' + survival fraction — the retention-decay view a "
+    "cohort matrix doesn't give directly; integer arithmetic to one final "
+    "division, windows on the collapsed histogram only",
+    tags=("behavior", "timeseries", "window"),
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias(
+            "lifespan"
+        )
+    )
+    h = per.groupBy("lifespan").agg(F.count(F.lit(1)).alias("n"))
+    t = h.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("lifespan")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    surviving = F.sum("n").over(w).cast("long")
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            F.col("lifespan").alias("days"),
+            F.col("n").alias("n_ending"),
+            surviving.alias("n_surviving"),
+            F.round(surviving / F.col("total").cast("double"), 6).alias(
+                "surv_frac"
+            ),
+        )
+    )
