@@ -203,3 +203,42 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_app
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+# ------------------------------------------- dynamic partition pruning ----
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact table partitioned on the join key must get a runtime
+    (dynamicpruning) partition filter when joined to a selectively-filtered
+    dim — the mechanism that turns a 100 TB partitioned scan into reading
+    only the partitions the dim survivors name. Asserted in the plan AND by
+    value: the pruned join equals the same join over the unpartitioned
+    copy."""
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 10).alias("part_key"), F.col("id").alias("v")
+    )
+    flat = str(tmp_path / "flat")
+    parted = str(tmp_path / "parted")
+    fact.write.parquet(flat)
+    fact.write.partitionBy("part_key").parquet(parted)
+
+    dim = spark.createDataFrame(
+        [(1, "keep"), (7, "keep")], "part_key long, tag string"
+    )
+    sel = F.col("tag") == "keep"
+
+    pf = spark.read.parquet(parted)
+    joined = pf.join(dim.filter(sel), "part_key").groupBy("part_key").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), "no runtime partition filter injected"
+
+    base = (
+        spark.read.parquet(flat)
+        .join(dim.filter(sel), "part_key")
+        .groupBy("part_key")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, base.collect()))
