@@ -313,3 +313,90 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.select("source", term.alias("t")).groupBy("source").agg(
         F.round(dsum("t"), 6).alias("jsd")
     )
+
+
+@query(
+    "q_ab_welch",
+    # The A/B experiment readout: Welch's unequal-variance t statistic
+    # between two deterministic halves of the event stream (even/odd ids —
+    # the same split convention as the streaming anomaly replay). Sums are
+    # decimal-exact (values and their DOUBLE products quantized at 6 dp
+    # before summing — the dsum / q_gini recipe, unscaled values inside
+    # 2^53 where both engines' decimal→double is exactly rounded); every
+    # downstream mean/variance/t/df is the same double operand-for-operand,
+    # so the one-row statistic hash-matches.
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             COUNT(*) AS n,
+             {sql_dsum('value')} AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT MIN(CASE WHEN grp = 'a' THEN n END) AS na,
+             MIN(CASE WHEN grp = 'b' THEN n END) AS nb,
+             MIN(CASE WHEN grp = 'a' THEN s END) AS sa,
+             MIN(CASE WHEN grp = 'b' THEN s END) AS sb,
+             MIN(CASE WHEN grp = 'a' THEN s2 END) AS sa2,
+             MIN(CASE WHEN grp = 'b' THEN s2 END) AS sb2
+      FROM g),
+    c AS (
+      SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             (sa2 - na * (sa / na) * (sa / na)) / (na - 1) AS va,
+             (sb2 - nb * (sb / nb) * (sb / nb)) / (nb - 1) AS vb
+      FROM w)
+    SELECT na, nb,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)), 6) AS welch_df
+    FROM c
+    """,
+    description="A/B experiment readout: Welch's unequal-variance t statistic "
+    "+ Satterthwaite degrees of freedom between two deterministic halves of "
+    "the event stream — per-group decimal-exact Σv and Σv² from one grouped "
+    "scan, then pure double arithmetic on the two-row aggregate; the "
+    "experiment-analysis primitive alongside the chi-square / KS family",
+    tags=("stats", "behavior"),
+)
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    w = g.agg(
+        *[
+            F.min(F.when(F.col("grp") == grp, F.col(c))).alias(f"{c}{grp}")
+            for grp in ("a", "b")
+            for c in ("n", "s", "s2")
+        ]
+    )
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    c = w.select(
+        "na",
+        "nb",
+        ma.alias("ma"),
+        mb.alias("mb"),
+        ((F.col("s2a") - F.col("na") * ma * ma) / (F.col("na") - 1)).alias("va"),
+        ((F.col("s2b") - F.col("nb") * mb * mb) / (F.col("nb") - 1)).alias("vb"),
+    )
+    vna, vnb = F.col("va") / F.col("na"), F.col("vb") / F.col("nb")
+    return c.select(
+        "na",
+        "nb",
+        F.round("ma", 6).alias("mean_a"),
+        F.round("mb", 6).alias("mean_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(vna + vnb), 6).alias("t_stat"),
+        F.round(
+            (vna + vnb) * (vna + vnb)
+            / (vna * vna / (F.col("na") - 1) + vnb * vnb / (F.col("nb") - 1)),
+            6,
+        ).alias("welch_df"),
+    )
