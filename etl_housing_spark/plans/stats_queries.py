@@ -400,3 +400,214 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "q_lorenz_curve",
+    # The distribution-shape companion to q_gini's scalar: customers ranked
+    # into revenue deciles (deterministic NTILE over (revenue, custkey)),
+    # then cumulative population share vs cumulative revenue share — the
+    # Lorenz curve a concentration report plots. Revenue per customer is a
+    # decimal-exact sum; the decile windows run on the |customers|-row
+    # aggregate and the cumulative shares on the 10-row decile frame.
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice')} AS r
+      FROM orders GROUP BY o_custkey),
+    d AS (
+      SELECT NTILE(10) OVER (ORDER BY r, o_custkey) AS decile, r FROM rev),
+    agg AS (
+      SELECT decile, COUNT(*) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS dr
+      FROM d GROUP BY decile),
+    t AS (
+      SELECT SUM(n) AS tn,
+             CAST(SUM(CAST(dr AS DECIMAL(18,6))) AS DOUBLE) AS tr
+      FROM agg)
+    SELECT decile, n,
+           ROUND(CAST(SUM(n) OVER w AS BIGINT) / CAST(t.tn AS DOUBLE), 6)
+             AS cum_pop_share,
+           ROUND(CAST(SUM(CAST(dr AS DECIMAL(18,6))) OVER w AS DOUBLE) / t.tr, 6)
+             AS cum_rev_share
+    FROM agg CROSS JOIN t
+    WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    description="Lorenz concentration curve over customer revenue: decimal-"
+    "exact revenue per customer, deterministic NTILE(10) deciles, cumulative "
+    "population vs revenue shares on the 10-row decile frame — the "
+    "distribution-shape report behind q_gini's scalar; windows never touch "
+    "the fact table",
+    tags=("stats", "behavior", "window"),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(dsum("o_totalprice").alias("r"))
+    d = rev.select(
+        F.ntile(10).over(Window.orderBy("r", "o_custkey")).alias("decile"), "r"
+    )
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r").cast("decimal(18,6)")).cast("double").alias("dr"),
+    )
+    t = agg.agg(
+        F.sum("n").alias("tn"),
+        F.sum(F.col("dr").cast("decimal(18,6)")).cast("double").alias("tr"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            F.round(
+                F.sum("n").over(w).cast("long") / F.col("tn").cast("double"), 6
+            ).alias("cum_pop_share"),
+            F.round(
+                F.sum(F.col("dr").cast("decimal(18,6)")).over(w).cast("double")
+                / F.col("tr"),
+                6,
+            ).alias("cum_rev_share"),
+        )
+    )
+
+
+@query(
+    "q_target_encoding",
+    # Smoothed mean-target encoding (the ML feature-prep staple): encode a
+    # categorical column by the target mean, shrunk toward the global mean
+    # with pseudo-count m — enc = (n·mean_cat + m·mean_global)/(n + m).
+    # Means come from decimal-exact sums divided once; the smoothing
+    # arithmetic runs operand-for-operand identically on the |categories|-row
+    # aggregate, so the encoding table hash-matches. At training scale the
+    # encoding is a broadcast map-join back onto the fact — a dim-sized
+    # artifact regardless of fact volume.
+    oracle=f"""
+    WITH cat AS (
+      SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+             {sql_dsum('o.o_totalprice')} AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment),
+    g AS (
+      SELECT SUM(n) AS tn, CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS ts
+      FROM cat)
+    SELECT seg, n,
+           ROUND(s / n, 6) AS seg_mean,
+           ROUND((n * (s / n) + 20 * (g.ts / g.tn)) / (n + 20), 6) AS encoded
+    FROM cat CROSS JOIN g
+    """,
+    description="smoothed mean-target encoding of market segment against order "
+    "value (pseudo-count m=20 shrinkage toward the global mean): decimal-exact "
+    "per-category and global sums from one joined scan, smoothing arithmetic "
+    "on the categories-row aggregate — the leakage-safe categorical encoder a "
+    "training pipeline broadcasts back onto the fact",
+    tags=("stats", "pipeline"),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cat = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("s"))
+    )
+    g = cat.agg(
+        F.sum("n").alias("tn"),
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("ts"),
+    )
+    seg_mean = F.col("s") / F.col("n")
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "seg",
+            "n",
+            F.round(seg_mean, 6).alias("seg_mean"),
+            F.round(
+                (F.col("n") * seg_mean + 20 * (F.col("ts") / F.col("tn")))
+                / (F.col("n") + 20),
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+@query(
+    "q_woe_iv",
+    # Weight-of-evidence / information value — the credit-scoring predictor
+    # audit: for the binary outcome "line returned" (l_returnflag = 'R')
+    # against the part brand, WoE_i = ln((bad_i/bads)/(good_i/goods)) and
+    # IV = Σ (bad%_i − good%_i)·WoE_i. Counts are integers; each ratio and
+    # ln runs on identical operands; the IV term sum is decimal-exact over
+    # the |brands|-row frame.
+    oracle=f"""
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    c AS (
+      SELECT brand,
+             SUM(bad) AS nb,
+             COUNT(*) - SUM(bad) AS ng
+      FROM j GROUP BY brand),
+    t AS (SELECT SUM(nb) AS tb, SUM(ng) AS tg FROM c),
+    w AS (
+      SELECT brand, nb, ng,
+             ln((nb / CAST(t.tb AS DOUBLE)) / (ng / CAST(t.tg AS DOUBLE))) AS woe,
+             (nb / CAST(t.tb AS DOUBLE) - ng / CAST(t.tg AS DOUBLE))
+               * ln((nb / CAST(t.tb AS DOUBLE)) / (ng / CAST(t.tg AS DOUBLE)))
+               AS iv_term
+      FROM c CROSS JOIN t
+      WHERE nb > 0 AND ng > 0)
+    SELECT brand, CAST(nb AS BIGINT) AS n_bad, CAST(ng AS BIGINT) AS n_good,
+           ROUND(woe, 6) AS woe,
+           ROUND(CAST(SUM(CAST(iv_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+             AS iv_total
+    FROM w
+    """,
+    description="weight-of-evidence + information value of part brand for the "
+    "returned-line outcome: integer good/bad counts per brand from one joined "
+    "scan, per-brand WoE on identical double ratios, IV as the decimal-exact "
+    "sum of contribution terms reported alongside each row — the predictive-"
+    "power audit run before a feature enters a risk model",
+    tags=("stats", "pipeline"),
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    c = j.groupBy("brand").agg(
+        F.sum("bad").alias("nb"),
+        (F.count(F.lit(1)) - F.sum("bad")).alias("ng"),
+    )
+    t = c.agg(F.sum("nb").alias("tb"), F.sum("ng").alias("tg"))
+    pb = F.col("nb") / F.col("tb").cast("double")
+    pg = F.col("ng") / F.col("tg").cast("double")
+    woe = F.log(pb / pg)
+    w = (
+        c.crossJoin(F.broadcast(t))
+        .where((F.col("nb") > 0) & (F.col("ng") > 0))
+        .select(
+            "brand",
+            F.col("nb").cast("bigint").alias("n_bad"),
+            F.col("ng").cast("bigint").alias("n_good"),
+            woe.alias("woe"),
+            ((pb - pg) * woe).alias("iv_term"),
+        )
+    )
+    iv = F.round(
+        F.sum(F.col("iv_term").cast("decimal(18,6)"))
+        .over(Window.partitionBy())
+        .cast("double"),
+        6,
+    )
+    return w.select(
+        "brand", "n_bad", "n_good", F.round("woe", 6).alias("woe"), iv.alias("iv_total")
+    )
