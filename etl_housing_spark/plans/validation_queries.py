@@ -189,3 +189,60 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@query(
+    "q_benford",
+    # Benford first-digit audit — the classic fabricated-numbers screen an
+    # auditor runs over a value column: observed leading-digit frequencies
+    # vs the Benford expectation log10(1 + 1/d), with the chi-square-style
+    # deviation statistic reported per digit. Digits are string heads of
+    # the canonical numeric form (integer part of a positive price, so no
+    # scientific-notation formatting divergence); expected frequencies are
+    # log10 on integer-derived identical doubles; deviation terms sum
+    # decimal-exact over the 9-row digit frame.
+    oracle=f"""
+    WITH d AS (
+      -- floor, not a double→int cast: Spark's cast truncates toward zero
+      -- while DuckDB's rounds half away — floor is identical on both
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS tn FROM c)
+    SELECT digit, n,
+           ROUND(n / CAST(t.tn AS DOUBLE), 6) AS observed,
+           ROUND(log10(1 + 1.0 / digit), 6) AS expected,
+           ROUND((n / CAST(t.tn AS DOUBLE) - log10(1 + 1.0 / digit))
+                 * (n / CAST(t.tn AS DOUBLE) - log10(1 + 1.0 / digit))
+                 / log10(1 + 1.0 / digit), 6) AS dev_term
+    FROM c CROSS JOIN t
+    """,
+    description="Benford first-digit audit over order values: leading digit "
+    "of the integer part (one grouped count), observed vs log10(1 + 1/d) "
+    "expected frequencies, per-digit chi-square-style deviation terms — the "
+    "fabricated-numbers screen on any monetary column; windows and logs only "
+    "touch the 9-row digit frame",
+    tags=("validation", "stats"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tn"))
+    obs = F.col("n") / F.col("tn").cast("double")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round((obs - exp) * (obs - exp) / exp, 6).alias("dev_term"),
+        )
+    )
