@@ -660,3 +660,99 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_cart_abandonment",
+    # The time-windowed NOT EXISTS: clicks with no same-user purchase in the
+    # following hour — the abandonment detector. Spark expresses it as a
+    # LEFT ANTI join on the user_id equi-key with the time window as a
+    # residual predicate, so the plan stays a hash anti-join (never a
+    # nested loop); the per-user match set is bounded by the user's own
+    # purchase rate x window.
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts > c.ts
+          AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    """,
+    description="cart abandonment: clicks with no same-user purchase within "
+    "the following hour — the time-windowed NOT EXISTS, expressed as a LEFT "
+    "ANTI hash join on user_id with the event-time window as a residual "
+    "predicate (no nested loop); the conversion-leak detector every commerce "
+    "warehouse runs",
+    tags=("behavior", "join", "timeseries"),
+)
+def q_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(purchases, cond, "left_anti")
+
+
+@query(
+    "q_k_anonymity",
+    # Privacy-release audit: for the quasi-identifier tuple (market segment,
+    # nation), the equivalence-class sizes that determine k-anonymity, plus
+    # the count of distinct sensitive values (account-balance band) per
+    # class — the l-diversity check. Classes below k=5 are the re-
+    # identification risk rows a release gate blocks on. Two grouped
+    # aggregates on the same key — one shuffle, AQE reuses the exchange.
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment AS seg, n.n_name AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    cls AS (
+      SELECT seg, nation,
+             COUNT(*) AS class_size,
+             COUNT(DISTINCT bal_band) AS l_diversity
+      FROM t GROUP BY seg, nation)
+    SELECT seg, nation, class_size, l_diversity,
+           class_size < 5 AS below_k
+    FROM cls
+    """,
+    description="k-anonymity / l-diversity audit of the (segment, nation) "
+    "quasi-identifier: equivalence-class sizes (k) and distinct sensitive "
+    "bands per class (l) from one grouped pass, with the below-k=5 risk "
+    "flag — the re-identification gate run before a data release; the "
+    "privacy-compliance family's first entry",
+    tags=("behavior", "validation"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    t = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("n_name").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    cls = t.groupBy("seg", "nation").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("bal_band").alias("l_diversity"),
+    )
+    return cls.select(
+        "seg",
+        "nation",
+        "class_size",
+        "l_diversity",
+        (F.col("class_size") < 5).alias("below_k"),
+    )
