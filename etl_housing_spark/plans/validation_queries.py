@@ -246,3 +246,71 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((obs - exp) * (obs - exp) / exp, 6).alias("dev_term"),
         )
     )
+
+
+@query(
+    "q_snapshot_diff",
+    # Row-level diff between two table versions — the migration-validation
+    # report a backfill signs off on (counts per disposition + the changed
+    # keys' before/after). The "v2" snapshot is derived in-plan by a
+    # deterministic mutation of the base (1-in-100 keys get a new priority,
+    # 1-in-199 keys are deleted), so the operator under test — full outer
+    # join on the key + column-level comparison — runs on a reproducible
+    # input in both engines. One shuffle on the key; the comparison is
+    # codegen, no row hashing round-trips.
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderpriority AS p, o_totalprice AS v
+      FROM orders),
+    v2 AS (
+      SELECT k,
+             CASE WHEN k % 100 = 0 THEN '0-RUSHED' ELSE p END AS p,
+             v
+      FROM v1 WHERE k % 199 <> 0),
+    d AS (
+      SELECT COALESCE(v1.k, v2.k) AS k,
+             CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.p <> v2.p OR v1.v <> v2.v THEN 'changed'
+                  ELSE 'unchanged' END AS disposition
+      FROM v1 FULL JOIN v2 ON v1.k = v2.k)
+    SELECT disposition, COUNT(*) AS n,
+           CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+    FROM d GROUP BY disposition
+    """,
+    description="snapshot diff: row dispositions (added/removed/changed/"
+    "unchanged) between a table version and its successor via one full outer "
+    "join on the key + column comparison, rolled up with per-disposition key "
+    "ranges — the backfill sign-off report; v2 derived in-plan by a "
+    "deterministic mutation so the diff operator is reproducible cross-engine",
+    tags=("validation", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_totalprice").alias("v"),
+    )
+    v2 = v1.where(F.col("k") % 199 != 0).select(
+        "k",
+        F.when(F.col("k") % 100 == 0, "0-RUSHED").otherwise(F.col("p")).alias("p"),
+        "v",
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.k") == F.col("b.k"), "full").select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.p") != F.col("b.p")) | (F.col("a.v") != F.col("b.v")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("disposition"),
+    )
+    return d.groupBy("disposition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("bigint").alias("min_key"),
+        F.max("k").cast("bigint").alias("max_key"),
+    )
