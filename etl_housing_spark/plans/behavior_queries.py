@@ -756,3 +756,61 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_diversity",
         (F.col("class_size") < 5).alias("below_k"),
     )
+
+
+@query(
+    "q_diff_in_diff",
+    # The causal-analysis workhorse: difference-in-differences of event value
+    # between a treated and a control user group across a treatment date.
+    # Groups and period are deterministic (user parity, day-15 cutoff), the
+    # four cell means come from decimal-exact sums divided once, and the DiD
+    # estimator is four identical double ops — one grouped scan, a 4-row
+    # aggregate, a one-row report.
+    oracle=f"""
+    WITH c AS (
+      SELECT (user_id % 2 = 0) AS treat,
+             (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+             COUNT(*) AS n, {sql_dsum('value')} AS s
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT MIN(CASE WHEN treat AND post THEN s / n END) AS m_tp,
+             MIN(CASE WHEN treat AND NOT post THEN s / n END) AS m_t0,
+             MIN(CASE WHEN NOT treat AND post THEN s / n END) AS m_cp,
+             MIN(CASE WHEN NOT treat AND NOT post THEN s / n END) AS m_c0
+      FROM c)
+    SELECT ROUND(m_t0, 6) AS treat_pre, ROUND(m_tp, 6) AS treat_post,
+           ROUND(m_c0, 6) AS control_pre, ROUND(m_cp, 6) AS control_post,
+           ROUND((m_tp - m_t0) - (m_cp - m_c0), 6) AS did
+    FROM w
+    """,
+    description="difference-in-differences estimator over the event stream: "
+    "deterministic treated/control user split x pre/post treatment date, four "
+    "decimal-exact cell means from one grouped scan, DiD = (treat-post - "
+    "treat-pre) - (control-post - control-pre) — the causal-readout companion "
+    "to q_ab_welch's cross-sectional test",
+    tags=("behavior", "stats"),
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")).alias(
+            "post"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("s"))
+    m = F.col("s") / F.col("n")
+    w = c.agg(
+        F.min(F.when(F.col("treat") & F.col("post"), m)).alias("m_tp"),
+        F.min(F.when(F.col("treat") & ~F.col("post"), m)).alias("m_t0"),
+        F.min(F.when(~F.col("treat") & F.col("post"), m)).alias("m_cp"),
+        F.min(F.when(~F.col("treat") & ~F.col("post"), m)).alias("m_c0"),
+    )
+    return w.select(
+        F.round("m_t0", 6).alias("treat_pre"),
+        F.round("m_tp", 6).alias("treat_post"),
+        F.round("m_c0", 6).alias("control_pre"),
+        F.round("m_cp", 6).alias("control_post"),
+        F.round(
+            (F.col("m_tp") - F.col("m_t0")) - (F.col("m_cp") - F.col("m_c0")), 6
+        ).alias("did"),
+    )

@@ -611,3 +611,66 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "brand", "n_bad", "n_good", F.round("woe", 6).alias("woe"), iv.alias("iv_total")
     )
+
+
+@query(
+    "q_price_volume_mix",
+    # Price-volume decomposition of the revenue change between two periods
+    # (the finance waterfall): per return flag, ΔRev splits exactly into a
+    # volume effect (Δqty at old unit price) and a price effect (Δunit-price
+    # at new qty) — (q2−q1)·u1 + (u2−u1)·q2 ≡ rev2 − rev1. Period sums are
+    # decimal-exact; unit prices and effects are identical double arithmetic
+    # on the |flags|-row aggregate.
+    oracle=f"""
+    WITH p AS (
+      SELECT l_returnflag AS flag,
+             (l_shipdate >= TIMESTAMP '1998-01-01 00:00:00') AS p2,
+             {sql_dsum('l_quantity')} AS q,
+             {sql_dsum('l_extendedprice')} AS rev
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT flag,
+             MIN(CASE WHEN NOT p2 THEN q END) AS q1,
+             MIN(CASE WHEN p2 THEN q END) AS q2,
+             MIN(CASE WHEN NOT p2 THEN rev END) AS r1,
+             MIN(CASE WHEN p2 THEN rev END) AS r2
+      FROM p GROUP BY flag)
+    SELECT flag,
+           ROUND(r1, 6) AS rev_p1, ROUND(r2, 6) AS rev_p2,
+           ROUND(r2 - r1, 6) AS delta,
+           ROUND((q2 - q1) * (r1 / q1), 6) AS volume_effect,
+           ROUND((r2 / q2 - r1 / q1) * q2, 6) AS price_effect
+    FROM w
+    """,
+    description="price-volume-mix revenue decomposition per return flag "
+    "between two shipping periods: decimal-exact quantity and revenue sums "
+    "per (flag, period), volume effect = Δqty x old unit price, price effect "
+    "= Δunit-price x new qty (summing exactly to ΔRev) — the finance "
+    "waterfall behind every 'why did revenue move' review",
+    tags=("stats", "behavior"),
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (
+            F.col("l_shipdate")
+            >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("p2"),
+    ).agg(dsum("l_quantity").alias("q"), dsum("l_extendedprice").alias("rev"))
+    w = p.groupBy("flag").agg(
+        F.min(F.when(~F.col("p2"), F.col("q"))).alias("q1"),
+        F.min(F.when(F.col("p2"), F.col("q"))).alias("q2"),
+        F.min(F.when(~F.col("p2"), F.col("rev"))).alias("r1"),
+        F.min(F.when(F.col("p2"), F.col("rev"))).alias("r2"),
+    )
+    u1 = F.col("r1") / F.col("q1")
+    u2 = F.col("r2") / F.col("q2")
+    return w.select(
+        "flag",
+        F.round("r1", 6).alias("rev_p1"),
+        F.round("r2", 6).alias("rev_p2"),
+        F.round(F.col("r2") - F.col("r1"), 6).alias("delta"),
+        F.round((F.col("q2") - F.col("q1")) * u1, 6).alias("volume_effect"),
+        F.round((u2 - u1) * F.col("q2"), 6).alias("price_effect"),
+    )
