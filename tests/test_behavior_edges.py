@@ -138,3 +138,63 @@ def test_rfm_single_user_lands_in_the_all_ones_segment(spark, tmp_path):
     r = out[0]
     assert r.segment == "1-1-1" and r.n_users == 1
     assert r.avg_recency_days == 0.0 and r.avg_frequency == 1.0 and r.avg_monetary == 10.0
+
+
+def test_benford_digit_comes_from_floor_not_rounding(spark, tmp_path):
+    # 999.99 must land on digit 9 (floor -> 999), never digit 1 (round ->
+    # 1000) — pins the truncate-vs-round cross-engine divergence the query
+    # exists to avoid
+    df = spark.createDataFrame(
+        [(1, 999.99), (2, 100.0)], "o_orderkey long, o_totalprice double"
+    )
+    _write(df, tmp_path, "orders")
+    out = {r.digit: r.n for r in Q["q_benford"].fn(spark, str(tmp_path)).collect()}
+    assert out == {9: 1, 1: 1}
+
+
+def test_cart_abandonment_window_is_inclusive_at_one_hour(spark, tmp_path):
+    from datetime import timedelta
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    _events(
+        spark,
+        tmp_path,
+        [
+            # click converted exactly at +1h (inclusive bound) → NOT abandoned
+            (1, t, 1, "click"),
+            (2, t + timedelta(hours=1), 1, "purchase"),
+            # click whose purchase lands 1s past the window → abandoned
+            (3, t, 2, "click"),
+            (4, t + timedelta(hours=1, seconds=1), 2, "purchase"),
+        ],
+    )
+    out = [r.click_id for r in Q["q_cart_abandonment"].fn(spark, str(tmp_path)).collect()]
+    assert out == [3]
+
+
+def test_snapshot_diff_dispositions(spark, tmp_path):
+    # key 199 deleted in v2, key 100 changed, key 1 untouched
+    df = spark.createDataFrame(
+        [(1, "P1", 10.0), (100, "P1", 20.0), (199, "P1", 30.0)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    _write(df, tmp_path, "orders")
+    out = {r.disposition: r.n for r in Q["q_snapshot_diff"].fn(spark, str(tmp_path)).collect()}
+    assert out == {"unchanged": 1, "changed": 1, "removed": 1}
+
+
+def test_k_anonymity_flags_small_classes(spark, tmp_path):
+    cust = spark.createDataFrame(
+        [(i, f"c{i}", 0, 100.0 * i, "BUILDING") for i in range(6)]
+        + [(10, "c10", 1, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    nat = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0)], "n_nationkey long, n_name string, n_regionkey long"
+    )
+    _write(cust, tmp_path, "customer")
+    _write(nat, tmp_path, "nation")
+    out = {(r.seg, r.nation): (r.class_size, r.below_k)
+           for r in Q["q_k_anonymity"].fn(spark, str(tmp_path)).collect()}
+    assert out == {("BUILDING", "A"): (6, False), ("AUTO", "B"): (1, True)}
