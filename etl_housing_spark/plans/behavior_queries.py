@@ -814,3 +814,73 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_tp") - F.col("m_t0")) - (F.col("m_cp") - F.col("m_c0")), 6
         ).alias("did"),
     )
+
+
+@query(
+    "q_cohort_ltv",
+    # Cohort lifetime-value curve — the revenue companion to
+    # q_retention_cohorts' activity matrix: users grouped by signup week
+    # (first-seen), their spend bucketed by weeks-since-signup, then a
+    # cumulative sum per cohort gives LTV-per-user at each age. Sums are
+    # decimal through the cumulative window (exact, order-free); the window
+    # runs on the cohorts x horizon matrix, never the event table.
+    # floor(epoch(ts)) on the DuckDB side, not CAST(epoch(..) AS BIGINT):
+    # Spark's unix_timestamp truncates sub-second fractions where DuckDB's
+    # double->int cast rounds — a 1-in-week-seconds boundary divergence per
+    # event (same family as q_benford's floor rule).
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS cw
+      FROM events GROUP BY user_id),
+    spend AS (
+      SELECT f.cw,
+             CAST(floor(epoch(e.ts)) AS BIGINT) // 604800 - f.cw AS age_w,
+             SUM(CAST(e.value AS DECIMAL(18,6))) AS rev
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      GROUP BY 1, 2),
+    size_ AS (SELECT cw, COUNT(*) AS n_users FROM first_seen GROUP BY cw)
+    SELECT s.cw AS cohort_week, s.age_w, z.n_users,
+           CAST(SUM(s.rev) OVER (PARTITION BY s.cw ORDER BY s.age_w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_revenue,
+           ROUND(CAST(SUM(s.rev) OVER (PARTITION BY s.cw ORDER BY s.age_w
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                / z.n_users, 6) AS ltv_per_user
+    FROM spend s JOIN size_ z ON s.cw = z.cw
+    """,
+    description="cohort LTV curve: signup-week cohorts (first-seen epoch "
+    "week), spend bucketed by weeks-since-signup, decimal-exact cumulative "
+    "revenue per cohort and LTV per user at each age — the monetary "
+    "companion to the retention matrix; two grouped aggregates + one window "
+    "on the cohorts x horizon frame",
+    tags=("behavior", "timeseries", "window"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(604800)).cast(
+        "long"
+    )
+    ev_w = ev.select("user_id", week.alias("w"), "value")
+    first_seen = ev_w.groupBy("user_id").agg(F.min("w").alias("cw"))
+    spend = (
+        ev_w.join(first_seen, "user_id")
+        .groupBy("cw", (F.col("w") - F.col("cw")).alias("age_w"))
+        .agg(F.sum(F.col("value").cast(DEC)).alias("rev"))
+    )
+    size = first_seen.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("rev").over(w).cast("double")
+    return (
+        spend.join(size, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "age_w",
+            "n_users",
+            cum.alias("cum_revenue"),
+            F.round(cum / F.col("n_users"), 6).alias("ltv_per_user"),
+        )
+    )
