@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import dsum, sql_dsum
+from ._util import DEC, dsum, sql_dsum
 from .registry import query
 
 
@@ -673,4 +673,62 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r2") - F.col("r1"), 6).alias("delta"),
         F.round((F.col("q2") - F.col("q1")) * u1, 6).alias("volume_effect"),
         F.round((u2 - u1) * F.col("q2"), 6).alias("price_effect"),
+    )
+
+
+@query(
+    "q_hhi",
+    # Herfindahl-Hirschman concentration index per nation: the sum of
+    # squared customer revenue shares — the antitrust-standard market-
+    # concentration cousin of q_gini (10000 x Σ share² on the 0-10000
+    # convention; monopoly = 10000, atomistic -> 0). Per-customer revenue is
+    # decimal-exact; shares and their squares are identical double
+    # arithmetic; the share-square sum runs decimal-exact over the
+    # per-customer frame — the one window-free concentration measure.
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+             {sql_dsum('o.o_totalprice')} AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nk, CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS t,
+             COUNT(*) AS n_cust
+      FROM rev GROUP BY nk)
+    SELECT n.n_name AS nation, tot.n_cust,
+           ROUND({sql_dsum('10000 * (rev.r / tot.t) * (rev.r / tot.t)')}, 6)
+             AS hhi
+    FROM rev JOIN tot ON rev.nk = tot.nk
+    JOIN nation n ON rev.nk = n.n_nationkey
+    GROUP BY n.n_name, tot.n_cust
+    """,
+    description="Herfindahl-Hirschman market-concentration index per nation "
+    "(10000 x sum of squared customer revenue shares): decimal-exact revenue "
+    "per customer, identical-double shares, decimal-exact share-square sums — "
+    "the antitrust-standard concentration measure next to q_gini/q_lorenz_curve, "
+    "computed with two grouped aggregates and zero windows",
+    tags=("stats", "behavior"),
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("o_custkey").alias("ck"))
+        .agg(dsum("o_totalprice").alias("r"))
+    )
+    tot = rev.groupBy("nk").agg(
+        F.sum(F.col("r").cast(DEC)).cast("double").alias("t"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    share2 = 10000 * (F.col("r") / F.col("t")) * (F.col("r") / F.col("t"))
+    return (
+        rev.join(tot, "nk")
+        .join(F.broadcast(nat), F.col("nk") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "n_cust")
+        .agg(F.round(dsum(share2), 6).alias("hhi"))
     )
