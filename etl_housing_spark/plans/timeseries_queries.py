@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ._util import dsum, sql_dsum
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -466,3 +467,117 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ewma_by_key(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+
+
+@query(
+    "q_interarrival_stats",
+    # Queueing diagnostics per event type: interarrival gaps from one lag
+    # window over the per-type timeline, then mean (decimal-exact) and the
+    # DISCRETE p95 by integer rank over the gap histogram (the q_mode_median
+    # quantile rule — no interpolation, no float parity risk). Gaps are
+    # integer microseconds end to end.
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    h AS (
+      SELECT event_type, gap_us, COUNT(*) AS cnt
+      FROM g WHERE gap_us IS NOT NULL GROUP BY event_type, gap_us),
+    w AS (
+      SELECT event_type, gap_us, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS tot
+      FROM h)
+    SELECT event_type,
+           CAST(MIN(tot) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(CAST(gap_us * cnt AS DECIMAL(38,6))) AS DOUBLE)
+                 / MIN(tot) / 1000000.0, 6) AS mean_gap_s,
+           ROUND(MIN(CASE WHEN 20 * cum >= 19 * tot THEN gap_us END)
+                 / 1000000.0, 6) AS p95_gap_s
+    FROM w GROUP BY event_type
+    """,
+    description="interarrival-gap diagnostics per event type (the queueing / "
+    "ingest-health metric): one lag window for integer-microsecond gaps, "
+    "decimal-exact mean, discrete type-1 p95 by integer rank over the gap "
+    "histogram (20·cum >= 19·tot — no interpolation) — windows on the "
+    "collapsed histogram, one shuffle on the type key",
+    tags=("timeseries", "stats"),
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(wlag)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    h = g.groupBy("event_type", "gap_us").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    wf = h.select(
+        "event_type",
+        "gap_us",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    return wf.groupBy("event_type").agg(
+        F.min("tot").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum((F.col("gap_us") * F.col("cnt")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.min("tot")
+            / 1000000.0,
+            6,
+        ).alias("mean_gap_s"),
+        F.round(
+            F.min(
+                F.when(20 * F.col("cum") >= 19 * F.col("tot"), F.col("gap_us"))
+            )
+            / 1000000.0,
+            6,
+        ).alias("p95_gap_s"),
+    )
+
+
+@query(
+    "q_seasonal_profile",
+    # The (day-of-week x hour) baseline grid an anomaly scorer normalizes
+    # against: per-cell event counts and decimal-exact mean value. dayofweek
+    # conventions differ across engines (Spark Sunday=1 vs DuckDB Sunday=0),
+    # so the cell key uses ISO dow on both sides. One grouped pass; the grid
+    # is 168 rows regardless of event volume.
+    oracle=f"""
+    SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+           COUNT(*) AS n_events,
+           ROUND({sql_dsum('value')} / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    description="seasonal (ISO day-of-week x hour) baseline profile: per-cell "
+    "event counts and decimal-exact mean value — the 168-row normalization "
+    "grid behind seasonality-aware anomaly scoring and load forecasting; one "
+    "grouped pass, explicit ISO dow because engine dayofweek conventions "
+    "differ",
+    tags=("timeseries", "stats"),
+)
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = F.dayofweek("ts")  # Spark: Sunday=1 .. Saturday=7
+    # convert to ISO (Monday=1 .. Sunday=7): ((dayofweek + 5) % 7) + 1
+    return (
+        ev.groupBy(
+            (((iso_dow + 5) % 7) + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
+        )
+    )
