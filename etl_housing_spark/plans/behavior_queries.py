@@ -1,6 +1,7 @@
 """Behavioral & corpus-growth analytics (round 4): basket affinity, journey
-attribution, rolling engagement, vocabulary growth, weighted quantiles, and
-categorical association.
+attribution, rolling engagement, vocabulary growth, weighted quantiles,
+categorical association, running extrema, segmentation, survival, windowed
+anti-joins, privacy audits, causal readouts, and cohort economics.
 
 Reference parity: the reference's analysis surface is pandas group/merge
 reporting over the scraped listings (trulia_csv_to_nlp.ipynb cells 6-36,
@@ -8,9 +9,12 @@ advanced.ipynb cells 10-30) — "which features co-occur", "how does a
 listing's history unfold", "how is the corpus distributed". These queries
 generalize that surface to the shapes an activity warehouse and a
 pretraining-corpus pipeline actually run: co-purchase lift over baskets,
-first/last-touch conversion attribution, trailing-7-day active users,
-a Heaps-law bigram-vocabulary growth curve, a weighted median, and the
-mutual information between two categorical columns.
+first/last-touch conversion attribution, trailing-7-day active users, a
+Heaps-law bigram-vocabulary growth curve, a weighted median, mutual
+information between categorical columns, max drawdown, RFM quintile
+segments, the user-lifetime survival curve, time-windowed cart
+abandonment, a k-anonymity/l-diversity release audit, a
+difference-in-differences estimator, and the cohort LTV curve.
 
 Scale notes (100 TB story, per query):
 - co-purchase: the self-join is keyed on the basket id with bounded per-basket
