@@ -524,3 +524,27 @@ def test_mutual_information_grid_from_checkpoint(spark):
     plan = _plan(_q(spark, "q_mutual_information"))
     assert "documents.parquet" not in plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+
+
+def test_hhi_no_windows_no_loops(spark):
+    """The concentration index is two grouped aggregates — no WindowExec,
+    no loop joins (nation/customer broadcast)."""
+    plan = _plan(_q(spark, "q_hhi"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cart_abandonment_is_hash_anti_join(spark):
+    """The time-windowed NOT EXISTS must stay an equi-keyed anti join."""
+    plan = _plan(_q(spark, "q_cart_abandonment"))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interarrival_windows_partition_on_type(spark):
+    """Lag + histogram windows all partition on event_type — the only
+    hash exchanges are on the type (or type+gap) keys."""
+    plan = _plan(_q(spark, "q_interarrival_stats"))
+    assert "hashpartitioning(event_type" in plan
+    assert "CartesianProduct" not in plan
