@@ -81,3 +81,21 @@ def test_driver_window_rotation_policy():
         f"driver window holds {len(fresh)} never-verified ids, "
         f"expected {expected_fresh} — rotation broken"
     )
+
+
+def test_readme_counts_match_registry():
+    """README's 'N query ids (M oracle-checked)' line is hand-maintained;
+    pin it to the live registry so a new query can't ship with stale
+    front-page numbers."""
+    import re
+
+    readme = (COVERAGE.parent / "README.md").read_text()
+    m = re.search(r"(\d+) query ids \((\d+) oracle-checked\)", readme)
+    assert m, "README catalog count line missing"
+    specs = all_queries()
+    n, n_oracle = int(m.group(1)), int(m.group(2))
+    assert n == len(specs), f"README says {n} queries, registry has {len(specs)}"
+    real_oracle = sum(1 for s in specs.values() if s.oracle is not None)
+    assert n_oracle == real_oracle, (
+        f"README says {n_oracle} oracle-checked, registry has {real_oracle}"
+    )
