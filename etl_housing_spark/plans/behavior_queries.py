@@ -888,3 +888,47 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cum / F.col("n_users"), 6).alias("ltv_per_user"),
         )
     )
+
+
+@query(
+    "q_first_vs_repeat",
+    # New-vs-repeat buyer economics: is a customer's first order bigger or
+    # smaller than their repeats? Order rank per customer from one
+    # row_number window (deterministic (date, key) tie-break), then
+    # decimal-exact means and counts per cohort — the unit-economics
+    # report behind acquisition-vs-retention budget splits. One shuffle on
+    # the customer key; the final aggregate is two rows.
+    oracle=f"""
+    WITH r AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders)
+    SELECT CASE WHEN rn = 1 THEN 'first' ELSE 'repeat' END AS order_kind,
+           COUNT(*) AS n_orders,
+           ROUND({sql_dsum('o_totalprice')} / COUNT(*), 6) AS avg_value,
+           ROUND({sql_dsum('o_totalprice')}, 6) AS total_value
+    FROM r GROUP BY 1
+    """,
+    description="first-vs-repeat order economics: order rank per customer "
+    "from one row_number window ((date, key) tie-break), decimal-exact "
+    "count/avg/total per cohort — the acquisition-vs-retention unit-"
+    "economics split; one shuffle on the customer key, two-row report",
+    tags=("behavior", "window"),
+)
+def q_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = orders.select(
+        "o_totalprice", F.row_number().over(w).alias("rn")
+    )
+    return (
+        r.groupBy(
+            F.when(F.col("rn") == 1, "first").otherwise("repeat").alias("order_kind")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice") / F.count(F.lit(1)), 6).alias("avg_value"),
+            F.round(dsum("o_totalprice"), 6).alias("total_value"),
+        )
+    )
