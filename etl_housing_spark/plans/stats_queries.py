@@ -732,3 +732,138 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), "n_cust")
         .agg(F.round(dsum(share2), 6).alias("hhi"))
     )
+
+
+@query(
+    "q_price_index",
+    # Classical price indices between two shipping periods over the common
+    # part basket: Laspeyres (base-period weights), Paasche (current-period
+    # weights), Fisher (geometric mean) — the inflation-measurement
+    # companion to q_price_volume_mix's waterfall. Per-(part, period) sums
+    # are decimal-exact; unit prices divide identical doubles; the four
+    # basket sums run decimal-exact over the common-part frame; the indices
+    # are three final double ops.
+    oracle=f"""
+    WITH pp AS (
+      SELECT l_partkey AS pk,
+             (l_shipdate >= TIMESTAMP '1998-01-01 00:00:00') AS p2,
+             {sql_dsum('l_quantity')} AS q,
+             {sql_dsum('l_extendedprice')} AS rev
+      FROM lineitem GROUP BY 1, 2),
+    j AS (
+      SELECT a.pk, a.q AS q1, a.rev / a.q AS u1, b.q AS q2, b.rev / b.q AS u2
+      FROM pp a JOIN pp b ON a.pk = b.pk AND NOT a.p2 AND b.p2),
+    s AS (
+      SELECT COUNT(*) AS n_parts,
+             {sql_dsum('u2 * q1')} AS l_num, {sql_dsum('u1 * q1')} AS l_den,
+             {sql_dsum('u2 * q2')} AS p_num, {sql_dsum('u1 * q2')} AS p_den
+      FROM j)
+    SELECT n_parts,
+           ROUND(l_num / l_den, 6) AS laspeyres,
+           ROUND(p_num / p_den, 6) AS paasche,
+           ROUND(sqrt((l_num / l_den) * (p_num / p_den)), 6) AS fisher
+    FROM s
+    """,
+    description="Laspeyres / Paasche / Fisher price indices between two "
+    "shipping periods over the common part basket: decimal-exact per-(part, "
+    "period) quantity and revenue sums, identical-double unit prices, "
+    "decimal-exact basket sums, three final ratios — the inflation-"
+    "measurement companion to the PVM waterfall; two grouped passes and one "
+    "self-join on the part key",
+    tags=("stats", "behavior"),
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (
+            F.col("l_shipdate")
+            >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+        ).alias("p2"),
+    ).agg(dsum("l_quantity").alias("q"), dsum("l_extendedprice").alias("rev"))
+    a = pp.where(~F.col("p2")).select(
+        "pk", F.col("q").alias("q1"), (F.col("rev") / F.col("q")).alias("u1")
+    )
+    b = pp.where(F.col("p2")).select(
+        "pk", F.col("q").alias("q2"), (F.col("rev") / F.col("q")).alias("u2")
+    )
+    j = a.join(b, "pk")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum(F.col("u2") * F.col("q1")).alias("l_num"),
+        dsum(F.col("u1") * F.col("q1")).alias("l_den"),
+        dsum(F.col("u2") * F.col("q2")).alias("p_num"),
+        dsum(F.col("u1") * F.col("q2")).alias("p_den"),
+    )
+    las = F.col("l_num") / F.col("l_den")
+    paa = F.col("p_num") / F.col("p_den")
+    return s.select(
+        "n_parts",
+        F.round(las, 6).alias("laspeyres"),
+        F.round(paa, 6).alias("paasche"),
+        F.round(F.sqrt(las * paa), 6).alias("fisher"),
+    )
+
+
+@query(
+    "q_abc_analysis",
+    # ABC inventory classification: parts ranked by revenue, classified A
+    # (top 80% of cumulative revenue share), B (next 15%), C (tail) — the
+    # stocking-policy report every inventory system ships. Revenue per part
+    # is decimal-exact; the cumulative share window runs on the per-part
+    # aggregate ordered by (revenue DESC, part) — deterministic under ties;
+    # class boundaries compare identical doubles.
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS pk, {sql_dsum('l_extendedprice')} AS r
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS tr FROM rev),
+    c AS (
+      SELECT pk, r,
+             CAST(SUM(CAST(r AS DECIMAL(18,6))) OVER (ORDER BY r DESC, pk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / t.tr AS cum_share
+      FROM rev CROSS JOIN t)
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           ROUND({sql_dsum('r')}, 6) AS class_revenue,
+           ROUND(MAX(cum_share), 6) AS cum_share_ceiling
+    FROM c GROUP BY 1
+    """,
+    description="ABC inventory classification: parts ranked by decimal-exact "
+    "revenue, cumulative-share window over the per-part aggregate (revenue "
+    "DESC with part-key tie-break), A/B/C classes at the 80/95 cumulative "
+    "boundaries with per-class counts and revenue — the stocking-policy "
+    "report; windows never touch the fact table",
+    tags=("stats", "behavior", "window"),
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dsum("l_extendedprice").alias("r")
+    )
+    t = rev.agg(
+        F.sum(F.col("r").cast(DEC)).cast("double").alias("tr")
+    )
+    w = Window.orderBy(F.desc("r"), "pk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = rev.crossJoin(F.broadcast(t)).select(
+        "pk",
+        "r",
+        (
+            F.sum(F.col("r").cast(DEC)).over(w).cast("double") / F.col("tr")
+        ).alias("cum_share"),
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return c.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(dsum("r"), 6).alias("class_revenue"),
+        F.round(F.max("cum_share"), 6).alias("cum_share_ceiling"),
+    )
