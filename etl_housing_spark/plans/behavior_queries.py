@@ -932,3 +932,65 @@ def q_first_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("o_totalprice"), 6).alias("total_value"),
         )
     )
+
+
+@query(
+    "q_segment_migration",
+    # Customer segment-migration matrix — the CRM "who moved up, who
+    # churned" report: customers are spend-quintiled independently in two
+    # periods (deterministic NTILE over decimal-exact revenue with custkey
+    # tie-break), full-outer-joined on the customer, and the transition
+    # counts (including entered/left, bucket 0) form the 6x6 matrix. The
+    # quintile windows run on the per-customer aggregates; the matrix is 36
+    # rows regardless of volume.
+    oracle=f"""
+    WITH p1 AS (
+      SELECT o_custkey AS ck, {sql_dsum('o_totalprice')} AS r
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey),
+    p2 AS (
+      SELECT o_custkey AS ck, {sql_dsum('o_totalprice')} AS r
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey),
+    q1 AS (SELECT ck, NTILE(5) OVER (ORDER BY r, ck) AS seg FROM p1),
+    q2 AS (SELECT ck, NTILE(5) OVER (ORDER BY r, ck) AS seg FROM p2)
+    SELECT COALESCE(q1.seg, 0) AS seg_from,
+           COALESCE(q2.seg, 0) AS seg_to,
+           COUNT(*) AS n_customers
+    FROM q1 FULL JOIN q2 ON q1.ck = q2.ck
+    GROUP BY 1, 2
+    """,
+    description="customer segment-migration matrix: independent spend "
+    "quintiles per period (deterministic NTILE over decimal-exact revenue, "
+    "custkey tie-break), full outer join on the customer, transition counts "
+    "with entered/left as bucket 0 — the CRM movement report; quintile "
+    "windows on per-customer aggregates, a 36-row matrix regardless of "
+    "volume",
+    tags=("behavior", "window", "join"),
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+
+    def quintiles(df):
+        rev = df.groupBy(F.col("o_custkey").alias("ck")).agg(
+            dsum("o_totalprice").alias("r")
+        )
+        return rev.select(
+            "ck", F.ntile(5).over(Window.orderBy("r", "ck")).alias("seg")
+        )
+
+    q1 = quintiles(orders.where(F.col("o_orderdate") < cut)).withColumnRenamed(
+        "seg", "s1"
+    )
+    q2 = quintiles(orders.where(F.col("o_orderdate") >= cut)).withColumnRenamed(
+        "seg", "s2"
+    )
+    return (
+        q1.join(q2, "ck", "full")
+        .groupBy(
+            F.coalesce("s1", F.lit(0)).alias("seg_from"),
+            F.coalesce("s2", F.lit(0)).alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
