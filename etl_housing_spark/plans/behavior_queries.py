@@ -994,3 +994,104 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@query(
+    "q_growth_accounting",
+    # The growth-accounting identity: today's actives decompose into new
+    # (first-ever day), retained (also active yesterday) and resurrected
+    # (seen before, not yesterday); churned = yesterday's actives missing
+    # today. DAU(t) = new + retained + resurrected and
+    # DAU(t) - DAU(t-1) = new + resurrected - churned — the report every
+    # growth team reads daily. All integer set logic: distinct (day, user)
+    # frame, first-seen join, self-join to the previous day — shuffles touch
+    # the activity frame only.
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events),
+    fs AS (SELECT user_id, MIN(d) AS first_d FROM du GROUP BY user_id),
+    today AS (
+      SELECT du.d, du.user_id,
+             fs.first_d = du.d AS is_new,
+             y.user_id IS NOT NULL AS was_yesterday
+      FROM du JOIN fs ON du.user_id = fs.user_id
+      LEFT JOIN du y ON y.user_id = du.user_id AND y.d = du.d - 1),
+    churn AS (
+      SELECT y.d + 1 AS d, COUNT(*) AS churned
+      FROM du y LEFT JOIN du t ON t.user_id = y.user_id AND t.d = y.d + 1
+      WHERE t.user_id IS NULL GROUP BY y.d + 1),
+    daily AS (
+      SELECT d,
+             SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS new_users,
+             SUM(CASE WHEN NOT is_new AND was_yesterday THEN 1 ELSE 0 END)
+               AS retained,
+             SUM(CASE WHEN NOT is_new AND NOT was_yesterday THEN 1 ELSE 0 END)
+               AS resurrected,
+             COUNT(*) AS dau
+      FROM today GROUP BY d)
+    SELECT CAST(daily.d AS TIMESTAMP) AS d, dau, new_users, retained,
+           resurrected, COALESCE(churn.churned, 0) AS churned
+    FROM daily LEFT JOIN churn ON daily.d = churn.d
+    """,
+    description="growth accounting: DAU decomposed into new / retained / "
+    "resurrected, with churned from the previous day's actives — the "
+    "DAU(t)-DAU(t-1) = new + resurrected - churned identity every growth "
+    "team reads; distinct (day, user) frame, first-seen join, previous-day "
+    "self-join — integer set logic, shuffles on the activity frame only",
+    tags=("behavior", "timeseries"),
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    fs = du.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    y = du.select(F.col("user_id").alias("y_user"), F.col("d").alias("y_d"))
+    today = (
+        du.join(fs, "user_id")
+        .join(
+            y,
+            (F.col("user_id") == F.col("y_user"))
+            & (F.col("y_d") == F.date_sub("d", 1)),
+            "left",
+        )
+        .select(
+            "d",
+            (F.col("first_d") == F.col("d")).alias("is_new"),
+            F.col("y_user").isNotNull().alias("was_yesterday"),
+        )
+    )
+    t2 = du.select(F.col("user_id").alias("t_user"), F.col("d").alias("t_d"))
+    churn = (
+        du.join(
+            t2,
+            (F.col("user_id") == F.col("t_user"))
+            & (F.col("t_d") == F.date_add("d", 1)),
+            "left",
+        )
+        .where(F.col("t_user").isNull())
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    daily = today.groupBy("d").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("new_users"),
+        F.sum(
+            F.when(~F.col("is_new") & F.col("was_yesterday"), 1).otherwise(0)
+        ).alias("retained"),
+        F.sum(
+            F.when(~F.col("is_new") & ~F.col("was_yesterday"), 1).otherwise(0)
+        ).alias("resurrected"),
+        F.count(F.lit(1)).alias("dau"),
+    )
+    return (
+        daily.join(churn, "d", "left")
+        .select(
+            F.col("d").cast("timestamp_ntz").alias("d"),
+            "dau",
+            "new_users",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).alias("churned"),
+        )
+    )
