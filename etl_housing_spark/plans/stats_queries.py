@@ -867,3 +867,86 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dsum("r"), 6).alias("class_revenue"),
         F.round(F.max("cum_share"), 6).alias("cum_share_ceiling"),
     )
+
+
+@query(
+    "q_quantile_treatment",
+    # Quantile treatment effects — the distributional companion to
+    # q_ab_welch's mean test ("did the tail move, or just the average?"):
+    # per-group discrete deciles (type-1 by integer rank over the value
+    # histogram — no interpolation, no float parity risk) for the same
+    # even/odd split, reported side by side with the per-decile difference.
+    # The histogram windows run on distinct values per group; the decile
+    # grid is a bounded 9-way explode of that collapsed frame.
+    oracle="""
+    WITH h AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+             value AS v, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT grp, v, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY grp) AS tot
+      FROM h),
+    q AS (
+      SELECT grp, k.k AS k,
+             MIN(CASE WHEN 10 * cum >= k.k * tot THEN v END) AS qv
+      FROM w CROSS JOIN range(1, 10) k(k)
+      GROUP BY grp, k.k)
+    SELECT a.k AS decile, a.qv AS q_treat, b.qv AS q_control,
+           ROUND(a.qv - b.qv, 6) AS qte
+    FROM q a JOIN q b ON a.k = b.k AND a.grp = 'a' AND b.grp = 'b'
+    """,
+    description="quantile treatment effects for the even/odd experiment "
+    "split: per-group discrete deciles by integer rank over the value "
+    "histogram (type-1, no interpolation), reported side by side with the "
+    "per-decile difference — answers 'did the tail move or just the mean', "
+    "the distributional companion to q_ab_welch; windows on the collapsed "
+    "per-group histograms only",
+    tags=("stats", "behavior", "window"),
+)
+def q_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("grp"),
+        F.col("value").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("grp")
+    wf = h.select(
+        "grp",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    q = (
+        wf.crossJoin(
+            F.broadcast(
+                wf.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+            )
+        )
+        .groupBy("grp", "k")
+        .agg(
+            F.min(
+                F.when(10 * F.col("cum") >= F.col("k") * F.col("tot"), F.col("v"))
+            ).alias("qv")
+        )
+    )
+    a = q.where(F.col("grp") == "a").select(
+        F.col("k").alias("decile"), F.col("qv").alias("q_treat")
+    )
+    b = q.where(F.col("grp") == "b").select(
+        F.col("k").alias("decile"), F.col("qv").alias("q_control")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        "q_treat",
+        "q_control",
+        F.round(F.col("q_treat") - F.col("q_control"), 6).alias("qte"),
+    )
