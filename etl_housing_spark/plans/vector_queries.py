@@ -7,12 +7,13 @@ side uses, so scores hash identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import vectors as V
 from ..operators import similarity as S
+from ._util import DEC
 from .registry import query
 
 
@@ -742,4 +743,91 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).cast("long").alias("k"),
         "n_hits",
         F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_k"),
+    )
+
+
+@query(
+    "q_ndcg",
+    # nDCG@10 of the brute-force retrieval for query vector 0, with binary
+    # relevance = same-label-as-query: DCG = Σ rel_i / log2(i + 1) over the
+    # deterministic (score DESC, vec_id) ranking, IDCG over the ideal
+    # (all-relevant-first) ordering of the same depth, nDCG = DCG / IDCG.
+    # Ranks and relevances are integers; the log2 terms divide identical
+    # doubles and sum decimal-exact — the graded-relevance companion to
+    # q_ann_recall's set overlap and q_rank_auc's pairwise view.
+    oracle="""
+    WITH q AS (
+      SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+    ranked AS (
+      SELECT e.vec_id,
+             CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (ORDER BY
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 6) DESC,
+               e.vec_id) AS rk
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    top AS (SELECT rel, rk FROM ranked WHERE rk <= 10),
+    dcg AS (
+      SELECT CAST(SUM(CAST(rel / log2(rk + 1) AS DECIMAL(18,6))) AS DOUBLE)
+               AS dcg,
+             CAST(SUM(rel) AS BIGINT) AS n_rel
+      FROM top),
+    ideal AS (
+      SELECT CAST(SUM(CAST(1 / log2(i.i + 1) AS DECIMAL(18,6))) AS DOUBLE)
+               AS idcg
+      FROM range(1, 11) i(i), dcg WHERE i.i <= GREATEST(dcg.n_rel, 1))
+    SELECT dcg.n_rel, ROUND(dcg.dcg, 6) AS dcg,
+           ROUND(ideal.idcg, 6) AS idcg,
+           ROUND(dcg.dcg / ideal.idcg, 6) AS ndcg_at_10
+    FROM dcg CROSS JOIN ideal
+    """,
+    description="nDCG@10 of brute-force retrieval for a stored query vector "
+    "(binary relevance = same label): deterministic (score DESC, id) "
+    "ranking, DCG and ideal-DCG from integer ranks through identical log2 "
+    "divisions summed decimal-exact — the graded-relevance ranking metric "
+    "beside q_ann_recall (set overlap) and q_rank_auc (pairwise); one "
+    "linear scan + windows on the top-10 frame",
+    tags=("vector", "eval"),
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("ql")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
+            F.round(V.dot_seq(F.col("embedding"), F.col("qe")), 6).alias("s"),
+        )
+    )
+    ranked = scored.select(
+        "rel", F.row_number().over(Window.orderBy(F.desc("s"), "vec_id")).alias("rk")
+    ).filter(F.col("rk") <= 10)
+    dcg = ranked.agg(
+        F.sum((F.col("rel") / F.log2(F.col("rk") + 1)).cast(DEC))
+        .cast("double")
+        .alias("dcg"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+    )
+    ks = dcg.sparkSession.range(1, 11).select(F.col("id").alias("i"))
+    ideal = (
+        ks.crossJoin(F.broadcast(dcg.select("n_rel")))
+        .where(F.col("i") <= F.greatest(F.col("n_rel"), F.lit(1)))
+        .agg(
+            F.sum((F.lit(1) / F.log2(F.col("i") + 1)).cast(DEC))
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .select(
+            "n_rel",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+        )
     )
