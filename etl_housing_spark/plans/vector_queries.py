@@ -831,3 +831,88 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
         )
     )
+
+
+@query(
+    "q_mrr",
+    # Mean reciprocal rank over a 10-query panel (vec_ids 0-9), completing
+    # the retrieval-eval triad with q_ann_recall (set overlap) and q_ndcg
+    # (graded ranking): per query, candidates are ranked by the
+    # deterministic (score DESC, id) order and the first same-label hit's
+    # reciprocal rank contributes; queries with no relevant hit contribute
+    # 0 via the left join. Ranks are integers; reciprocal ranks divide
+    # identical ints; the mean is decimal-exact. Scale shape: a fixed query
+    # panel × one linear scan (sampled panel at corpus scale, or the IVF
+    # tier as the candidate source).
+    oracle="""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS ql
+      FROM embeddings WHERE vec_id < 10),
+    ranked AS (
+      SELECT qs.qid,
+             CASE WHEN e.label = qs.ql THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(qs.qe AS DOUBLE[])), 6) DESC,
+               e.vec_id) AS rk
+      FROM embeddings e JOIN qs ON e.vec_id <> qs.qid),
+    firsthit AS (
+      SELECT qid, MIN(rk) AS frk FROM ranked WHERE rel = 1 GROUP BY qid)
+    SELECT COUNT(*) AS n_queries,
+           CAST(SUM(CASE WHEN f.frk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_hit,
+           ROUND(CAST(SUM(CAST(COALESCE(1.0 / f.frk, 0) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mrr
+    FROM qs LEFT JOIN firsthit f ON qs.qid = f.qid
+    """,
+    description="mean reciprocal rank over a 10-query panel: per query the "
+    "deterministic (score DESC, id) ranking's first same-label hit "
+    "contributes 1/rank (0 when none), averaged decimal-exact — completes "
+    "the retrieval-eval triad beside recall@k and nDCG; a fixed panel times "
+    "one linear scan, with the IVF tier as the candidate source at corpus "
+    "scale",
+    tags=("vector", "eval"),
+)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    ranked = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.when(F.col("label") == F.col("ql"), 1).otherwise(0).alias("rel"),
+            F.round(V.dot_seq(F.col("embedding"), F.col("qe")), 6).alias("s"),
+            "vec_id",
+        )
+        .select(
+            "qid",
+            "rel",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.desc("s"), "vec_id"))
+            .alias("rk"),
+        )
+    )
+    firsthit = (
+        ranked.where(F.col("rel") == 1).groupBy("qid").agg(F.min("rk").alias("frk"))
+    )
+    return (
+        qs.select("qid")
+        .join(firsthit, "qid", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.when(F.col("frk").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_hit"),
+            F.round(
+                F.sum(F.coalesce(F.lit(1.0) / F.col("frk"), F.lit(0.0)).cast(DEC))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mrr"),
+        )
+    )
