@@ -581,3 +581,84 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("value") / F.count(F.lit(1)), 6).alias("avg_value"),
         )
     )
+
+
+@query(
+    "q_lead_time",
+    # Order-to-ship lead time per order priority — the fulfillment SLA
+    # report: integer day lags from the orders ⋈ lineitem join, decimal-
+    # exact mean plus discrete median and p95 by integer rank over the
+    # per-priority lag histogram (the q_mode_median / q_interarrival_stats
+    # quantile rule). One fact-fact join on the order key, then windows on
+    # the collapsed histogram only.
+    oracle=f"""
+    WITH lag_ AS (
+      SELECT o.o_orderpriority AS prio,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h AS (SELECT prio, days, COUNT(*) AS cnt FROM lag_ GROUP BY prio, days),
+    w AS (
+      SELECT prio, days, cnt,
+             SUM(cnt) OVER (PARTITION BY prio ORDER BY days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY prio) AS tot
+      FROM h)
+    SELECT prio,
+           CAST(MIN(tot) AS BIGINT) AS n_lines,
+           ROUND(CAST(SUM(CAST(days * cnt AS DECIMAL(38,6))) AS DOUBLE)
+                 / MIN(tot), 6) AS mean_days,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN days END) AS BIGINT)
+             AS median_days,
+           CAST(MIN(CASE WHEN 20 * cum >= 19 * tot THEN days END) AS BIGINT)
+             AS p95_days
+    FROM w GROUP BY prio
+    """,
+    description="order-to-ship lead time per priority (the fulfillment SLA "
+    "report): integer day lags from one fact-fact join on the order key, "
+    "decimal-exact mean + discrete median and p95 by integer rank over the "
+    "per-priority lag histogram — windows on the collapsed histogram, one "
+    "join shuffle",
+    tags=("timeseries", "stats", "join"),
+)
+def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    h = lag.groupBy("prio", "days").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("prio")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("prio")
+    wf = h.select(
+        "prio",
+        "days",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    return wf.groupBy("prio").agg(
+        F.min("tot").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum((F.col("days") * F.col("cnt")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.min("tot"),
+            6,
+        ).alias("mean_days"),
+        F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("days")))
+        .cast("bigint")
+        .alias("median_days"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("tot"), F.col("days")))
+        .cast("bigint")
+        .alias("p95_days"),
+    )
