@@ -950,3 +950,87 @@ def q_quantile_treatment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_control",
         F.round(F.col("q_treat") - F.col("q_control"), 6).alias("qte"),
     )
+
+
+@query(
+    "q_tail_risk",
+    # VaR / CVaR-style tail risk per return flag: the discrete 5th-
+    # percentile price (type-1 integer rank over the value histogram — the
+    # catalog's interpolation-free quantile rule) and the conditional tail
+    # expectation (decimal-exact mean of all values at or below it). The
+    # histogram windows run on distinct values; the tail mean is one more
+    # conditional aggregate over the same histogram — no second scan of the
+    # fact.
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2),
+    w AS (
+      SELECT flag, v, cnt,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER (PARTITION BY flag) AS tot
+      FROM h),
+    var_ AS (
+      SELECT flag, MIN(CASE WHEN 20 * cum >= tot THEN v END) AS var5
+      FROM w GROUP BY flag)
+    SELECT w.flag,
+           var_.var5 AS var_5pct,
+           CAST(SUM(CASE WHEN w.v <= var_.var5 THEN w.cnt ELSE 0 END)
+                AS BIGINT) AS n_tail,
+           ROUND(CAST(SUM(CASE WHEN w.v <= var_.var5
+                          THEN CAST(w.v * w.cnt AS DECIMAL(38,6)) END)
+                      AS DOUBLE)
+                 / SUM(CASE WHEN w.v <= var_.var5 THEN w.cnt ELSE 0 END), 6)
+             AS cvar_5pct
+    FROM w JOIN var_ ON w.flag = var_.flag
+    GROUP BY w.flag, var_.var5
+    """,
+    description="tail risk per return flag: discrete 5th-percentile value "
+    "(VaR, type-1 integer rank — no interpolation) and the conditional tail "
+    "expectation at or below it (CVaR, decimal-exact weighted mean) — both "
+    "from one value histogram, windows and conditionals on the collapsed "
+    "frame, single fact scan",
+    tags=("stats", "window"),
+)
+def q_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    wf = h.select(
+        "flag",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    var5 = wf.groupBy("flag").agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("tot"), F.col("v"))).alias("var5")
+    )
+    in_tail = F.col("v") <= F.col("var5")
+    return (
+        wf.join(var5, "flag")
+        .groupBy("flag", F.col("var5").alias("var_5pct"))
+        .agg(
+            F.sum(F.when(in_tail, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tail"),
+            F.round(
+                F.sum(
+                    F.when(
+                        in_tail, (F.col("v") * F.col("cnt")).cast("decimal(38,6)")
+                    )
+                )
+                .cast("double")
+                / F.sum(F.when(in_tail, F.col("cnt")).otherwise(0)),
+                6,
+            ).alias("cvar_5pct"),
+        )
+    )
