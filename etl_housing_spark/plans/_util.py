@@ -21,6 +21,16 @@ column here; the SUM accumulates at (28,6) Spark-side / (38,6)
 DuckDB-side, both exact, identical after the final double cast. Overflow
 at the sum level needs Σ|x| ≥ 1e22: a 1e12-row corpus of 1e5-valued
 measures sums to 1e17 — still five orders of margin.
+
+Contract edge (found by tests/test_dsum_props.py's hypothesis search): the
+engines' double→decimal casts disagree for inputs whose shortest decimal
+representation sits EXACTLY on the 6th-decimal half-boundary (e.g.
+536870912.5473185: Spark rounds the shortest repr HALF_UP to …319, DuckDB
+rounds the exact binary …31845… down to …318). That set is measure-zero
+under any continuous distribution and unreachable from this engine's data
+(2-dp monetary values, integer counts, md5-derived ints, 6-dp-rounded
+upstream terms), so the cross-engine bitwise guarantee holds on the
+documented domain and is property-tested with that edge excluded.
 """
 
 from __future__ import annotations
