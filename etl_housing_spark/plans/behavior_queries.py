@@ -1095,3 +1095,75 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("churned", F.lit(0)).alias("churned"),
         )
     )
+
+
+@query(
+    "q_conversion_lag_cdf",
+    # Funnel latency: of the users who convert (first view -> first
+    # purchase after it), what share converts within 1h / 6h / 24h / ever —
+    # the conversion-lag CDF at fixed horizons product teams put on SLAs.
+    # Lags are integer microseconds from the q_event_funnel chained-MIN
+    # construction; the CDF is four conditional counts over the per-user
+    # frame divided by the converter count — all integers to four final
+    # divisions.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s1.t1
+                      THEN epoch_us(e.ts) - epoch_us(s1.t1) END) AS lag_us
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE s1.t1 IS NOT NULL
+      GROUP BY e.user_id),
+    conv AS (SELECT lag_us FROM s2 WHERE lag_us IS NOT NULL)
+    SELECT COUNT(*) AS n_converters,
+           ROUND(SUM(CASE WHEN lag_us <= 3600000000 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS within_1h,
+           ROUND(SUM(CASE WHEN lag_us <= 21600000000 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS within_6h,
+           ROUND(SUM(CASE WHEN lag_us <= 86400000000 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS within_24h
+    FROM conv
+    """,
+    description="conversion-lag CDF at fixed horizons: first view to first "
+    "subsequent purchase per user (chained conditional MINs, integer "
+    "microsecond lags), share of converters within 1h / 6h / 24h — the "
+    "funnel-latency SLA report; two user-keyed aggregates, four conditional "
+    "counts, one row out",
+    tags=("behavior", "timeseries"),
+)
+def q_conversion_lag_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    t1us = F.unix_micros(F.col("t1").cast("timestamp"))
+    s2 = (
+        ev.join(s1, "user_id")
+        .where(F.col("t1").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")),
+                    us - t1us,
+                )
+            ).alias("lag_us")
+        )
+    )
+    conv = s2.where(F.col("lag_us").isNotNull())
+    n = F.count(F.lit(1))
+    share = lambda bound: F.round(
+        F.sum(F.when(F.col("lag_us") <= bound, 1).otherwise(0))
+        / n.cast("double"),
+        6,
+    )
+    return conv.agg(
+        n.alias("n_converters"),
+        share(3_600_000_000).alias("within_1h"),
+        share(21_600_000_000).alias("within_6h"),
+        share(86_400_000_000).alias("within_24h"),
+    )

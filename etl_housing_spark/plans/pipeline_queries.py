@@ -1599,3 +1599,48 @@ def q_dedup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lab").alias("cluster_id"),
         (F.col("node") == F.col("lab")).alias("keep"),
     )
+
+
+@query(
+    "q_dup_rate_by_source",
+    # The corpus-ops dedup dashboard: per source, document count, distinct
+    # normalized fingerprints, duplicate count and rate — the number a
+    # crawl operator watches to decide which feeds are echoing content.
+    # Fingerprints are the q_doc_fingerprint md5 normalization; one grouped
+    # pass with a distinct-count (exact here; swap approx_count_distinct at
+    # 100 TB — the q_approx_distinct scale path).
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT fp) AS n_dups,
+           ROUND((COUNT(*) - COUNT(DISTINCT fp)) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM f GROUP BY source
+    """,
+    description="per-source duplicate-rate dashboard: md5-normalized document "
+    "fingerprints, per-source doc count vs distinct fingerprints, duplicate "
+    "count and rate — the feed-health metric a crawl operator watches; one "
+    "grouped pass, exact distinct here with approx_count_distinct as the "
+    "100 TB swap",
+    tags=("dedup", "pipeline"),
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", T.fingerprint("text").alias("fp"))
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dups"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

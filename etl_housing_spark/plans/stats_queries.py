@@ -1034,3 +1034,72 @@ def q_tail_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvar_5pct"),
         )
     )
+
+
+@query(
+    "q_odds_ratio",
+    # The 2x2 odds ratio with its log-scale 95% CI — the effect-size report
+    # the chi-square test doesn't give: exposure = promo part type, outcome
+    # = line returned. Cells are integer counts from one joined scan;
+    # OR = (a·d)/(b·c) on exact bigints through one double division;
+    # se(ln OR) = sqrt(1/a + 1/b + 1/c + 1/d) and the CI bounds exp(ln OR
+    # ± 1.96·se) are identical-operand double arithmetic on the 1-row cell
+    # frame.
+    oracle="""
+    WITH j AS (
+      SELECT (p.p_type LIKE 'PROMO%') AS exposed,
+             (l.l_returnflag = 'R') AS outcome
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    c AS (
+      SELECT SUM(CASE WHEN exposed AND outcome THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN exposed AND NOT outcome THEN 1 ELSE 0 END) AS b,
+             SUM(CASE WHEN NOT exposed AND outcome THEN 1 ELSE 0 END) AS c,
+             SUM(CASE WHEN NOT exposed AND NOT outcome THEN 1 ELSE 0 END) AS d
+      FROM j)
+    SELECT CAST(a AS BIGINT) AS n_exp_out, CAST(b AS BIGINT) AS n_exp_noout,
+           CAST(c AS BIGINT) AS n_unexp_out, CAST(d AS BIGINT) AS n_unexp_noout,
+           ROUND((a * d) / CAST(b * c AS DOUBLE), 6) AS odds_ratio,
+           ROUND(exp(ln((a * d) / CAST(b * c AS DOUBLE))
+                     - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+             AS ci_low,
+           ROUND(exp(ln((a * d) / CAST(b * c AS DOUBLE))
+                     + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+             AS ci_high
+    FROM c
+    """,
+    description="2x2 odds ratio with log-scale 95% CI (exposure = promo part "
+    "type, outcome = returned line): integer cells from one joined scan, "
+    "OR = ad/bc on exact bigints, Woolf se = sqrt(Σ 1/cell), CI = "
+    "exp(ln OR ± 1.96·se) — the effect-size report the chi-square test "
+    "doesn't give; all arithmetic on the one-row cell frame",
+    tags=("stats", "behavior"),
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_type").startswith("PROMO").alias("exposed"),
+        (F.col("l_returnflag") == "R").alias("outcome"),
+    )
+    c = j.agg(
+        F.sum(F.when(F.col("exposed") & F.col("outcome"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("exposed") & ~F.col("outcome"), 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~F.col("exposed") & F.col("outcome"), 1).otherwise(0)).alias("c"),
+        F.sum(F.when(~F.col("exposed") & ~F.col("outcome"), 1).otherwise(0)).alias("d"),
+    )
+    orr = (F.col("a") * F.col("d")) / (F.col("b") * F.col("c")).cast("double")
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return c.select(
+        F.col("a").cast("bigint").alias("n_exp_out"),
+        F.col("b").cast("bigint").alias("n_exp_noout"),
+        F.col("c").cast("bigint").alias("n_unexp_out"),
+        F.col("d").cast("bigint").alias("n_unexp_noout"),
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.exp(F.log(orr) - 1.96 * se), 6).alias("ci_low"),
+        F.round(F.exp(F.log(orr) + 1.96 * se), 6).alias("ci_high"),
+    )
