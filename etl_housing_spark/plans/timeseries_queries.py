@@ -662,3 +662,98 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p95_days"),
     )
+
+
+@query(
+    "q_session_stats",
+    # Session-duration distribution — the product metric on top of
+    # q_sessionize's gap construction: per-session duration in integer
+    # microseconds, then count, decimal-exact mean, and discrete median/p90
+    # by integer rank over the duration histogram. Everything after the
+    # sessionization windows runs on collapsed frames (sessions, then
+    # distinct durations).
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 12 HOURS
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS seq
+      FROM o),
+    sess AS (
+      SELECT user_id, seq,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, seq),
+    h AS (SELECT dur_us, COUNT(*) AS cnt FROM sess GROUP BY dur_us),
+    w2 AS (
+      SELECT dur_us, cnt,
+             SUM(cnt) OVER (ORDER BY dur_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS tot
+      FROM h)
+    SELECT CAST(MIN(tot) AS BIGINT) AS n_sessions,
+           ROUND(CAST(SUM(CAST(dur_us * cnt AS DECIMAL(38,6))) AS DOUBLE)
+                 / MIN(tot) / 1000000.0, 6) AS mean_dur_s,
+           ROUND(MIN(CASE WHEN 2 * cum >= tot THEN dur_us END)
+                 / 1000000.0, 6) AS median_dur_s,
+           ROUND(MIN(CASE WHEN 10 * cum >= 9 * tot THEN dur_us END)
+                 / 1000000.0, 6) AS p90_dur_s
+    FROM w2
+    """,
+    description="session-duration distribution over the 12h-gap sessionization: "
+    "integer-microsecond durations per (user, session), count + decimal-exact "
+    "mean + discrete median/p90 by integer rank over the duration histogram — "
+    "the engagement-depth metric on top of q_sessionize, windows on collapsed "
+    "frames only",
+    tags=("timeseries", "stats", "behavior"),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 12 HOURS")), 1
+    ).otherwise(0)
+    s = ev.withColumn("seq", F.sum(is_new).over(run))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sess = s.groupBy("user_id", "seq").agg(
+        (F.max(us) - F.min(us)).alias("dur_us")
+    )
+    h = sess.groupBy("dur_us").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    wf = h.select(
+        "dur_us",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("tot"),
+    )
+    return wf.agg(
+        F.min("tot").cast("bigint").alias("n_sessions"),
+        F.round(
+            F.sum((F.col("dur_us") * F.col("cnt")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.min("tot")
+            / 1000000.0,
+            6,
+        ).alias("mean_dur_s"),
+        F.round(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("dur_us")))
+            / 1000000.0,
+            6,
+        ).alias("median_dur_s"),
+        F.round(
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("dur_us")))
+            / 1000000.0,
+            6,
+        ).alias("p90_dur_s"),
+    )
