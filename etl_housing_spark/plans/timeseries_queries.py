@@ -757,3 +757,66 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p90_dur_s"),
     )
+
+
+@query(
+    "q_seasonal_anomaly",
+    # The composition q_seasonal_profile exists for: each event scored
+    # against ITS OWN (ISO dow x hour) cell's baseline — residual
+    # z = (v - cell_mean) / cell_std — so a Saturday-night spike isn't
+    # flagged just for being Saturday night. Cell stats use the Welch
+    # recipe (decimal-exact Σv and 6-dp-quantized Σv², population std);
+    # the 168-row grid broadcasts back onto the stream and the scoring is
+    # map-only. Reported: the |z| >= 3.5 anomalies.
+    oracle="""
+    WITH e AS (
+      SELECT event_id, value, isodow(ts) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hr
+      FROM events),
+    cell AS (
+      SELECT dow, hr, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+      FROM e GROUP BY dow, hr),
+    sc AS (
+      SELECT e.event_id, e.value, e.dow, e.hr,
+             (e.value - c.s / c.n)
+               / sqrt(c.s2 / c.n - (c.s / c.n) * (c.s / c.n)) AS z
+      FROM e JOIN cell c ON e.dow = c.dow AND e.hr = c.hr
+      WHERE c.n >= 2 AND c.s2 / c.n - (c.s / c.n) * (c.s / c.n) > 0)
+    SELECT event_id, value, dow, hr, ROUND(z, 6) AS z
+    FROM sc WHERE abs(z) >= 3.5
+    """,
+    description="seasonality-aware anomaly scoring: each event's residual z "
+    "against its own (ISO dow x hour) cell baseline — cell stats via the "
+    "decimal-exact Welch recipe, the 168-row grid broadcast back onto the "
+    "stream, map-only scoring, |z| >= 3.5 reported; the composition the "
+    "seasonal-profile grid exists for, so weekend spikes aren't flagged for "
+    "being weekends",
+    tags=("timeseries", "stats", "behavior"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iso_dow = (((F.dayofweek("ts") + 5) % 7) + 1).cast("bigint")
+    e = ev.select(
+        "event_id",
+        "value",
+        iso_dow.alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    cell = e.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mu * mu
+    z = (F.col("value") - mu) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(cell), ["dow", "hr"])
+        .where((F.col("n") >= 2) & (var > 0))
+        .where(F.abs(z) >= 3.5)
+        .select("event_id", "value", "dow", "hr", F.round(z, 6).alias("z"))
+    )
