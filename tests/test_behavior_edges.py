@@ -198,3 +198,48 @@ def test_k_anonymity_flags_small_classes(spark, tmp_path):
     out = {(r.seg, r.nation): (r.class_size, r.below_k)
            for r in Q["q_k_anonymity"].fn(spark, str(tmp_path)).collect()}
     assert out == {("BUILDING", "A"): (6, False), ("AUTO", "B"): (1, True)}
+
+
+def test_odds_ratio_is_one_on_balanced_table(spark, tmp_path):
+    # perfectly balanced 2x2 → OR exactly 1, CI brackets 1 symmetrically
+    rows = []
+    k = 0
+    for promo in (True, False):
+        for returned in (True, False):
+            for _ in range(10):
+                rows.append((k, 100 + k, 1.0, 10.0, "R" if returned else "N"))
+                k += 1
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double, "
+        "l_extendedprice double, l_returnflag string",
+    )
+    part = spark.createDataFrame(
+        [(100 + i, "PROMO X" if i < 20 else "STANDARD Y") for i in range(40)],
+        "p_partkey long, p_type string",
+    )
+    _write(li, tmp_path, "lineitem")
+    _write(part, tmp_path, "part")
+    r = Q["q_odds_ratio"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.odds_ratio == 1.0
+    assert r.ci_low < 1.0 < r.ci_high
+
+
+def test_seasonal_anomaly_skips_zero_variance_cells(spark, tmp_path):
+    # all events in one (dow, hr) cell with identical values → var 0 →
+    # the cell is excluded, no division-by-zero rows leak out
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(i, t, i, "view", 5.0) for i in range(10)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    _write(df, tmp_path, "events")
+    assert Q["q_seasonal_anomaly"].fn(spark, str(tmp_path)).count() == 0
+
+
+def test_session_stats_single_event_sessions_have_zero_duration(spark, tmp_path):
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    _events(spark, tmp_path, [(1, t, 7, "view"), (2, t, 8, "view")])
+    r = Q["q_session_stats"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_sessions == 2
+    assert r.mean_dur_s == 0.0 and r.median_dur_s == 0.0 and r.p90_dur_s == 0.0
