@@ -483,14 +483,14 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all three frames evaluate in a single WindowExec pass.
     oracle="""
     WITH c AS (
-      SELECT user_id,
+      SELECT user_id, ts, event_id,
              SUM(CAST(value AS DECIMAL(18,6))) OVER w AS cum
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     d AS (
       SELECT user_id,
-             MAX(cum) OVER (PARTITION BY user_id ORDER BY cum
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - cum AS dd
       FROM c)
@@ -512,11 +512,17 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     c = ev.select(
-        "user_id", F.sum(F.col("value").cast(DEC)).over(w).alias("cum")
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).alias("cum"),
     )
+    # running max MUST be ordered by event time (not by cum): ordering by
+    # cum would make the running max equal the current cum everywhere and
+    # dd identically 0 — caught by round-4 advisor review
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("cum")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     d = c.select("user_id", (F.max("cum").over(w2) - F.col("cum")).alias("dd"))

@@ -59,39 +59,46 @@ def query(name: str, oracle: str | None = None, description: str = "", tags: tup
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
-# Ids flagged by round-1..3 review as headline operators with no driver
-# verdict yet — pinned to the very front of the window this round.
+# Ids flagged by the round-4 verdict as headline operators with no driver
+# verdict yet, plus the queries whose semantics changed in round 5 (advisor
+# fixes: drawdown ordering, nDCG ideal depth, overflow-safe histogram means)
+# — pinned to the very front of the window this round so the driver
+# value-checks them first.  Already-verified ids sort to the back
+# automatically, so stale entries here are harmless.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    "q_similarity_topk",
-    "q_token_counts",
-    "q_tfidf",
-    "q_countmin_portable",
-    "q_hll_portable",
-    "q_scd2_pointintime",
-    "q_scd2_merge",
-    "q_interpolate",
-    "q_shipping_priority",
-    "q_order_priority",
-    "q_local_volume",
-    "q_returned_items",
-    "q_small_qty_revenue",
-    "q_big_order_customers",
-    "q_forecast_revenue",
-    "q_cust_order_distribution",
-    "q_waiting_suppliers",
-    "q_idle_rich_customers",
-    "q_nation_trade_volume",
-    "q_market_share",
-    "q_promo_share",
-    "q_supplier_rank",
+    # round-5 semantic fixes — must get a fresh value-level verdict
+    "q_drawdown",
+    "q_ndcg",
+    "q_interarrival_stats",
+    "q_session_stats",
+    "q_lead_time",
+    # round-4 headliners named in VERDICT.md "Next round" #1
+    "q_image_decode",
+    "q_dedup_pipeline_portable",
+    "q_pagerank_portable",
+    "q_graph_components",
+    "q_quantize_int8",
+    "q_split_assign",
+    "q_corpus_pipeline",
+    "q_minhash_pairs_portable",
+    "q_simhash_pairs_portable",
+    "q_embed_neardup_portable",
+    "q_ann_ivf_portable",
+    "q_ann_recall",
+    "q_pq_codes",
+    "q_pq_search",
+    "q_decontaminate",
+    "q_source_overlap",
+    "q_dup_rate_by_source",
 )
 
 
-def driver_verified_ids() -> frozenset[str]:
-    """Ids with a passing verdict in any ``CORRECTNESS_r*.json`` at the repo
-    root.  A sampled-but-failed id (``err`` set or rows mismatch) is NOT
-    treated as verified, so it rotates back to the front of the window.
-    Returns id → strongest verdict seen: ``"hash"`` (value-level pass) or
+def driver_verified_ids() -> dict[str, str]:
+    """Map of query id → strongest driver verdict, from every
+    ``CORRECTNESS_r*.json`` at the repo root.  A sampled-but-failed id
+    (``err`` set or rows mismatch) is NOT included, so it rotates back to
+    the front of the window.
+    Verdict values: ``"hash"`` (value-level pass) or
     ``"rows"`` (the weaker rows-only check for a then-⊘ query) — the
     rotation treats a rows-only verdict as spent once the query gains an
     oracle, so promotions rotate back in for a value-level verdict."""

@@ -173,24 +173,31 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run would score everything against an empty prefix and emit nothing;
     # this entry demonstrates the cross-batch state the operator exists for.
     import os
+    import shutil
     import tempfile
 
     from ..catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     d = tempfile.mkdtemp(prefix="ehs_anom_replay_")
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{d}/p1")
-    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{d}/p2")
-    now = 1_700_000_000
-    for sub, t in (("p1", now - 1000), ("p2", now)):
-        for f in os.listdir(f"{d}/{sub}"):
-            os.utime(f"{d}/{sub}/{f}", (t, t))
-    stream = (
-        spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{d}/*")
-    )
-    return jobs.run_available_now(jobs.anomaly_stream(stream))
+    try:
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{d}/p1")
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{d}/p2")
+        now = 1_700_000_000
+        for sub, t in (("p1", now - 1000), ("p2", now)):
+            for f in os.listdir(f"{d}/{sub}"):
+                os.utime(f"{d}/{sub}/{f}", (t, t))
+        stream = (
+            spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*")
+        )
+        # run_available_now fully materializes into a memory sink, so the
+        # replay directory can be removed before returning (repeated driver
+        # sweeps were accumulating unbounded temp-disk — round-4 advisor)
+        return jobs.run_available_now(jobs.anomaly_stream(stream))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @query(

@@ -493,7 +493,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h)
     SELECT event_type,
            CAST(MIN(tot) AS BIGINT) AS n_gaps,
-           ROUND(CAST(SUM(CAST(gap_us * cnt AS DECIMAL(38,6))) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(gap_us AS DECIMAL(20,0))
+                          * CAST(cnt AS DECIMAL(18,0))) AS DOUBLE)
                  / MIN(tot) / 1000000.0, 6) AS mean_gap_s,
            ROUND(MIN(CASE WHEN 20 * cum >= 19 * tot THEN gap_us END)
                  / 1000000.0, 6) AS p95_gap_s
@@ -530,9 +531,12 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wf.groupBy("event_type").agg(
         F.min("tot").cast("bigint").alias("n_gaps"),
         F.round(
-            F.sum((F.col("gap_us") * F.col("cnt")).cast("decimal(38,6)")).cast(
-                "double"
-            )
+            # cast BEFORE multiplying: a long*long product wraps silently in
+            # non-ANSI Spark before the decimal cast can save it
+            F.sum(
+                F.col("gap_us").cast("decimal(20,0)")
+                * F.col("cnt").cast("decimal(18,0)")
+            ).cast("double")
             / F.min("tot")
             / 1000000.0,
             6,
@@ -606,7 +610,8 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM h)
     SELECT prio,
            CAST(MIN(tot) AS BIGINT) AS n_lines,
-           ROUND(CAST(SUM(CAST(days * cnt AS DECIMAL(38,6))) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(days AS DECIMAL(20,0))
+                          * CAST(cnt AS DECIMAL(18,0))) AS DOUBLE)
                  / MIN(tot), 6) AS mean_days,
            CAST(MIN(CASE WHEN 2 * cum >= tot THEN days END) AS BIGINT)
              AS median_days,
@@ -649,9 +654,10 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wf.groupBy("prio").agg(
         F.min("tot").cast("bigint").alias("n_lines"),
         F.round(
-            F.sum((F.col("days") * F.col("cnt")).cast("decimal(38,6)")).cast(
-                "double"
-            )
+            F.sum(
+                F.col("days").cast("decimal(20,0)")
+                * F.col("cnt").cast("decimal(18,0)")
+            ).cast("double")
             / F.min("tot"),
             6,
         ).alias("mean_days"),
@@ -699,7 +705,8 @@ def q_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(cnt) OVER () AS tot
       FROM h)
     SELECT CAST(MIN(tot) AS BIGINT) AS n_sessions,
-           ROUND(CAST(SUM(CAST(dur_us * cnt AS DECIMAL(38,6))) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(dur_us AS DECIMAL(20,0))
+                          * CAST(cnt AS DECIMAL(18,0))) AS DOUBLE)
                  / MIN(tot) / 1000000.0, 6) AS mean_dur_s,
            ROUND(MIN(CASE WHEN 2 * cum >= tot THEN dur_us END)
                  / 1000000.0, 6) AS median_dur_s,
@@ -739,9 +746,10 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wf.agg(
         F.min("tot").cast("bigint").alias("n_sessions"),
         F.round(
-            F.sum((F.col("dur_us") * F.col("cnt")).cast("decimal(38,6)")).cast(
-                "double"
-            )
+            F.sum(
+                F.col("dur_us").cast("decimal(20,0)")
+                * F.col("cnt").cast("decimal(18,0)")
+            ).cast("double")
             / F.min("tot")
             / 1000000.0,
             6,

@@ -751,7 +751,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nDCG@10 of the brute-force retrieval for query vector 0, with binary
     # relevance = same-label-as-query: DCG = Σ rel_i / log2(i + 1) over the
     # deterministic (score DESC, vec_id) ranking, IDCG over the ideal
-    # (all-relevant-first) ordering of the same depth, nDCG = DCG / IDCG.
+    # (all-relevant-first) ordering at depth min(corpus-wide relevant
+    # count, k) — so poor recall is penalized — nDCG = DCG / IDCG.
     # Ranks and relevances are integers; the log2 terms divide identical
     # doubles and sum decimal-exact — the graded-relevance companion to
     # q_ann_recall's set overlap and q_rank_auc's pairwise view.
@@ -772,10 +773,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS dcg,
              CAST(SUM(rel) AS BIGINT) AS n_rel
       FROM top),
+    tot AS (
+      SELECT COUNT(*) AS total_rel
+      FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.ql),
     ideal AS (
       SELECT CAST(SUM(CAST(1 / log2(i.i + 1) AS DECIMAL(18,6))) AS DOUBLE)
                AS idcg
-      FROM range(1, 11) i(i), dcg WHERE i.i <= GREATEST(dcg.n_rel, 1))
+      FROM range(1, 11) i(i), tot
+      WHERE i.i <= GREATEST(LEAST(tot.total_rel, 10), 1))
     SELECT dcg.n_rel, ROUND(dcg.dcg, 6) AS dcg,
            ROUND(ideal.idcg, 6) AS idcg,
            ROUND(dcg.dcg / ideal.idcg, 6) AS ndcg_at_10
@@ -812,10 +817,14 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dcg"),
         F.sum("rel").cast("bigint").alias("n_rel"),
     )
+    # ideal depth = min(corpus-wide relevant count, k) — NOT the relevant
+    # count inside the retrieved top-10, which would award nDCG=1 to any
+    # ranking that merely sorts its hits contiguously (round-4 advisor)
+    tot = scored.agg(F.sum("rel").cast("bigint").alias("total_rel"))
     ks = dcg.sparkSession.range(1, 11).select(F.col("id").alias("i"))
     ideal = (
-        ks.crossJoin(F.broadcast(dcg.select("n_rel")))
-        .where(F.col("i") <= F.greatest(F.col("n_rel"), F.lit(1)))
+        ks.crossJoin(F.broadcast(tot))
+        .where(F.col("i") <= F.greatest(F.least(F.col("total_rel"), F.lit(10)), F.lit(1)))
         .agg(
             F.sum((F.lit(1) / F.log2(F.col("i") + 1)).cast(DEC))
             .cast("double")

@@ -12,6 +12,7 @@ re-expression of "cron job + re-read the folder".
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -75,7 +76,12 @@ def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # memory sink holds the materialized rows; the checkpoint dir is
+        # dead weight once the availableNow run terminates
+        shutil.rmtree(ckpt, ignore_errors=True)
     return result.sparkSession.table(name)
 
 

@@ -237,6 +237,55 @@ def test_seasonal_anomaly_skips_zero_variance_cells(spark, tmp_path):
     assert Q["q_seasonal_anomaly"].fn(spark, str(tmp_path)).count() == 0
 
 
+def test_drawdown_peak_to_trough_value(spark, tmp_path):
+    # values +10, -5, +3: cum series 10, 5, 8 → peak 10, trough 5 →
+    # max drawdown must be 5 (the round-4 cum-ordered-window bug made this 0)
+    from datetime import timedelta
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t, 7, "view", 10.0),
+            (2, t + timedelta(minutes=1), 7, "view", -5.0),
+            (3, t + timedelta(minutes=2), 7, "view", 3.0),
+            # user 8: monotone rising series → drawdown exactly 0
+            (4, t, 8, "view", 1.0),
+            (5, t + timedelta(minutes=1), 8, "view", 2.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    _write(df, tmp_path, "events")
+    out = {r.user_id: r.max_drawdown for r in
+           Q["q_drawdown"].fn(spark, str(tmp_path)).collect()}
+    assert out == {7: 5.0, 8: 0.0}
+
+
+def test_ndcg_ideal_depth_uses_corpus_relevant_count(spark, tmp_path):
+    # 15 corpus docs share the query's label but the ranking retrieves only
+    # 2 of them inside the top 10 (contiguously at ranks 1-2). With the
+    # round-4 bug (IDCG depth = retrieved relevant count) nDCG would be 1.0;
+    # the corpus-aware ideal depth min(15, 10) must yield < 1.
+    rows = [(0, [1.0] * 64, 0)]  # the query vector, label 0
+    # 15 relevant (label 0) docs; only 2 get high scores
+    for i in range(1, 16):
+        v = [1.0] * 64 if i <= 2 else [0.01] * 64
+        rows.append((i, v, 0))
+    # 20 irrelevant docs with mid scores so they occupy ranks 3..10
+    for i in range(16, 36):
+        rows.append((i, [0.5] * 64, 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    _write(df, tmp_path, "embeddings")
+    r = Q["q_ndcg"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_rel == 2
+    # DCG = 1/log2(2) + 1/log2(3); IDCG = sum_{i=1..10} 1/log2(i+1)
+    import math
+
+    dcg = 1.0 + 1.0 / math.log2(3)
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, 11))
+    assert abs(r.ndcg_at_10 - round(dcg / idcg, 6)) < 1e-6
+    assert r.ndcg_at_10 < 1.0
+
+
 def test_session_stats_single_event_sessions_have_zero_duration(spark, tmp_path):
     t = datetime(2024, 1, 1, 12, 0, 0)
     _events(spark, tmp_path, [(1, t, 7, "view"), (2, t, 8, "view")])
