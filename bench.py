@@ -105,6 +105,65 @@ def ingest_layout(spark, sf_dir: str) -> str:
     return dst
 
 
+def bucketed_layout(spark, bench_dir: str) -> str:
+    """Bucketed twins of the fact tables (orders, lineitem) hash-bucketed on
+    the join key at ingest — the recurring fact⋈fact answer from BASELINE.md:
+    the write pre-pays the join exchange once, every later join reads it for
+    free. Cached per bench dir via a stamp file; write cost is ingest, not
+    billed to any query. Returns the table-name prefix."""
+    prefix = "bw_" + os.path.basename(os.path.normpath(bench_dir)).replace(".", "_")
+    stamp_path = os.path.join(bench_dir, "_BUCKET_STAMP")
+    # v2: one file per bucket (repartition-on-key write) — invalidates v1 layouts
+    stamp = "v2|" + _layout_stamp(bench_dir)
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as fh:
+            if fh.read() == stamp and spark.catalog.tableExists(f"{prefix}_orders"):
+                return prefix
+    from etl_housing_spark.sources.warehouse import write_bucketed_table
+
+    t0 = time.perf_counter()
+    n = min(32, graft_cpus())
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in (f"{prefix}_lineitem", f"{prefix}_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(warehouse.removeprefix("file:"), t)
+        if os.path.exists(loc):  # stale dir from a dropped metastore
+            import shutil
+
+            shutil.rmtree(loc, ignore_errors=True)
+    li = spark.read.parquet(os.path.join(bench_dir, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(bench_dir, "orders.parquet"))
+    write_bucketed_table(li, f"{prefix}_lineitem", ["l_orderkey"], num_buckets=n,
+                         sort_cols=["l_orderkey"])
+    write_bucketed_table(o, f"{prefix}_orders", ["o_orderkey"], num_buckets=n,
+                         sort_cols=["o_orderkey"])
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
+    print(f"bucketed relayout: {time.perf_counter() - t0:.2f}s (not billed)",
+          file=sys.stderr)
+    return prefix
+
+
+def join_sortmerge_bucketed(spark, prefix: str):
+    """q_join_sortmerge's exact aggregation over the bucketed twins — the
+    join runs with NO shuffle exchange on either side (plan-asserted in
+    tests/test_plan_quality.py); the only exchange left is the final
+    group-on-priority reduction."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.plans._util import dsum
+
+    li = spark.table(f"{prefix}_lineitem").select("l_orderkey", "l_quantity")
+    o = spark.table(f"{prefix}_orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -126,22 +185,33 @@ def main() -> None:
     print(f"engine warmup ({warm_dir}): {time.perf_counter() - t0:.2f}s (not billed)",
           file=sys.stderr)
 
+    # bucketed co-location variant: identical q_join_sortmerge aggregation,
+    # zero join-side exchanges (pre-paid at ingest). Same warmup discipline.
+    bprefix = bucketed_layout(spark, bench_dir)
+    materialize(join_sortmerge_bucketed(spark, bprefix))
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name in sorted(specs):
-        df = specs[name].fn(spark, bench_dir)
+
+    def _timed(name, mk):
+        df = mk()
         if explain:
             print(f"==== {name}", file=sys.stderr)
             df.explain(mode="formatted")
-            continue
+            return
         t0 = time.perf_counter()
         materialize(df)
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
         t1 = time.perf_counter()
-        materialize(specs[name].fn(spark, bench_dir))
+        materialize(mk())
         warm[name] = round(time.perf_counter() - t1, 4)
         print(f"{name}: {dt:.3f}s (warm {warm[name]:.3f}s)", file=sys.stderr)
+
+    for name in sorted(specs):
+        _timed(name, lambda name=name: specs[name].fn(spark, bench_dir))
+    _timed("q_join_sortmerge_bucketed",
+           lambda: join_sortmerge_bucketed(spark, bprefix))
 
     if not explain:
         total = round(sum(timings.values()), 4)

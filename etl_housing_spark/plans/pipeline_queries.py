@@ -440,7 +440,7 @@ def _mh_pairs_oracle() -> str:
     "every stage (signature, banding, candidate join, estimate) hash-matches "
     "DuckDB. Scale shape: candidates come from band-bucket equi-joins (never "
     "all-pairs); est_jaccard = n_match/16 is exact dyadic arithmetic",
-    tags=("dedup", "pipeline"),
+    tags=("dedup", "pipeline", "bench"),
 )
 def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import q_minhash_portable
@@ -1569,7 +1569,7 @@ def _dedup_pipeline_oracle() -> str:
     "document — the keep/drop decision itself hash-matches, closing the loop "
     "the pair-level portable twins left open; one banding self-join + three "
     "bounded label joins, never all-pairs",
-    tags=("dedup", "pipeline"),
+    tags=("dedup", "pipeline", "bench"),
 )
 def q_dedup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")

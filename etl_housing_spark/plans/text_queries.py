@@ -458,7 +458,7 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="training-corpus pipeline capstone: chunk → md5 fingerprint → exact "
     "dedup keep-first → full-window quality gate, one shuffle total (the dedup "
     "window); the LLM-corpus twin of q_scrape_pipeline",
-    tags=("text", "dedup"),
+    tags=("text", "dedup", "bench"),
 )
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -129,8 +129,20 @@ def write_bucketed_table(
     once, every subsequent join reads it for free (asserted in
     tests/test_scale_techniques.py). This is the 100 TB answer for a
     fact⋈fact join that repeats across pipelines.
+
+    The repartition below pins ONE file per bucket (writer parallelism ×
+    buckets files otherwise): Spark only trusts per-bucket sort order — and
+    skips the sort-merge sort — when each bucket is a single file, and a
+    multi-file bucket layout pays tiny-file scan overhead on every read.
+    repartition's hash is the same Murmur3 the bucketing spec uses, so each
+    output task holds exactly one bucket. At 100 TB, raise num_buckets so a
+    bucket file stays ~1 GB rather than splitting buckets across files.
     """
-    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    w = (
+        df.repartition(num_buckets, *[df[c] for c in bucket_cols])
+        .write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)

@@ -26,7 +26,7 @@ import duckdb
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from bench import ingest_layout, materialize
+from bench import bucketed_layout, ingest_layout, join_sortmerge_bucketed, materialize
 from etl_housing_spark.catalog import TABLES
 from etl_housing_spark.plans import all_queries
 from etl_housing_spark.session import get_session
@@ -51,6 +51,13 @@ def main() -> None:
         materialize(specs[name].fn(spark, bench_dir))
         con.execute(specs[name].oracle).fetchall()
 
+    # bucketed co-location variant: identical aggregation and DuckDB
+    # yardstick as q_join_sortmerge, join-side exchanges pre-paid at ingest.
+    # Floor uses the same bucketed tables (bucket count, not data, dominates
+    # the fixed cost), so marginal isolates the data-dependent join work.
+    bprefix = bucketed_layout(spark, bench_dir)
+    materialize(join_sortmerge_bucketed(spark, bprefix))
+
     rows = []
     for name in sorted(specs):
         t0 = time.perf_counter()
@@ -64,6 +71,17 @@ def main() -> None:
         dk = time.perf_counter() - t0
         rows.append((name, sp, floor, max(0.0, sp - floor), dk))
         print(f"{name}: spark={sp:.3f} floor={floor:.3f} duckdb={dk:.3f}", file=sys.stderr)
+
+    sortmerge_floor = next(r[2] for r in rows if r[0] == "q_join_sortmerge")
+    t0 = time.perf_counter()
+    materialize(join_sortmerge_bucketed(spark, bprefix))
+    sp = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    con.execute(specs["q_join_sortmerge"].oracle).fetchall()
+    dk = time.perf_counter() - t0
+    rows.append(("q_join_sortmerge_bucketed", sp, sortmerge_floor,
+                 max(0.0, sp - sortmerge_floor), dk))
+    print(f"q_join_sortmerge_bucketed: spark={sp:.3f} duckdb={dk:.3f}", file=sys.stderr)
 
     print("| query | spark (s) | floor (s) | marginal (s) | duckdb (s) | ratio | marginal ratio |")
     print("| --- | --- | --- | --- | --- | --- | --- |")

@@ -89,3 +89,41 @@ def test_quality_gate_auc_and_determinism(spark):
     # features are Python-free Catalyst expressions
     plan_buf = feats._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan_buf
+
+
+def test_ridge_closed_form_matches_mllib_pipeline(spark):
+    """q_ridge_coeffs_portable's unrolled normal-equation solve must agree
+    with MLlib's fitted ridge on the same standardized features — value,
+    sign, and ranking (round-4 verdict item 3). Tolerance covers the
+    BLAS-vs-expression-tree arithmetic gap only."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from etl_housing_spark.plans.ml_queries import (
+        _RIDGE_FEATURES,
+        ridge_feature_frame,
+    )
+    from etl_housing_spark.plans import all_queries
+
+    feat = ridge_feature_frame(load_table(spark, SF_CORRECT, "part"))
+    k = len(_RIDGE_FEATURES)
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=[f"x{i}" for i in range(k)], outputCol="raw"),
+        StandardScaler(inputCol="raw", outputCol="features",
+                       withMean=True, withStd=True),
+        LinearRegression(featuresCol="features", labelCol="y",
+                         elasticNetParam=0.0, regParam=1.0, solver="normal"),
+    ])
+    lr = pipe.fit(feat).stages[-1]
+    mllib = dict(zip(_RIDGE_FEATURES, [float(c) for c in lr.coefficients]))
+    mllib["(intercept)"] = float(lr.intercept)
+
+    closed = {r.feature: r.coef for r in
+              all_queries()["q_ridge_coeffs_portable"].fn(spark, SF_CORRECT).collect()}
+    assert set(closed) == set(mllib)
+    for f, v in closed.items():
+        assert abs(v - mllib[f]) <= 1e-5 * max(1.0, abs(v)), (f, v, mllib[f])
+    # same ranking of the slope coefficients
+    rank = lambda d: sorted(_RIDGE_FEATURES, key=lambda f: -d[f])
+    assert rank(closed) == rank(mllib)

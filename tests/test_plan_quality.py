@@ -52,6 +52,36 @@ def test_fact_join_sort_merges(spark):
     assert "SortMergeJoin" in plan
 
 
+def test_bench_bucketed_join_has_no_join_side_exchange(spark, tmp_path):
+    """The bench's bucketed co-location variant (bench.py
+    join_sortmerge_bucketed) must sort-merge-join with ZERO exchanges below
+    the join — the write pre-paid them. The only exchange allowed in the
+    whole plan is the final group-on-priority reduction + orderBy."""
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import bucketed_layout, join_sortmerge_bucketed
+
+    src = os.path.join(str(tmp_path), "b")
+    shutil.copytree(SF_SMOKE, src)
+    try:
+        prefix = bucketed_layout(spark, src)
+        plan = _plan(join_sortmerge_bucketed(spark, prefix))
+        assert "SortMergeJoin" in plan
+        # no hash exchange on the join key anywhere — the ingest bucketing
+        # replaced both of q_join_sortmerge's join-side shuffles
+        assert "hashpartitioning(l_orderkey" not in plan
+        assert "hashpartitioning(o_orderkey" not in plan
+        # control: the unbucketed bench query DOES shuffle on the join key
+        control = _plan(_q(spark, "q_join_sortmerge"))
+        assert "hashpartitioning(l_orderkey" in control
+    finally:
+        for t in ("orders", "lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS bw_b_{t}")
+
+
 def test_topk_never_global_sorts(spark):
     plan = _plan(_q(spark, "q_topk"))
     assert "TakeOrderedAndProject" in plan
