@@ -144,6 +144,59 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(decode, DECODED_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "media_id BIGINT, n_channels INT, sample_rate INT, n_samples BIGINT, "
+    "duration_s DOUBLE, rms DOUBLE"
+)
+
+_RIFF_MAGIC = b"RIFF"
+
+
+def decode_audio(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Audio decode stage: binary → (channels, rate, samples, duration, rms)
+    via mapInPandas — the audio twin of ``decode_media``.
+
+    Codec dispatch is sniffed per payload: RIFF magic routes to the REAL
+    stdlib ``wave`` PCM decode (functions/wav.py — no third-party library
+    needed, so unlike images this path is fully real in codec-free
+    containers); non-PCM RIFF payloads raise NotImplementedError there (the
+    declared librosa/soundfile boundary). Everything else (synthetic
+    payloads) takes a deterministic stub, and ``strict=True`` raises where
+    the stub would run.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import wav as _wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] == _RIFF_MAGIC:
+                    ch, rate, n, dur, rms = _wav.decode_stats(b)
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            "synthetic payload and strict=True: a real audio "
+                            "decode requires a PCM WAV (stdlib) or "
+                            "librosa/soundfile for compressed codecs"
+                        )
+                    digest = hashlib.sha256(b).digest()
+                    ch, rate = 1, 8000
+                    n = 1 + digest[1]
+                    dur, rms = n / rate, digest[0] / 255.0
+                rows.append((mid, ch, rate, n, dur, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_channels", "sample_rate", "n_samples",
+                    "duration_s", "rms",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(decode, AUDIO_SCHEMA)
+
+
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """Feature-extract stage: binary → fixed-dim float vector (the
     embedding-model stand-in). Deterministic bytes→floats so the similarity

@@ -1029,11 +1029,12 @@ def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE t.user_id IS NULL GROUP BY y.d + 1),
     daily AS (
       SELECT d,
-             SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS new_users,
-             SUM(CASE WHEN NOT is_new AND was_yesterday THEN 1 ELSE 0 END)
-               AS retained,
-             SUM(CASE WHEN NOT is_new AND NOT was_yesterday THEN 1 ELSE 0 END)
-               AS resurrected,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_users,
+             CAST(SUM(CASE WHEN NOT is_new AND was_yesterday THEN 1 ELSE 0 END)
+               AS BIGINT) AS retained,
+             CAST(SUM(CASE WHEN NOT is_new AND NOT was_yesterday THEN 1 ELSE 0
+               END) AS BIGINT) AS resurrected,
              COUNT(*) AS dau
       FROM today GROUP BY d)
     SELECT CAST(daily.d AS TIMESTAMP) AS d, dau, new_users, retained,

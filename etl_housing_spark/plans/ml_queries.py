@@ -96,19 +96,23 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      second raw moments of the K features + label (the K×K
 #      normal-equation inputs; still one partial+final HashAggregate at
 #      100 TB, the single-row result broadcasts for free);
-#   2. standardized gram matrix A = Z'Z + n·λI and rhs g = Z'yc are derived
-#      algebraically from the raw moments (z = (x−μ)/σ, sample σ — exactly
-#      the StandardScaler(withMean,withStd) convention the MLlib pipeline
-#      applies), in doubles via IDENTICAL expression trees on both engines;
+#   2. correlation gram A = n·R + (n·λ/σy)·I and rhs g = n·ρ_y are derived
+#      algebraically from the raw moments, in doubles via IDENTICAL
+#      expression trees on both engines;
 #   3. the K×K SPD system is solved by symbolically UNROLLED Gaussian
 #      elimination (no pivoting needed: SPD + ridge diagonal), K−1
 #      elimination + K back-substitution layers of shared SQL snippets evaluated
 #      by Catalyst and DuckDB alike — bit-identical, so the coefficients
 #      hash-match the oracle;
-#   4. β solves (Zc'Zc + nλI)β = Zc'yc — the closed form of MLlib's
-#      LinearRegression(elasticNetParam=0, regParam=λ) objective
-#      1/(2n)·Σr² + λ/2·‖β‖² on standardized features; tests/test_ml.py
-#      asserts sign/ranking/value agreement with the fitted pipeline.
+#   4. the system mirrors MLlib WeightedLeastSquares (solver="normal")
+#      EXACTLY: WLS internally standardizes features AND label by their
+#      POPULATION std and scales regParam by 1/σy, i.e. it solves
+#      (R + (λ/σy)·I)·β̂ = ρ_y with R the feature correlation matrix and
+#      ρ_y the feature–label correlations, then maps back to the
+#      StandardScaler(sample-σ) input space: coef_j = β̂_j·σy·√(n/(n−1)).
+#      (Convention verified numerically to 1.5e-12 against the fitted
+#      pipeline; tests/test_ml.py asserts 1e-5 value + sign + ranking
+#      agreement.)  Intercept = ȳ since the scaled features are centered.
 # --------------------------------------------------------------------------
 
 _RIDGE_LAM = "1.0"  # matches build_pipeline(reg_param=1.0)
@@ -140,38 +144,53 @@ def ridge_feature_frame(part: DataFrame) -> DataFrame:
 
 
 def _ridge_moment_aggs() -> list[tuple[str, str]]:
-    """(name, sql-expr-to-SUM) pairs: first moments s0..s8 and second raw
-    moments p{i}_{j} for i<=j over features x0..x7 and label y (index 8)."""
+    """(name, sql-expr-to-SUM) pairs: first moments s0..s{K} and second raw
+    moments p{i}_{j} for i<=j over features x0..x{K-1} and label y
+    (index K), including the label's own second moment p{K}_{K} = y·y
+    (needed for the population σy that scales MLlib's effective regParam)."""
     v = [f"x{i}" for i in range(_K)] + ["y"]
     out = [(f"s{i}", v[i]) for i in range(_K + 1)]
     for i in range(_K):
         for j in range(i, _K):
             out.append((f"p{i}_{j}", f"{v[i]} * {v[j]}"))
         out.append((f"p{i}_{_K}", f"{v[i]} * y"))
+    out.append((f"p{_K}_{_K}", "y * y"))
     return out
 
 
 def _ridge_layers() -> list[list[str]]:
     """Sequential SELECT layers (each only references prior-layer columns)
-    shared verbatim between Spark selectExpr and DuckDB CTEs."""
+    shared verbatim between Spark selectExpr and DuckDB CTEs.
+
+    Layer 1: POPULATION std-devs sig0..sig{K-1} and sigy (the WLS internal
+    convention) + label mean; divisors are nullif-guarded so a zero-variance
+    feature yields NULL coefficients identically on both engines (Spark
+    non-ANSI x/0 → NULL but DuckDB → ±inf, so the guard is what keeps a
+    degenerate dataset engine-consistent rather than silently divergent).
+    Layer 2: correlation gram a0_{i}_{j} = n·R_ij with MLlib's effective
+    ridge n·λ/σy on the diagonal, rhs b0_{i} = n·ρ_iy.
+    Layers 3..{K+1}: Gaussian elimination (symmetric Schur complements).
+    Layers {K+2}..{2K+1}: back-substitution (row i froze after elimination
+    step i) producing the standardized-space beta{i}; the final projection
+    maps them back with ·σy·√(n/(n−1))."""
     lam = _RIDGE_LAM
     layers: list[list[str]] = []
-    # layer 1: sample std-devs + label mean
-    l1 = [f"sqrt((p{i}_{i} - s{i} * s{i} / n) / (n - 1)) AS sig{i}"
+    l1 = [f"nullif(sqrt((p{i}_{i} - s{i} * s{i} / n) / n), 0.0) AS sig{i}"
           for i in range(_K)]
+    l1.append(
+        f"nullif(sqrt((p{_K}_{_K} - s{_K} * s{_K} / n) / n), 0.0) AS sigy"
+    )
     l1.append(f"s{_K} / n AS ybar")
     layers.append(l1)
-    # layer 2: standardized gram + ridge diagonal, standardized rhs
     l2 = []
     for i in range(_K):
         for j in range(i, _K):
             e = f"(p{i}_{j} - s{i} * s{j} / n) / (sig{i} * sig{j})"
             if i == j:
-                e = f"{e} + n * {lam}"
+                e = f"{e} + n * {lam} / sigy"
             l2.append(f"{e} AS a0_{i}_{j}")
-        l2.append(f"(p{i}_{_K} - s{i} * s{_K} / n) / sig{i} AS b0_{i}")
+        l2.append(f"(p{i}_{_K} - s{i} * s{_K} / n) / (sig{i} * sigy) AS b0_{i}")
     layers.append(l2)
-    # layers 3..9: Gaussian elimination (symmetric Schur complements)
     for k in range(_K - 1):
         lk = []
         for i in range(k + 1, _K):
@@ -185,12 +204,15 @@ def _ridge_layers() -> list[list[str]]:
                 f" AS b{k + 1}_{i}"
             )
         layers.append(lk)
-    # layers 10..17: back-substitution (row i froze after elimination step i)
     for i in range(_K - 1, -1, -1):
         terms = " - ".join(
-            [f"b{i}_{i}"] + [f"a{i}_{i}_{j} * beta{j}" for j in range(i + 1, _K)]
+            [f"b{i}_{i}"] + [f"a{i}_{i}_{j} * betastd{j}" for j in range(i + 1, _K)]
         )
-        layers.append([f"({terms}) / a{i}_{i}_{i} AS beta{i}"])
+        layers.append([f"({terms}) / a{i}_{i}_{i} AS betastd{i}"])
+    # final projection back to the StandardScaler(sample-σ) input space
+    layers.append(
+        [f"betastd{i} * sigy * sqrt(n / (n - 1)) AS beta{i}" for i in range(_K)]
+    )
     return layers
 
 
@@ -225,7 +247,8 @@ def _ridge_oracle() -> str:
     oracle=_ridge_oracle(),
     description="closed-form ridge regression on part price (p_size + drop-first "
     "p_type flags → p_retailprice): one decimal-exact moment "
-    "aggregate, standardized normal equations (Zc'Zc + nλI)β = Zc'yc solved by "
+    "aggregate, MLlib-WLS-convention normal equations (R + (λ/σy)I)β̂ = ρ_y "
+    "(population-σ standardization, coef = β̂·σy·√(n/(n−1))) solved by "
     "unrolled K×K Gaussian elimination in shared Spark/DuckDB SQL snippets — "
     "hash-checked, and tolerance-tested against the MLlib pipeline's fitted "
     "coefficients (tests/test_ml.py); the value-level anchor for the ML family",

@@ -59,37 +59,31 @@ def query(name: str, oracle: str | None = None, description: str = "", tags: tup
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
-# Ids flagged by the round-4 verdict as headline operators with no driver
-# verdict yet, plus the queries whose semantics changed in round 5 (advisor
-# fixes: drawdown ordering, nDCG ideal depth, overflow-safe histogram means)
-# — pinned to the very front of the window this round so the driver
-# value-checks them first.  Already-verified ids sort to the back
-# automatically, so stale entries here are harmless.
+# Ids pinned to the very front of the round-6 window, per VERDICT.md r05
+# "Next round" #3: the round-5 driver failure (oracle fixed this round), then
+# the six q_stream_* ids (oracle-checked since r04 but never driver-sampled),
+# then the named never-sampled stragglers.  Already-verified ids sort to the
+# back automatically, so stale entries here are harmless.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-5 semantic fixes — must get a fresh value-level verdict
-    "q_drawdown",
-    "q_ndcg",
-    "q_interarrival_stats",
-    "q_session_stats",
-    "q_lead_time",
-    # round-4 headliners named in VERDICT.md "Next round" #1
-    "q_image_decode",
-    "q_dedup_pipeline_portable",
-    "q_pagerank_portable",
-    "q_graph_components",
-    "q_quantize_int8",
-    "q_split_assign",
-    "q_corpus_pipeline",
-    "q_minhash_pairs_portable",
-    "q_simhash_pairs_portable",
-    "q_embed_neardup_portable",
-    "q_ann_ivf_portable",
-    "q_ann_recall",
-    "q_pq_codes",
-    "q_pq_search",
-    "q_decontaminate",
-    "q_source_overlap",
-    "q_dup_rate_by_source",
+    # round-5 driver failure — oracle type fixed in round 6, must re-enter
+    "q_growth_accounting",
+    # streaming family: oracles carried since r04, never driver-checked
+    "q_stream_tumbling",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+    "q_stream_join",
+    "q_stream_anomaly",
+    "q_stream_enrich",
+    # never-sampled stragglers named in VERDICT.md r05 "Next round" #3
+    "q_udtf_tokenize",
+    "q_ridge_coeffs_portable",
+    "q_rfm_segments",
+    "q_rolling_active_users",
+    "q_seasonal_anomaly",
+    "q_weighted_median",
+    "q_zorder_stats",
+    # new round-6 ids (registered this round, no verdict possible yet)
+    "q_audio_decode",
 )
 
 
@@ -112,7 +106,7 @@ def driver_verified_ids() -> dict[str, str]:
             if not isinstance(row, dict):
                 continue
             err = row.get("err")
-            if err is None and row.get("rows_match", False):
+            if err is None and row.get("rows_match", False) and row.get("hash_match", False):
                 verified[name] = "hash"
             elif err == "no_oracle" and row.get("spark_rows") is not None:
                 # ⊘ query: rows-only is its maximal check — it ran and
