@@ -63,6 +63,15 @@ def decode_pcm16(data: bytes) -> tuple[int, int, int, list[int]]:
             f"{8 * sampwidth}-bit) — wire soundfile for other depths"
         )
     n = n_frames * n_channels
+    if len(frames) < 2 * n:
+        # A header promising more frames than the data chunk holds is a
+        # malformed payload, not a codec gap — fail the one payload with the
+        # documented ValueError instead of letting struct.error escape and
+        # kill the whole mapInPandas task.
+        raise ValueError(
+            f"truncated WAV: header declares {n} samples "
+            f"({2 * n} bytes) but data chunk holds {len(frames)} bytes"
+        )
     samples = list(struct.unpack(f"<{n}h", frames[: 2 * n]))
     return n_channels, sample_rate, n_frames, samples
 
@@ -74,6 +83,10 @@ def decode_stats(data: bytes) -> tuple[int, int, int, float, float]:
     (32768), computed as sqrt(Σv² / n) / 32768 with the integer Σv² exact —
     the same operand order the SQL oracle uses, so the value hash-matches."""
     n_channels, sample_rate, n_frames, samples = decode_pcm16(data)
+    if sample_rate <= 0:
+        # A crafted header can carry rate 0; keep the failure inside the
+        # documented ValueError boundary rather than ZeroDivisionError.
+        raise ValueError(f"invalid WAV sample rate {sample_rate}")
     n = len(samples)
     duration_s = n_frames / sample_rate
     sumsq = sum(v * v for v in samples)  # exact int (≲ 2^53 for any fixture)

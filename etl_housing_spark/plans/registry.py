@@ -59,30 +59,32 @@ def query(name: str, oracle: str | None = None, description: str = "", tags: tup
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
-# Ids pinned to the very front of the round-6 window, per VERDICT.md r05
-# "Next round" #3: the round-5 driver failure (oracle fixed this round), then
-# the six q_stream_* ids (oracle-checked since r04 but never driver-sampled),
-# then the named never-sampled stragglers.  Already-verified ids sort to the
-# back automatically, so stale entries here are harmless.
+# Ids pinned to the very front of the round-7 window, per VERDICT.md r06
+# "Next round" #4: the 16 ids never driver-sampled through round 6 (8
+# oracle-checked + 8 rows-only), plus q_audio_decode (registered this round,
+# no verdict possible yet).  With these 17 verified, the catalog is
+# 247/247 driver-covered.  Already-verified ids sort to the back
+# automatically, so stale entries here are harmless.
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-5 driver failure — oracle type fixed in round 6, must re-enter
-    "q_growth_accounting",
-    # streaming family: oracles carried since r04, never driver-checked
-    "q_stream_tumbling",
-    "q_stream_dedup",
-    "q_stream_sessionize",
-    "q_stream_join",
-    "q_stream_anomaly",
-    "q_stream_enrich",
-    # never-sampled stragglers named in VERDICT.md r05 "Next round" #3
-    "q_udtf_tokenize",
-    "q_ridge_coeffs_portable",
-    "q_rfm_segments",
-    "q_rolling_active_users",
-    "q_seasonal_anomaly",
-    "q_weighted_median",
-    "q_zorder_stats",
-    # new round-6 ids (registered this round, no verdict possible yet)
+    # oracle-checked, never sampled (VERDICT r06 Counts)
+    "q_unpivot",
+    "q_validate",
+    "q_vocab_growth",
+    "q_weekend_activity",
+    "q_weighted_sample",
+    "q_window_nav",
+    "q_woe_iv",
+    "q_zipf_slope",
+    # rows-only (⊘), never sampled
+    "q_ann_ivf",
+    "q_approx_distinct",
+    "q_embed_neardup_lsh",
+    "q_ewma",
+    "q_heavy_hitters_sketch",
+    "q_percentile_sketch",
+    "q_rolling_fingerprint",
+    "q_stratified_sample",
+    # registered this round — first driver look
     "q_audio_decode",
 )
 

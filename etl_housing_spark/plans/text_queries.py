@@ -1021,6 +1021,82 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_decode",
+    # The audio twin of q_image_decode, hash-checked through the REAL codec:
+    # each document id deterministically defines a mono 16-bit PCM waveform
+    # (rate 8000 Hz, n = 64 + id % 64 samples, sample(i) =
+    # ((id*37 + i*101) % 4001) - 2000); the Spark side ENCODES it to a real
+    # RIFF/WAV container (pure-stdlib codec, functions/wav.py) and pushes the
+    # bytes through operators.multimodal.decode_audio — the actual
+    # Arrow-batched production decode stage, magic-byte sniffed, stdlib
+    # ``wave`` PCM parse — while the oracle recomputes channel count, rate,
+    # sample count, duration and RMS from the closed-form sample formula in
+    # pure SQL. RMS operand order mirrors wav.decode_stats exactly:
+    # sqrt(exact-int Σv² / n) / 32768, so the real decode path hash-matches.
+    # At scale the encode stage is the test fixture standing in for stored
+    # media bytes; decode_audio is the real path (constant-memory iterator
+    # of Arrow batches, no collect).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    sm AS (
+      -- range() takes no lateral args in DuckDB: fixed 0..127 (>= max n)
+      -- joined on i < n
+      SELECT d.doc_id, d.n,
+             ((d.doc_id * 37 + i.i * 101) % 4001) - 2000 AS v
+      FROM dims d JOIN range(0, 128) i(i) ON i.i < d.n)
+    SELECT doc_id AS media_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(CAST(n AS DOUBLE) / 8000.0, 6) AS duration_s,
+           ROUND(sqrt(CAST(SUM(v * v) AS DOUBLE) / n) / 32768.0, 6) AS rms
+    FROM sm GROUP BY doc_id, n
+    """,
+    description="real-codec audio decode, hash-checked: deterministic mono "
+    "16-bit PCM waveforms (one per document, samples a closed-form function "
+    "of the id) encoded to real RIFF/WAV containers with the stdlib codec "
+    "and decoded through the production mapInPandas decode_audio stage "
+    "(magic-byte sniff, stdlib wave PCM parse); the oracle recomputes "
+    "channels/rate/samples/duration/RMS from the sample formula in pure SQL "
+    "— proving the Arrow audio decode path returns the right numbers, not "
+    "just rows",
+    tags=("multimodal",),
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_audio
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import wav as _wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 64
+                samples = [((d * 37 + i * 101) % 4001) - 2000 for i in range(n)]
+                payloads.append(_wav.encode_pcm16(8000, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    out = decode_audio(media)
+    return out.select(
+        "media_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@query(
     "q_rolling_fingerprint_portable",
     # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's
     # crc32 base hash has no DuckDB twin, so this variant derives per-token

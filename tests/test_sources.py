@@ -261,3 +261,44 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     # ORC supports predicate pushdown to the stripe reader
     plan = back.filter(F.col("price") > 1000)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "price" in plan
+
+
+def test_sqlite_jdbc_reference_schema(spark, tmp_path):
+    """SQLite-JDBC drop-in (README "SQLite drop-in"): the reference's exact
+    ``apartments`` DDL (load_save_sql.ipynb / housing.db sqlite_master)
+    round-trips through read_jdbc/write_jdbc with projection+predicate
+    pushdown.  Runs only when a sqlite-jdbc jar is on the classpath — this
+    container ships none, so the embedded-Derby twin
+    (test_scale_techniques.py::test_jdbc_roundtrip_with_pushdown) carries
+    the always-on JDBC coverage."""
+    import pytest
+
+    from etl_housing_spark.sources.warehouse import (
+        jdbc_available,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    if not jdbc_available(spark, "org.sqlite.JDBC"):
+        pytest.skip("sqlite-jdbc jar not on the Spark classpath")
+
+    url = f"jdbc:sqlite:{tmp_path}/housing.db"
+    # the reference schema, TEXT-typed fields and all (housing.db:apartments)
+    rows = [
+        (1, "The Arnold", "1621 E 6th St", "A1", "650", "1", "1",
+         "$1,500", "Austin", "TX", 78702, "desc", "details", "http://x"),
+    ]
+    ddl = ("apt_id int, name string, address string, unit string, sqft string, "
+           "bed string, bath string, price string, city string, state string, "
+           "zip_code int, description string, details string, url string")
+    df = spark.createDataFrame(rows, ddl)
+    write_jdbc(df, url, "apartments", mode="overwrite", driver="org.sqlite.JDBC")
+    back = read_jdbc(spark, url, "apartments", driver="org.sqlite.JDBC")
+    assert back.count() == 1
+    q = back.select("name", "price").filter(F.col("zip_code") == 78702)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "zip_code" in plan
+    assert q.collect()[0]["price"] == "$1,500"
+    # the reference's non-idempotent append (if_exists='append')
+    write_jdbc(df, url, "apartments", mode="append", driver="org.sqlite.JDBC")
+    assert read_jdbc(spark, url, "apartments", driver="org.sqlite.JDBC").count() == 2
