@@ -48,7 +48,15 @@ def shingles(
     skewing (a shingle in 10% of 1B docs would otherwise create a 10^16-pair
     join bucket).
     """
-    toks = F.split(F.col(text_col), " ")
+    # Bind the token array ONCE in its own projection: Catalyst does not CSE
+    # inside lambda bodies, so an inlined split() would re-tokenize the text
+    # per shingle index (the q_minhash_portable hot spot, VERDICT r06).
+    # CollapseProject keeps the binding because the non-cheap alias is
+    # referenced more than once downstream.
+    bound = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     if n == 1:
         sh = F.explode(F.array_distinct(toks))
     else:
@@ -64,7 +72,7 @@ def shingles(
             ),
         ).otherwise(F.array(F.array_join(toks, " ")))
         sh = F.explode(F.array_distinct(grams))
-    out = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    out = bound.select("id", sh.alias("sh"))
     if max_df is not None:
         freq = out.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         out = out.join(F.broadcast(freq.filter(F.col("df") <= max_df)), "sh").select("id", "sh")

@@ -49,7 +49,8 @@ def main() -> None:
     for name in sorted(specs):
         materialize(specs[name].fn(spark, floor_dir))
         materialize(specs[name].fn(spark, bench_dir))
-        con.execute(specs[name].oracle).fetchall()
+        if specs[name].oracle is not None:
+            con.execute(specs[name].oracle).fetchall()
 
     # bucketed co-location variant: identical aggregation and DuckDB
     # yardstick as q_join_sortmerge, join-side exchanges pre-paid at ingest.
@@ -66,11 +67,18 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(specs[name].fn(spark, bench_dir))
         sp = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        con.execute(specs[name].oracle).fetchall()
-        dk = time.perf_counter() - t0
+        if specs[name].oracle is not None:
+            t0 = time.perf_counter()
+            con.execute(specs[name].oracle).fetchall()
+            dk = time.perf_counter() - t0
+        else:
+            # ⊘ query (no SQL twin): Spark/floor/marginal still timed; the
+            # DuckDB column and both ratio cells print "—" and the query is
+            # excluded from the ratio totals (no yardstick to divide by).
+            dk = None
         rows.append((name, sp, floor, max(0.0, sp - floor), dk))
-        print(f"{name}: spark={sp:.3f} floor={floor:.3f} duckdb={dk:.3f}", file=sys.stderr)
+        dks = f"{dk:.3f}" if dk is not None else "-"
+        print(f"{name}: spark={sp:.3f} floor={floor:.3f} duckdb={dks}", file=sys.stderr)
 
     sortmerge_floor = next(r[2] for r in rows if r[0] == "q_join_sortmerge")
     t0 = time.perf_counter()
@@ -85,15 +93,18 @@ def main() -> None:
 
     print("| query | spark (s) | floor (s) | marginal (s) | duckdb (s) | ratio | marginal ratio |")
     print("| --- | --- | --- | --- | --- | --- | --- |")
-    tot = [0.0] * 4
+    tot = [0.0] * 4  # spark / floor / marginal / duckdb — ratio-eligible only
     for name, sp, fl, mg, dk in rows:
-        tot = [tot[0] + sp, tot[1] + fl, tot[2] + mg, tot[3] + dk]
-        print(
-            f"| {name} | {sp:.3f} | {fl:.3f} | {mg:.3f} | {dk:.3f} "
-            f"| {sp / dk:.1f}× | {mg / dk:.1f}× |"
-        )
+        if dk is not None:
+            tot = [tot[0] + sp, tot[1] + fl, tot[2] + mg, tot[3] + dk]
+            print(
+                f"| {name} | {sp:.3f} | {fl:.3f} | {mg:.3f} | {dk:.3f} "
+                f"| {sp / dk:.1f}× | {mg / dk:.1f}× |"
+            )
+        else:
+            print(f"| {name} (⊘ no SQL twin) | {sp:.3f} | {fl:.3f} | {mg:.3f} | — | — | — |")
     print(
-        f"| **total** | **{tot[0]:.3f}** | **{tot[1]:.3f}** | **{tot[2]:.3f}** "
+        f"| **total (ratio-eligible)** | **{tot[0]:.3f}** | **{tot[1]:.3f}** | **{tot[2]:.3f}** "
         f"| **{tot[3]:.3f}** | **{tot[0] / tot[3]:.1f}×** | **{tot[2] / tot[3]:.1f}×** |"
     )
     print(json.dumps({

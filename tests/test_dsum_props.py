@@ -24,7 +24,7 @@ from __future__ import annotations
 from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
-from hypothesis import assume, given, settings
+from hypothesis import assume, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -34,11 +34,28 @@ _Q6 = Decimal("0.000001")
 
 
 def _on_cast_boundary(x: float) -> bool:
-    """True when Spark's shortest-repr HALF_UP cast and a nearest-rounding of
-    the exact binary value disagree at 6 decimals — the excluded edge."""
-    a = Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP)
-    b = Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP)
-    return a != b
+    """True when x sits near enough a 6th-decimal rounding half-boundary
+    that the engines' double→DECIMAL(18,6) casts could disagree — the
+    excluded measure-zero edge.  Spark: BigDecimal(Double.toString(x))
+    .setScale(6, HALF_UP) — half-up on the SHORTEST decimal repr.  DuckDB
+    rounds the SCALED DOUBLE x*10^6, inheriting the multiply's FP rounding
+    (e.g. 562949954.1549726*1e6 lands exactly on …972.5 → …972, while Spark
+    half-ups the shortest repr to …973; found by this property 2026-08-14).
+    Exclusion predicate, so over-approximate: x is a boundary unless EVERY
+    plausible rounding — shortest-repr half-up, exact-binary half-up,
+    rint(scaled), half-away(scaled) — lands on the same decimal; where they
+    all agree, both engines necessarily do too."""
+    import math
+
+    sx = x * 1e6
+    sign = 1 if x >= 0 else -1
+    cands = {
+        Decimal(repr(x)).quantize(_Q6, rounding=ROUND_HALF_UP),  # Spark
+        Decimal(x).quantize(_Q6, rounding=ROUND_HALF_UP),  # exact binary
+        Decimal(round(sx)).scaleb(-6),  # rint on the scaled double
+        (sign * Decimal(math.floor(abs(sx) + 0.5))).scaleb(-6),  # half-away
+    }
+    return len(cands) > 1
 
 _spark = None
 
@@ -65,6 +82,9 @@ _vals = st.floats(
 
 @settings(max_examples=15, deadline=None)
 @given(st.lists(_vals, min_size=1, max_size=60))
+@example(
+    xs=[562949954.1549726],
+).via('discovered failure')
 def test_dsum_matches_duckdb_bitwise(xs):
     assume(not any(_on_cast_boundary(x) for x in xs))
     spark = _get_spark()
