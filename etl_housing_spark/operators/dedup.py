@@ -230,18 +230,28 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     operators. Output covers only ids that appear in at least one pair
     (singletons are their own cluster by definition — union them in from
     the corpus if a total assignment is needed).
+
+    Storage discipline (the r05/r06 leak class, fixed): every superseded
+    label generation's checkpoint storage is released as soon as the next
+    generation materializes, and the edge checkpoint is released before
+    returning — only the RETURNED generation stays resident (the caller
+    consumes it; ``DataFrame.unpersist()`` cannot release checkpoints, see
+    operators/_ckpt.py). A long-lived session invoking this repeatedly
+    holds O(1) cached frames, not O(rounds x invocations).
     """
-    edges = (
+    from ._ckpt import release_rdd_ids, tracked_local_checkpoint
+
+    spark = pairs.sparkSession
+    edges, edges_ids = tracked_local_checkpoint(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint()  # materialize the (possibly expensive) pair
-        # pipeline once — every round re-reads edges, never re-mines them
+        # materialize the (possibly expensive) pair pipeline once — every
+        # round re-reads edges, never re-mines them
     )
-    labels = (
+    labels, labels_ids = tracked_local_checkpoint(
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         # propagate: my new label = min(my label, min over neighbors' labels)
@@ -250,10 +260,10 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels, new_ids = tracked_local_checkpoint(
             labels.join(neighbor_labels, "id", "left")
             .select("id", F.least("cluster_id", "nbr_min").alias("cluster_id"))
-            .localCheckpoint()  # eager: truncates lineage AND caches the round
+            # eager: truncates lineage AND caches the round
         )
         changed = (
             new_labels.alias("n")
@@ -262,9 +272,11 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels = new_labels
+        release_rdd_ids(spark, labels_ids)  # superseded generation
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
+    release_rdd_ids(spark, edges_ids)  # labels is a checkpoint: edges unneeded
     return labels
 
 

@@ -84,7 +84,11 @@ def pagerank(
     flagged.count()
     nodes.unpersist()
 
+    from ._ckpt import release_rdd_ids, tracked_local_checkpoint
+
+    spark = edges.sparkSession
     ranks = flagged.select("node", F.lit(1.0 / n).alias("rank"), "is_dangling").persist()
+    ranks_ckpt_ids: set[int] = set()  # ids backing a checkpointed generation
     base = (1.0 - damping) / n
     for i in range(iterations):
         recv = (
@@ -115,12 +119,17 @@ def pagerank(
             # dominates by iteration ~15. The final round uses the cheaper
             # persist (an eager checkpoint re-caches every partition; the
             # caller's first action materializes the persist anyway).
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # Checkpoint generations are id-tracked so the storage — which
+            # DataFrame.unpersist() cannot touch — is released when the
+            # generation is superseded (operators/_ckpt.py).
+            new_ranks, new_ids = tracked_local_checkpoint(new_ranks)
         else:
             new_ranks = new_ranks.persist()
             new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+            new_ids = set()
+        ranks.unpersist()  # no-op when the old generation was a checkpoint —
+        release_rdd_ids(spark, ranks_ckpt_ids)  # — this is what releases it
+        ranks, ranks_ckpt_ids = new_ranks, new_ids
     outdeg.unpersist()
     fanout.unpersist()
     flagged.unpersist()

@@ -86,6 +86,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q_stratified_sample",
     # registered this round — first driver look
     "q_audio_decode",
+    "q_video_decode",
 )
 
 

@@ -1097,6 +1097,96 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_video_decode",
+    # The video member of the real-codec multimodal family (image r05,
+    # audio r07): each document id deterministically defines a short
+    # grayscale clip (n_frames = 2 + id % 3, width 8 + id % 8, height
+    # 6 + id % 6, pixel v(f,i) = (id*13 + f*17 + i*7) % 256 on all three
+    # channels); the Spark side ENCODES it to a real RIFF/AVI container
+    # with uncompressed BI_RGB DIB frames (pure-stdlib codec,
+    # functions/avi.py) and pushes the bytes through
+    # operators.multimodal.decode_video — the actual Arrow-batched
+    # production decode stage, magic-byte sniffed, stdlib container demux +
+    # DIB row unpack — while the oracle recomputes dimensions, frame count,
+    # duration and mean luma from the closed-form pixel formula in pure
+    # SQL. Grayscale fixtures make Σ(channel bytes)/(3whn) ≡ Σv/(whn) as a
+    # rational, so one correctly-rounded double division hash-matches on
+    # both sides. Compressed codecs remain the declared PyAV/ffmpeg
+    # boundary (NotImplementedError in avi.py).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS w,
+             6 + doc_id % 6 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents),
+    px AS (
+      -- range() takes no lateral args in DuckDB: fixed frame/pixel domains
+      -- (>= max nf = 4, >= max w*h = 15*11 = 165) joined on the bounds
+      SELECT d.doc_id, d.w, d.h, d.nf,
+             ((d.doc_id * 13 + f.f * 17 + i.i * 7) % 256) AS v
+      FROM dims d
+      JOIN range(0, 4) f(f) ON f.f < d.nf
+      JOIN range(0, 165) i(i) ON i.i < d.w * d.h)
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           ROUND(nf * 40000 / 1000000.0, 6) AS duration_s,
+           ROUND(CAST(SUM(v) AS DOUBLE) / (w * h * nf) / 255.0, 6) AS mean_luma
+    FROM px GROUP BY doc_id, w, h, nf
+    """,
+    description="real-codec video decode, hash-checked: deterministic "
+    "grayscale clips (one per document, pixels a closed-form function of "
+    "the id) encoded to real RIFF/AVI containers with uncompressed BI_RGB "
+    "DIB frames (stdlib codec) and decoded through the production "
+    "mapInPandas decode_video stage (magic-byte sniff, stdlib demux + row "
+    "unpack); the oracle recomputes width/height/frames/duration/mean-luma "
+    "from the pixel formula in pure SQL — proving the Arrow video decode "
+    "path returns the right numbers, not just rows",
+    tags=("multimodal",),
+)
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_video
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import avi as _avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 8 + d % 8, 6 + d % 6, 2 + d % 3
+                frames = [
+                    bytes(
+                        (d * 13 + f * 17 + i * 7) % 256
+                        for i in range(w * h)
+                        for _ in range(3)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(_avi.encode_rgb24(w, h, frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    out = decode_video(media)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+@query(
     "q_rolling_fingerprint_portable",
     # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's
     # crc32 base hash has no DuckDB twin, so this variant derives per-token

@@ -242,3 +242,53 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, base.collect()))
+
+
+# ------------------------------------------------------- storage bounds ----
+
+
+def test_dedup_pipeline_cache_is_bounded_across_invocations(spark):
+    """The r05/r06 leak class, pinned: q_dedup_pipeline_portable must not
+    grow executor storage per invocation. Lazy persist() dedupes by
+    analyzed plan in the CacheManager, so re-invocations reuse the same
+    entries — the persistent-RDD count after call N equals the count after
+    call 1."""
+    from etl_housing_spark.plans import all_queries
+
+    fn = all_queries()["q_dedup_pipeline_portable"].fn
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def run():
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+
+    run()
+    first = n_persistent()
+    run()
+    run()
+    assert n_persistent() == first, (
+        f"persistent RDDs grew {first} -> {n_persistent()} across invocations"
+    )
+
+
+def test_dedup_clusters_releases_superseded_checkpoints(spark):
+    """dedup_clusters must leave only its RETURNED generation resident:
+    superseded per-round checkpoints and the edge checkpoint are released
+    via the persistent-RDD map (DataFrame.unpersist() cannot touch
+    localCheckpoint storage — operators/_ckpt.py)."""
+    from etl_housing_spark.operators.dedup import dedup_clusters
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a int, id_b int"
+    )
+    before = n_persistent()
+    labels = dedup_clusters(pairs, max_iters=6)
+    labels.count()
+    assert n_persistent() - before == 1, (
+        f"expected only the returned labels resident, delta="
+        f"{n_persistent() - before}"
+    )
