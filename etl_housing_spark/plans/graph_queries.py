@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import graph as G
+from ..operators._ckpt import release_rdd_ids, tracked_local_checkpoint
 from .registry import query
 from .vector_queries import _RP
 
@@ -500,11 +501,16 @@ def q_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.crossJoin(F.broadcast(nt)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
+    r_ids: set[int] = set()
     for _ in range(4):
         # localCheckpoint keeps the composed plan linear in iterations (the
         # rank frame is consumed twice per step: dangling + contributions);
-        # materialization does not change the decimal-exact values.
-        r = r.localCheckpoint(eager=True)
+        # materialization does not change the decimal-exact values. The
+        # superseded round's checkpoint storage is released as soon as the
+        # next one materializes (operators/_ckpt.py — unpersist() can't).
+        prev_ids = r_ids
+        r, r_ids = tracked_local_checkpoint(r)
+        release_rdd_ids(spark, prev_ids)
         dang = (
             r.join(od, "node", "left")
             .where(F.col("d").isNull())
@@ -591,8 +597,13 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     lab = emb.select(F.col("vec_id").alias("node"), F.col("vec_id").alias("lab"))
+    lab_ids: set[int] = set()
     for _ in range(4):
-        lab = lab.localCheckpoint(eager=True)
+        # superseded round's checkpoint storage released once the next
+        # round materializes (operators/_ckpt.py)
+        prev_ids = lab_ids
+        lab, lab_ids = tracked_local_checkpoint(lab)
+        release_rdd_ids(spark, prev_ids)
         nm = (
             und.join(lab.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
