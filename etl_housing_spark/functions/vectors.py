@@ -53,5 +53,21 @@ def norm(a: Column) -> Column:
     return F.sqrt(_dec_sum(sq))
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Exact-accumulated squared L2 distance of two array columns.
+
+    Each per-dim (x−y)² is one double product cast to DECIMAL(28,18);
+    decimal addition is associative, so the in-row fold here equals a
+    grouped decimal SUM over exploded dims bit-for-bit — which is exactly
+    how the k-means oracle mirrors it (q_kmeans_portable)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return _dec_sum(diffs)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))

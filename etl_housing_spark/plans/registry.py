@@ -87,6 +87,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # registered this round — first driver look
     "q_audio_decode",
     "q_video_decode",
+    "q_kmeans_portable",
 )
 
 

@@ -925,3 +925,125 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr"),
         )
     )
+
+
+_KM_ACC = "decimal(28,18)"  # same lossless accumulator as functions.vectors
+
+
+@query(
+    "q_kmeans_portable",
+    # Hash-checked distributed k-means: 2 unrolled Lloyd iterations, k=4,
+    # deterministic seeding (the 4 lowest vec_ids' embeddings — no rand()).
+    # Every cross-engine decision point is exact: squared distances
+    # accumulate per-dim double products in DECIMAL(28,18) (associative, so
+    # Spark's in-row array fold equals DuckDB's grouped SUM over exploded
+    # dims bit-for-bit), assignment is argmin with a total (d, cid) order,
+    # and centroid updates are decimal-exact sums divided once in double.
+    # The output (per surviving cluster x dim: member count + new centroid
+    # coordinate) therefore hash-matches after two full assign->update
+    # rounds. Scale shape: assignment is a BROADCAST of k tiny centroids
+    # against the vector scan (no shuffle on the big side), update is one
+    # partial-agg shuffle keyed (cid, dim) — the textbook distributed
+    # k-means step, the same plan at 64 dims x 1B vectors; iterations are
+    # driver-unrolled exactly like MLlib's KMeans (reference has no
+    # clustering surface; §2.13 extension).
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)),
+    d1 AS (
+      SELECT e.vec_id, c0.cid,
+             CAST(SUM(CAST((e.v[i.i + 1] - c0.c[i.i + 1]) * (e.v[i.i + 1] - c0.c[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM e CROSS JOIN c0 JOIN range(0, 64) i(i) ON true
+      GROUP BY e.vec_id, c0.cid),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    p1 AS (
+      SELECT a1.cid, i.i AS dim,
+             CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM a1 JOIN e ON a1.vec_id = e.vec_id JOIN range(0, 64) i(i) ON true
+      GROUP BY a1.cid, i.i),
+    c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM p1 GROUP BY cid),
+    d2 AS (
+      SELECT e.vec_id, c1.cid,
+             CAST(SUM(CAST((e.v[i.i + 1] - c1.c[i.i + 1]) * (e.v[i.i + 1] - c1.c[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM e CROSS JOIN c1 JOIN range(0, 64) i(i) ON true
+      GROUP BY e.vec_id, c1.cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1)
+    SELECT a2.cid, i.i AS dim,
+           COUNT(*) AS n_members,
+           ROUND(CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6)
+             AS c_val
+    FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN range(0, 64) i(i) ON true
+    GROUP BY a2.cid, i.i
+    """,
+    description="hash-checked distributed k-means (k=4, 2 unrolled Lloyd "
+    "rounds, deterministic lowest-id seeding): decimal-exact squared "
+    "distances (in-row fold == grouped SUM by associativity), total-order "
+    "argmin assignment, decimal-exact centroid means — the post-round-2 "
+    "(cluster, dim) centroid table with member counts hash-matches DuckDB; "
+    "broadcast-centroid assignment + one (cid,dim) partial-agg shuffle per "
+    "round, the plan shape that holds at 1B vectors",
+    tags=("vector", "ml"),
+)
+def q_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    c0 = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", V.sqdist(F.col("v"), F.col("c")).alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        pe = assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+        per_dim = pe.groupBy("cid", "dim").agg(
+            (
+                F.sum(F.col("val").cast(_KM_ACC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        return per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+
+    a2 = assign(update(assign(c0)))
+    return (
+        a2.select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(
+                F.sum(F.col("val").cast(_KM_ACC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c_val"),
+        )
+    )

@@ -81,3 +81,40 @@ def test_dot_seq_bitwise_matches_duckdb(spark):
     assert got.keys() == want.keys()
     bad = [k for k in got if struct.pack("<d", got[k]) != struct.pack("<d", want[k])]
     assert not bad, f"bitwise dot mismatch for vec_ids {bad[:5]}"
+
+
+def test_sqdist_fold_matches_grouped_decimal_sum(spark):
+    """The q_kmeans_portable distance contract: the in-row DECIMAL(28,18)
+    fold (functions.vectors.sqdist) must equal a grouped decimal SUM over
+    the exploded per-dim products BITWISE — associativity of decimal
+    addition is what lets the Spark fold and the DuckDB grouped-SUM oracle
+    meet at the identical double."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.functions.vectors import sqdist
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    folded = {
+        r.vec_id: r.d
+        for r in emb.crossJoin(F.broadcast(q))
+        .select("vec_id", sqdist(F.col("v"), F.col("q")).alias("d"))
+        .collect()
+    }
+    grouped = {
+        r.vec_id: r.d
+        for r in emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.posexplode(F.zip_with("v", "q", lambda x, y: (x - y) * (x - y))).alias(
+                "dim", "sq"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("sq").cast("decimal(28,18)")).cast("double").alias("d"))
+        .collect()
+    }
+    assert folded == grouped  # bitwise, no tolerance
