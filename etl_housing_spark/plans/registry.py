@@ -88,6 +88,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q_audio_decode",
     "q_video_decode",
     "q_kmeans_portable",
+    "q_bpe_merges_portable",
 )
 
 

@@ -1231,3 +1231,107 @@ def q_rolling_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFram
     return docs.select("doc_id", hs.alias("hs")).select(
         "doc_id", rfp.cast("bigint").alias("rfp")
     )
+
+
+def _bpe_round_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+    p{i} AS (
+      SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_transform(
+               list_filter(list_zip(l, l[2:]), q -> q[2] IS NOT NULL),
+               q -> [q[1], q[2]])) AS pr
+            FROM (SELECT freq, string_split(seq, ' ') AS l FROM s{p}))
+      GROUP BY pr[1], pr[2]),
+    m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    s{i} AS (
+      SELECT w, freq,
+             trim(replace(' ' || seq || ' ',
+                          ' ' || m{i}.a || ' ' || m{i}.b || ' ',
+                          ' ' || m{i}.a || m{i}.b || ' ')) AS seq
+      FROM s{p} CROSS JOIN m{i})"""
+
+
+@query(
+    "q_bpe_merges_portable",
+    # BPE merge TRAINING, hash-checked — the tokenizer-learning step a
+    # training-data pipeline runs over its corpus (q_bpe_tokens only counts
+    # with a fixed regex; this LEARNS the merge table). 3 unrolled rounds:
+    # word frequencies -> char-level symbol sequences -> corpus-weighted
+    # adjacent-pair counts -> argmax pair under a total (count desc, a, b)
+    # order -> greedy left-to-right non-overlapping merge applied to every
+    # sequence. The merge step exploits that plain (non-regex) replace() is
+    # left-to-right and non-overlapping in BOTH engines over the
+    # space-delimited symbol string (' a a a ' -> ' aa a ', verified), so
+    # each round's rewritten sequences — and therefore the next round's
+    # pair statistics — are string-identical across engines; the learned
+    # (round, left, right, weighted-count) table hash-matches. All integer
+    # and string ops, no floats anywhere. Scale shape: pair counting is one
+    # explode + partial-agg shuffle over the DISTINCT-WORD table (vocab-
+    # sized, not corpus-sized — the corpus weight rides along as freq), the
+    # argmax is a 1-row TakeOrdered broadcast back into the rewrite; rounds
+    # are driver-unrolled exactly like any iterative fit.
+    oracle="WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    "    w AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),\n"
+    "    s0 AS (SELECT w, freq, array_to_string(string_split(w, ''), ' ') AS seq FROM w),"
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT CAST(1 AS INTEGER) AS rnd, a, b, cnt FROM m1
+    UNION ALL SELECT 2, a, b, cnt FROM m2
+    UNION ALL SELECT 3, a, b, cnt FROM m3
+    """,
+    description="BPE merge training, hash-checked: 3 unrolled rounds of "
+    "corpus-weighted adjacent-pair counting over char-level symbol "
+    "sequences of the distinct-word table, deterministic argmax (count "
+    "desc, pair asc), greedy left-to-right merge via the space-delimited "
+    "replace trick (identical non-overlap semantics in both engines) — "
+    "the learned merge table itself hash-matches; vocab-sized shuffles, "
+    "corpus weight carried as a frequency column",
+    tags=("text", "pipeline"),
+)
+def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        # vocab-sized; persisted because every round's pair count AND the
+        # rewrite chain re-reads it — CacheManager dedupes re-invocations
+        .persist()
+    )
+    s = w.select("w", "freq", F.concat_ws(" ", F.split("w", "")).alias("seq"))
+    merges = []
+    for rnd in (1, 2, 3):
+        symbols = F.split(F.col("seq"), " ")
+        prs = F.zip_with(
+            F.slice(symbols, 1, F.size(symbols) - 1),
+            F.slice(symbols, 2, F.size(symbols) - 1),
+            lambda x, y: F.array(x, y),
+        )
+        pairs = (
+            s.select("freq", F.explode(prs).alias("pr"))
+            .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(F.lit(rnd).alias("rnd"), "a", "b", "cnt")
+        )
+        merges.append(best)
+        bj = best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
+        s = s.crossJoin(F.broadcast(bj)).select(
+            "w",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "), F.col("_a"), F.lit(" "), F.col("_b"), F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), F.col("_a"), F.col("_b"), F.lit(" ")),
+                )
+            ).alias("seq"),
+        )
+    return merges[0].unionByName(merges[1]).unionByName(merges[2])
