@@ -1,0 +1,85 @@
+"""Distributed k-means over ``array`` embedding columns (SURVEY §2.13 /
+§2.10 extension; the reference has no clustering surface).
+
+The fit is the textbook distributed Lloyd step, driver-unrolled like
+MLlib's KMeans: assignment BROADCASTs the k tiny centroids against the
+vector scan (no shuffle on the big side), the update is one (cid, dim)
+partial-agg shuffle. Every cross-engine decision point is exact so the fit
+is value-verifiable against a SQL oracle (q_kmeans_portable): squared
+distances accumulate per-dim double products in DECIMAL(28,18)
+(functions.vectors.sqdist — associative, so the in-row fold equals a
+grouped decimal SUM bit-for-bit), assignment is argmin under a total
+(dist, cid) order, and centroid means are decimal-exact sums divided once
+in double.
+
+Downstream use: the learned assignment IS an IVF coarse quantizer —
+``q_ann_ivf_kmeans`` probes the trained cells instead of the testdata's
+pre-assigned label column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+_ACC = "decimal(28,18)"  # same lossless accumulator as functions.vectors
+
+__all__ = ["seed_centroids", "kmeans_assign", "kmeans_update", "kmeans_fit"]
+
+
+def seed_centroids(vecs: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic seeding: the k lowest-id vectors' embeddings →
+    (cid, c). No rand(); retried jobs and both oracle engines agree."""
+    return (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+
+
+def kmeans_assign(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, v) × broadcast centroids → (id, v, cid) by decimal-exact argmin
+    under the total (dist, cid) order."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "cid", V.sqdist(F.col("v"), F.col("c")).alias("d")
+    )
+    w = Window.partitionBy(id_col).orderBy("d", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "cid")
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Assigned vectors → new (cid, c) centroids: decimal-exact per-dim
+    sums, one double division, dims reassembled in index order."""
+    pe = assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+    per_dim = pe.groupBy("cid", "dim").agg(
+        (F.sum(F.col("val").cast(_ACC)).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+
+
+def kmeans_fit(
+    vecs: DataFrame, k: int = 4, rounds: int = 2, id_col: str = "vec_id"
+) -> tuple[DataFrame, DataFrame]:
+    """``rounds`` unrolled Lloyd iterations → (final assignment, final
+    centroids). ``vecs`` must be (id, v: array<double>). The final
+    centroids are the update over the final assignment — the pair a
+    downstream IVF index stores."""
+    cents = seed_centroids(vecs, k, id_col)
+    assigned = kmeans_assign(vecs, cents, id_col)
+    for _ in range(rounds - 1):
+        cents = kmeans_update(assigned)
+        assigned = kmeans_assign(vecs, cents, id_col)
+    return assigned, kmeans_update(assigned)

@@ -89,6 +89,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q_video_decode",
     "q_kmeans_portable",
     "q_bpe_merges_portable",
+    "q_ann_ivf_kmeans",
 )
 
 

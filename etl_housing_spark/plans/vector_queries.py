@@ -930,24 +930,7 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_ACC = "decimal(28,18)"  # same lossless accumulator as functions.vectors
 
 
-@query(
-    "q_kmeans_portable",
-    # Hash-checked distributed k-means: 2 unrolled Lloyd iterations, k=4,
-    # deterministic seeding (the 4 lowest vec_ids' embeddings — no rand()).
-    # Every cross-engine decision point is exact: squared distances
-    # accumulate per-dim double products in DECIMAL(28,18) (associative, so
-    # Spark's in-row array fold equals DuckDB's grouped SUM over exploded
-    # dims bit-for-bit), assignment is argmin with a total (d, cid) order,
-    # and centroid updates are decimal-exact sums divided once in double.
-    # The output (per surviving cluster x dim: member count + new centroid
-    # coordinate) therefore hash-matches after two full assign->update
-    # rounds. Scale shape: assignment is a BROADCAST of k tiny centroids
-    # against the vector scan (no shuffle on the big side), update is one
-    # partial-agg shuffle keyed (cid, dim) — the textbook distributed
-    # k-means step, the same plan at 64 dims x 1B vectors; iterations are
-    # driver-unrolled exactly like MLlib's KMeans (reference has no
-    # clustering surface; §2.13 extension).
-    oracle="""
+_KM_CTES = """
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
@@ -979,7 +962,29 @@ _KM_ACC = "decimal(28,18)"  # same lossless accumulator as functions.vectors
     a2 AS (
       SELECT vec_id, cid FROM (
         SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM d2) WHERE rn = 1)
+        FROM d2) WHERE rn = 1)"""
+
+
+
+
+@query(
+    "q_kmeans_portable",
+    # Hash-checked distributed k-means: 2 unrolled Lloyd iterations, k=4,
+    # deterministic seeding (the 4 lowest vec_ids' embeddings — no rand()).
+    # Every cross-engine decision point is exact: squared distances
+    # accumulate per-dim double products in DECIMAL(28,18) (associative, so
+    # Spark's in-row array fold equals DuckDB's grouped SUM over exploded
+    # dims bit-for-bit), assignment is argmin with a total (d, cid) order,
+    # and centroid updates are decimal-exact sums divided once in double.
+    # The output (per surviving cluster x dim: member count + new centroid
+    # coordinate) therefore hash-matches after two full assign->update
+    # rounds. Scale shape: assignment is a BROADCAST of k tiny centroids
+    # against the vector scan (no shuffle on the big side), update is one
+    # partial-agg shuffle keyed (cid, dim) — the textbook distributed
+    # k-means step, the same plan at 64 dims x 1B vectors; iterations are
+    # driver-unrolled exactly like MLlib's KMeans (reference has no
+    # clustering surface; §2.13 extension).
+    oracle=_KM_CTES + """
     SELECT a2.cid, i.i AS dim,
            COUNT(*) AS n_members,
            ROUND(CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*), 6)
@@ -997,44 +1002,12 @@ _KM_ACC = "decimal(28,18)"  # same lossless accumulator as functions.vectors
     tags=("vector", "ml"),
 )
 def q_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_fit
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    c0 = (
-        emb.orderBy("vec_id")
-        .limit(4)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
-            F.col("v").alias("c"),
-        )
-    )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cid", V.sqdist(F.col("v"), F.col("c")).alias("d")
-        )
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        pe = assigned.select("cid", F.posexplode("v").alias("dim", "val"))
-        per_dim = pe.groupBy("cid", "dim").agg(
-            (
-                F.sum(F.col("val").cast(_KM_ACC)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
-        return per_dim.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-            ).alias("c")
-        )
-
-    a2 = assign(update(assign(c0)))
+    a2, _c2 = kmeans_fit(emb, k=4, rounds=2)
     return (
         a2.select("cid", F.posexplode("v").alias("dim", "val"))
         .groupBy("cid", "dim")
@@ -1046,4 +1019,68 @@ def q_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("c_val"),
         )
+    )
+
+
+@query(
+    "q_ann_ivf_kmeans",
+    # IVF with a LEARNED coarse quantizer — the full train->index->search
+    # chain, hash-checked end to end. q_ann_ivf probes the testdata's
+    # pre-assigned label column ("a trained quantizer's assignment ...
+    # stands in"); here the cells ARE the k-means fit (operators.clustering,
+    # the q_kmeans_portable chain): 2 Lloyd rounds train 4 cells, the query
+    # vector probes its nprobe=2 best cells by centroid dot product
+    # (sequential-double fold == DuckDB list_dot_product, bitwise-verified
+    # contract), and the scan scores ONLY vectors in the probed cells —
+    # linear in the probed fraction, never the corpus. Every stage
+    # (assignment, centroids, probe choice, scores) is deterministic and
+    # bit-reproduced by the oracle, so the top-10 result hash-matches.
+    oracle=_KM_CTES + """,
+    pc2 AS (
+      SELECT a2.cid, i.i AS dim,
+             CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN range(0, 64) i(i) ON true
+      GROUP BY a2.cid, i.i),
+    c2 AS (SELECT cid, list(m ORDER BY dim) AS c FROM pc2 GROUP BY cid),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT c2.cid FROM c2 CROSS JOIN qv
+      ORDER BY list_dot_product(c2.c, qv.q) DESC, c2.cid LIMIT 2)
+    SELECT e.vec_id, ROUND(list_dot_product(e.v, qv.q), 6) AS score
+    FROM a2 JOIN probe ON a2.cid = probe.cid
+    JOIN e ON e.vec_id = a2.vec_id CROSS JOIN qv
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """,
+    description="IVF ANN with a LEARNED coarse quantizer, hash-checked: the "
+    "k-means fit (2 Lloyd rounds, 4 cells) is the cell assignment, the "
+    "query probes its 2 best cells by centroid dot product, the scan "
+    "touches only probed cells — the full train->index->search chain "
+    "value-verified; broadcast centroids + broadcast probe list, scan "
+    "linear in the probed fraction",
+    tags=("vector",),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, cents = kmeans_fit(emb, k=4, rounds=2)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("__q"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", V.dot_seq(F.col("c"), F.col("__q")).alias("cs"))
+        .orderBy(F.desc("cs"), "cid")
+        .limit(2)
+        .select("cid")
+    )
+    pruned = assigned.join(F.broadcast(probed), "cid")
+    return (
+        pruned.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(V.dot_seq(F.col("v"), F.col("__q")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
     )
