@@ -28,6 +28,13 @@ _AVI_FOURCC = b"AVI "
 _BI_RGB = 0
 
 
+def is_avi(data: bytes) -> bool:
+    """True when the payload is a RIFF/AVI container — the dispatch
+    predicate the multimodal decode stages use (RIFF alone is ambiguous:
+    WAV audio shares the magic, functions/wav.py)."""
+    return data[:4] == RIFF_MAGIC and data[8:12] == _AVI_FOURCC
+
+
 def _chunk(fourcc: bytes, payload: bytes) -> bytes:
     pad = b"\x00" if len(payload) % 2 else b""
     return fourcc + struct.pack("<I", len(payload)) + payload + pad
@@ -67,7 +74,10 @@ def encode_rgb24(
     frame_bytes = stride * height
     avih = struct.pack(
         "<14I",
-        us_per_frame, frame_bytes * 25, 0, 0x10,  # µs/frame, max bps, pad, HASINDEX-free flags
+        us_per_frame, frame_bytes * 25, 0, 0,  # µs/frame, max bps, pad, flags
+        # flags=0: no AVIF_HASINDEX (0x10) — we write no idx1 chunk, and
+        # advertising an index that does not exist breaks index-trusting
+        # demuxers (ffmpeg/PyAV, the documented production boundary)
         len(frames), 0, 1, frame_bytes,  # total frames, initial, streams, sug buffer
         width, height, 0, 0, 0, 0,
     )

@@ -21,6 +21,14 @@ import struct
 import wave
 
 RIFF_MAGIC = b"RIFF"
+_WAVE_FOURCC = b"WAVE"
+
+
+def is_wav(data: bytes) -> bool:
+    """True when the payload is a RIFF/WAVE container — the dispatch
+    predicate the multimodal decode stages use. RIFF alone is not enough:
+    AVI video shares the RIFF magic (functions/avi.py)."""
+    return data[:4] == RIFF_MAGIC and data[8:12] == _WAVE_FOURCC
 
 
 def encode_pcm16(sample_rate: int, samples: list[int] | bytes) -> bytes:

@@ -44,16 +44,20 @@ def seed_centroids(vecs: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame
 
 def kmeans_assign(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """(id, v) × broadcast centroids → (id, v, cid) by decimal-exact argmin
-    under the total (dist, cid) order."""
+    under the total (dist, cid) order.
+
+    The argmin is ``min(struct(d, cid, v))`` — lexicographic struct
+    ordering never reaches ``v`` because (d, cid) is unique per id — NOT a
+    row_number window: a window would full-shuffle and sort all n×k scored
+    rows (each carrying the vector) with no partial aggregation, while the
+    grouped min combines map-side to one row per id per partition before
+    the shuffle — the difference between ~k copies of the corpus on the
+    wire and one."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col, "v", "cid", V.sqdist(F.col("v"), F.col("c")).alias("d")
+        id_col, V.sqdist(F.col("v"), F.col("c")).alias("d"), "cid", "v"
     )
-    w = Window.partitionBy(id_col).orderBy("d", "cid")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "v", "cid")
-    )
+    best = scored.groupBy(id_col).agg(F.min(F.struct("d", "cid", "v")).alias("m"))
+    return best.select(id_col, F.col("m.v").alias("v"), F.col("m.cid").alias("cid"))
 
 
 def kmeans_update(assigned: DataFrame) -> DataFrame:

@@ -154,20 +154,20 @@ AUDIO_SCHEMA = (
     "duration_s DOUBLE, rms DOUBLE"
 )
 
-_RIFF_MAGIC = b"RIFF"
 
 
 def decode_audio(df: DataFrame, strict: bool = False) -> DataFrame:
     """Audio decode stage: binary → (channels, rate, samples, duration, rms)
     via mapInPandas — the audio twin of ``decode_media``.
 
-    Codec dispatch is sniffed per payload: RIFF magic routes to the REAL
-    stdlib ``wave`` PCM decode (functions/wav.py — no third-party library
-    needed, so unlike images this path is fully real in codec-free
-    containers); non-PCM RIFF payloads raise NotImplementedError there (the
-    declared librosa/soundfile boundary). Everything else (synthetic
-    payloads) takes a deterministic stub, and ``strict=True`` raises where
-    the stub would run.
+    Codec dispatch is sniffed per payload: RIFF/WAVE magic (not bare RIFF —
+    AVI shares it) routes to the REAL stdlib ``wave`` PCM decode
+    (functions/wav.py — no third-party library needed, so unlike images
+    this path is fully real in codec-free containers). Synthetic payloads
+    AND payloads the codec rejects (malformed/truncated → ValueError,
+    compressed/float → NotImplementedError, the declared librosa/soundfile
+    boundary) take the deterministic stub, so one bad payload never kills
+    the task; ``strict=True`` raises instead wherever the stub would run.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,8 +177,18 @@ def decode_audio(df: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:4] == _RIFF_MAGIC:
-                    ch, rate, n, dur, rms = _wav.decode_stats(b)
+                decoded = None
+                if _wav.is_wav(b):  # RIFF alone is ambiguous — AVI shares it
+                    try:
+                        decoded = _wav.decode_stats(b)
+                    except (ValueError, NotImplementedError):
+                        # Malformed/compressed payload: one bad payload must
+                        # not kill the task — fall to the deterministic stub
+                        # unless strictness is asked for.
+                        if strict:
+                            raise
+                if decoded is not None:
+                    ch, rate, n, dur, rms = decoded
                 else:
                     if strict:
                         raise NotImplementedError(
@@ -207,7 +217,6 @@ VIDEO_SCHEMA = (
     "duration_s DOUBLE, mean_luma DOUBLE"
 )
 
-_AVI_FOURCC = b"AVI "
 
 
 def decode_video(df: DataFrame, strict: bool = False) -> DataFrame:
@@ -218,10 +227,11 @@ def decode_video(df: DataFrame, strict: bool = False) -> DataFrame:
     Codec dispatch is sniffed per payload: a RIFF/AVI magic routes to the
     REAL stdlib BI_RGB demux+decode (functions/avi.py — container walking
     and DIB row unpacking are pure struct arithmetic, so uncompressed video
-    is fully real in codec-free containers); compressed streams raise
-    NotImplementedError there (the declared PyAV/ffmpeg boundary).
-    Everything else takes the deterministic stub, and ``strict=True``
-    raises where the stub would run.
+    is fully real in codec-free containers). Synthetic payloads AND
+    payloads the codec rejects (malformed → ValueError, compressed →
+    NotImplementedError, the declared PyAV/ffmpeg boundary) take the
+    deterministic stub, so one bad payload never kills the task;
+    ``strict=True`` raises instead wherever the stub would run.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -231,8 +241,17 @@ def decode_video(df: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if b[:4] == _RIFF_MAGIC and b[8:12] == _AVI_FOURCC:
-                    w, h, nf, dur, luma = _avi.decode_stats(b)
+                decoded = None
+                if _avi.is_avi(b):
+                    try:
+                        decoded = _avi.decode_stats(b)
+                    except (ValueError, NotImplementedError):
+                        # one malformed/compressed payload must not kill the
+                        # task — stub unless strictness is asked for
+                        if strict:
+                            raise
+                if decoded is not None:
+                    w, h, nf, dur, luma = decoded
                 else:
                     if strict:
                         raise NotImplementedError(
@@ -308,14 +327,21 @@ def frame_sample(df: DataFrame, every_n: int = 2, strict: bool = False) -> DataF
             for mid, payload, idx in zip(pdf["media_id"], pdf["payload"], pdf["frame_idx"]):
                 b = bytes(payload)
                 idx = int(idx)
-                if b[:4] == _RIFF_MAGIC and b[8:12] == _AVI_FOURCC:
+                if _avi.is_avi(b):
                     # real demux; cached per media_id so k sampled frames
                     # of one video demux the container once per batch run
                     mid_key = int(mid)
                     if mid_key not in demux_cache:
                         demux_cache[mid_key] = _avi.decode_rgb24(b)[3]
                     frames = demux_cache[mid_key]
-                    rows.append((mid, idx, frames[idx] if idx < len(frames) else b""))
+                    if idx >= len(frames):
+                        # metadata contradicts the container — fail loudly
+                        # rather than fabricate empty frame bytes
+                        raise ValueError(
+                            f"meta.n_frames implies frame {idx} of media "
+                            f"{mid_key} but the AVI holds {len(frames)}"
+                        )
+                    rows.append((mid, idx, frames[idx]))
                     continue
                 if strict:
                     raise NotImplementedError(

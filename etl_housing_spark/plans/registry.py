@@ -61,10 +61,11 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 # Ids pinned to the very front of the round-7 window, per VERDICT.md r06
 # "Next round" #4: the 16 ids never driver-sampled through round 6 (8
-# oracle-checked + 8 rows-only), plus q_audio_decode (registered this round,
-# no verdict possible yet).  With these 17 verified, the catalog is
-# 247/247 driver-covered.  Already-verified ids sort to the back
-# automatically, so stale entries here are harmless.
+# oracle-checked + 8 rows-only), plus the 5 queries registered this round
+# (audio/video decode, k-means, BPE training, learned-cells IVF — no
+# verdict possible yet).  With these 21 verified, the catalog is 252/252
+# driver-covered.  Already-verified ids sort to the back automatically, so
+# stale entries here are harmless.
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # oracle-checked, never sampled (VERDICT r06 Counts)
     "q_unpivot",

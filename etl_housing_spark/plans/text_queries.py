@@ -1246,9 +1246,10 @@ def _bpe_round_sql(i: int) -> str:
     m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
     s{i} AS (
       SELECT w, freq,
-             trim(replace(' ' || seq || ' ',
-                          ' ' || m{i}.a || ' ' || m{i}.b || ' ',
-                          ' ' || m{i}.a || m{i}.b || ' ')) AS seq
+             list_reduce(string_split(seq, ' '),
+               (acc, x) -> CASE WHEN (acc = m{i}.a OR ends_with(acc, ' ' || m{i}.a))
+                                     AND x = m{i}.b
+                           THEN acc || m{i}.b ELSE acc || ' ' || x END) AS seq
       FROM s{p} CROSS JOIN m{i})"""
 
 
@@ -1259,13 +1260,16 @@ def _bpe_round_sql(i: int) -> str:
     # with a fixed regex; this LEARNS the merge table). 3 unrolled rounds:
     # word frequencies -> char-level symbol sequences -> corpus-weighted
     # adjacent-pair counts -> argmax pair under a total (count desc, a, b)
-    # order -> greedy left-to-right non-overlapping merge applied to every
-    # sequence. The merge step exploits that plain (non-regex) replace() is
-    # left-to-right and non-overlapping in BOTH engines over the
-    # space-delimited symbol string (' a a a ' -> ' aa a ', verified), so
-    # each round's rewritten sequences — and therefore the next round's
-    # pair statistics — are string-identical across engines; the learned
-    # (round, left, right, weighted-count) table hash-matches. All integer
+    # order -> EXACT canonical greedy left-to-right merge applied to every
+    # sequence via an ordered string fold (Spark aggregate() over the
+    # symbol array == DuckDB list_reduce, verified identical on runs and
+    # alternations: 'aaaaa'/(a,a) -> 'aa aa a', 'ababab'/(a,b) ->
+    # 'ab ab ab' — the earlier replace()-based variant under-merged
+    # alternating occurrences and mis-segmented odd runs), so each round's
+    # rewritten sequences — and therefore the next round's pair statistics
+    # — are string-identical across engines AND conform to the canonical
+    # BPE trainer; the learned (round, left, right, weighted-count) table
+    # hash-matches. All integer
     # and string ops, no floats anywhere. Scale shape: pair counting is one
     # explode + partial-agg shuffle over the DISTINCT-WORD table (vocab-
     # sized, not corpus-sized — the corpus weight rides along as freq), the
@@ -1283,10 +1287,10 @@ def _bpe_round_sql(i: int) -> str:
     description="BPE merge training, hash-checked: 3 unrolled rounds of "
     "corpus-weighted adjacent-pair counting over char-level symbol "
     "sequences of the distinct-word table, deterministic argmax (count "
-    "desc, pair asc), greedy left-to-right merge via the space-delimited "
-    "replace trick (identical non-overlap semantics in both engines) — "
-    "the learned merge table itself hash-matches; vocab-sized shuffles, "
-    "corpus weight carried as a frequency column",
+    "desc, pair asc), EXACT canonical greedy left-to-right merge via an "
+    "ordered string fold (aggregate == list_reduce, boundary-aware suffix "
+    "check) — the learned merge table itself hash-matches; vocab-sized "
+    "shuffles, corpus weight carried as a frequency column",
     tags=("text", "pipeline"),
 )
 def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,17 +1325,24 @@ def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append(best)
         bj = best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
-        s = s.crossJoin(F.broadcast(bj)).select(
-            "w",
-            "freq",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "), F.col("_a"), F.lit(" "), F.col("_b"), F.lit(" ")
-                    ),
-                    F.concat(F.lit(" "), F.col("_a"), F.col("_b"), F.lit(" ")),
-                )
-            ).alias("seq"),
+        s = (
+            s.crossJoin(F.broadcast(bj))
+            # bind the symbol array once (Catalyst does not CSE in lambdas)
+            .select("w", "freq", "_a", "_b", F.split("seq", " ").alias("l"))
+            .selectExpr(
+                "w",
+                "freq",
+                # exact canonical greedy left-to-right merge: fold the
+                # symbol stream into a space-joined string, appending _b
+                # WITHOUT a delimiter when the accumulated string's last
+                # TOKEN is _a (boundary = the ' '||_a suffix check; a merge
+                # product _a||_b can never string-equal _a, so a token just
+                # created by this round's merge never re-merges as left).
+                # 'a a a a a'/(a,a) -> 'aa aa a', 'a b a b'/(a,b) ->
+                # 'ab ab' — bitwise-matched by DuckDB's list_reduce twin.
+                "aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> "
+                "IF((acc = _a OR endswith(acc, concat(' ', _a))) AND x = _b, "
+                "concat(acc, _b), concat(acc, ' ', x))) AS seq",
+            )
         )
     return merges[0].unionByName(merges[1]).unionByName(merges[2])

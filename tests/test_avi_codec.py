@@ -115,3 +115,28 @@ def test_frame_sample_real_demux(spark):
     got = {r["frame_idx"]: bytes(r["frame_payload"]) for r in frame_sample(df, every_n=2).collect()}
     assert set(got) == {0, 2}
     assert got[0] == frames[0] and got[2] == frames[2]
+
+
+def test_decode_audio_routes_avi_to_stub_not_wave_error(spark):
+    """RIFF is shared by WAV and AVI: an AVI payload through decode_AUDIO
+    must take the stub branch (strict=False), not die inside the wave
+    parser — the is_wav/is_avi fourcc checks are the dispatch contract."""
+    from etl_housing_spark.operators.multimodal import decode_audio
+
+    payload = avi.encode_rgb24(3, 2, [_frame(3, 2)])
+    df = spark.createDataFrame([(1, payload)], "media_id bigint, payload binary")
+    row = decode_audio(df).collect()[0]
+    assert row["sample_rate"] == 8000  # deterministic stub branch
+
+
+def test_decode_video_malformed_avi_takes_stub_unless_strict(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from etl_housing_spark.operators.multimodal import decode_video
+
+    truncated = avi.encode_rgb24(3, 2, [_frame(3, 2)])[:-8]
+    df = spark.createDataFrame([(1, truncated)], "media_id bigint, payload binary")
+    row = decode_video(df).collect()[0]  # stub, not a dead task
+    assert row["n_frames"] >= 1
+    with pytest.raises(PySparkException):
+        decode_video(df, strict=True).collect()

@@ -118,3 +118,44 @@ def test_sqdist_fold_matches_grouped_decimal_sum(spark):
         .collect()
     }
     assert folded == grouped  # bitwise, no tolerance
+
+
+def test_bpe_merges_match_reference_trainer(spark):
+    """q_bpe_merges_portable must agree with a straightforward in-memory
+    canonical BPE trainer (greedy left-to-right merges, count-desc/pair-asc
+    argmax) on the real corpus — the conformance check the cross-engine
+    hash cannot provide (both engines could share a flaw)."""
+    from collections import Counter
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("text").collect()
+    freq = Counter(w for r in docs for w in r["text"].split(" ") if w)
+
+    seqs = {w: list(w) for w in freq}
+    expected = []
+    for _ in range(3):
+        pairs = Counter()
+        for w, syms in seqs.items():
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += freq[w]
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+
+    got = [
+        (r["a"], r["b"], r["cnt"])
+        for r in all_queries()["q_bpe_merges_portable"].fn(spark, sf).orderBy("rnd").collect()
+    ]
+    assert got == expected
