@@ -1060,8 +1060,9 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(magic-byte sniff, stdlib wave PCM parse); the oracle recomputes "
     "channels/rate/samples/duration/RMS from the sample formula in pure SQL "
     "— proving the Arrow audio decode path returns the right numbers, not "
-    "just rows",
-    tags=("multimodal",),
+    "just rows; bench-tagged as the Arrow-batched Python-stage "
+    "representative (encode+decode mapInPandas round trip)",
+    tags=("multimodal", "bench"),
 )
 def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
