@@ -35,15 +35,40 @@ documented domain and is property-tested with that edge excluded.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 DEC = "decimal(18,6)"
 
 
+def fast_sums() -> bool:
+    """Production fast mode: ``EHS_FAST_SUMS=1`` switches :func:`dsum` /
+    :func:`davg` to plain double SUM/AVG.
+
+    The decimal fold exists to make every aggregate BIT-IDENTICAL to the
+    DuckDB oracle (order-free accumulation) — the verification contract,
+    not a numerical-accuracy need. A deployment that does not diff against
+    an oracle flips this on and erases the decimal tax (~1.7-2.5× on
+    sum-heavy scans, measured at sf10 in BASELINE.md); results then agree
+    with the exact sum to double round-off (|Δ|/Σ ≲ n·2⁻⁵³ — at 1e12 rows
+    still ~1e-4 relative worst-case, ~1e-10 typical random-sign error).
+    Read once per plan construction on the driver, so one setting governs
+    a whole query; the DEFAULT is the exact mode and the correctness
+    driver never sets the variable."""
+    return os.environ.get("EHS_FAST_SUMS", "") == "1"
+
+
 def dsum(col: Column | str) -> Column:
-    """Order-independent SUM(double) == DuckDB CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)."""
+    """Order-independent SUM(double) == DuckDB CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE).
+
+    Under ``EHS_FAST_SUMS=1`` (production fast mode, :func:`fast_sums`):
+    plain double SUM — same plan shape, no decimal arithmetic, not
+    bit-reproducible across engines/partitionings."""
     c = F.col(col) if isinstance(col, str) else col
+    if fast_sums():
+        return F.sum(c.cast("double"))
     return F.sum(c.cast(DEC)).cast("double")
 
 
@@ -67,8 +92,11 @@ DEC_WIDE = "decimal(38,6)"
 
 
 def dsum_wide(col: Column | str) -> Column:
-    """Order-independent SUM == DuckDB CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)."""
+    """Order-independent SUM == DuckDB CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE).
+    Honors ``EHS_FAST_SUMS=1`` like :func:`dsum`."""
     c = F.col(col) if isinstance(col, str) else col
+    if fast_sums():
+        return F.sum(c.cast("double"))
     return F.sum(c.cast(DEC_WIDE)).cast("double")
 
 
