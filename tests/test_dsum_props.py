@@ -117,26 +117,36 @@ def test_dsum_partitioning_invariant(xs):
     assert one == many == rev
 
 
-def test_fast_sums_mode_agrees_to_roundoff_and_defaults_exact():
+def test_fast_sums_mode_agrees_to_roundoff_and_defaults_exact(monkeypatch):
     """EHS_FAST_SUMS=1 (production fast mode) must (a) not be on by
-    default, (b) change the plan to a plain double sum, and (c) agree with
-    the decimal-exact value to double round-off ON THE DOCUMENTED DOMAIN
-    (values representable at 6 decimals — the engine's monetary/count/
-    pre-rounded columns; outside it the modes differ by the 6dp
-    quantization itself, where the double sum is the more accurate one)."""
-    import os
-
+    default, (b) ACTUALLY change the plan to a plain double sum (asserted
+    on the executed plan, so a broken env-var read cannot pass trivially),
+    and (c) agree with the decimal-exact value to double round-off ON THE
+    DOCUMENTED DOMAIN (values representable at 6 decimals — the engine's
+    monetary/count/pre-rounded columns; outside it the modes differ by the
+    6dp quantization itself, where the double sum is the more accurate
+    one)."""
     from etl_housing_spark.plans._util import dsum, fast_sums
 
     assert not fast_sums(), "fast mode must be opt-in"
     spark = _get_spark()
     df = spark.createDataFrame([(float(i) / 100,) for i in range(1, 2000)], "x double")
-    exact = df.agg(dsum("x").alias("s")).collect()[0].s
-    os.environ["EHS_FAST_SUMS"] = "1"
-    try:
-        fast = df.agg(dsum("x").alias("s")).collect()[0].s
-    finally:
-        os.environ.pop("EHS_FAST_SUMS")
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    exact_df = df.agg(dsum("x").alias("s"))
+    assert "decimal" in plan_of(exact_df).lower(), "exact mode must sum in decimal"
+    exact = exact_df.collect()[0].s
+
+    monkeypatch.setenv("EHS_FAST_SUMS", "1")
+    fast_df = df.agg(dsum("x").alias("s"))
+    assert "decimal" not in plan_of(fast_df).lower(), (
+        "fast mode must drop the decimal fold — the switch is a no-op"
+    )
+    fast = fast_df.collect()[0].s
+    monkeypatch.delenv("EHS_FAST_SUMS")
+
     assert fast == pytest.approx(exact, rel=1e-12)
     after = df.agg(dsum("x").alias("s")).collect()[0].s
     assert after == exact  # env restored -> exact mode again
