@@ -1,0 +1,69 @@
+"""Spark 4 Python DataSource for snapshot dirs (sources/datasource.py):
+format registration, file→partition scheduling, filename metadata
+round-trip, and — the load-bearing law — listings-mode output equals the
+mapInPandas extraction path over the equivalent snapshot frame."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_housing_spark.sources.datasource import (
+    HousingSnapshotDataSource,
+    parse_snapshot_filename,
+    snapshot_filename,
+    write_snapshot_dir,
+)
+from tests.test_html_extract import _page
+
+
+def _register(spark):
+    spark.dataSource.register(HousingSnapshotDataSource)
+
+
+def test_filename_roundtrip():
+    url = "http://x.example/listing?id=42&page=1"
+    name = snapshot_filename(url, "2020-05-01")
+    assert parse_snapshot_filename(name) == (url, "2020-05-01")
+    with pytest.raises(ValueError):
+        parse_snapshot_filename("nounderscore.html")
+
+
+def test_snapshots_mode_reads_one_row_per_file(spark, tmp_path):
+    _register(spark)
+    rows = [
+        ("http://x/1", _page("A", "Austin", [("A1", "500 sqft", "1bd", "1ba", "$900")]), "2020-05-01"),
+        ("http://x/2", _page("B", "Boston", [("B1", "700 sqft", "2bd", "1ba", "$1,200")]), "2020-05-02"),
+    ]
+    d = str(tmp_path / "snaps")
+    write_snapshot_dir(rows, d)
+    df = spark.read.format("housing_snapshots").load(d)
+    got = {(r["url"], r["fetch_date"]) for r in df.collect()}
+    assert got == {("http://x/1", "2020-05-01"), ("http://x/2", "2020-05-02")}
+    # one partition per file — the file is the scheduling unit
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_listings_mode_equals_mapinpandas_path(spark, tmp_path):
+    """The source-side extraction must produce exactly the rows the
+    mapInPandas stage produces from the equivalent snapshot frame."""
+    from etl_housing_spark.sources.html_extract import SNAPSHOT_SCHEMA, extract_listings
+
+    _register(spark)
+    rows = [
+        ("http://x/1", _page("The Arbors", "Austin",
+                             [("A1", "525 sqft", "1bd", "1ba", "$850"),
+                              ("B2", "1,050 sqft", "2bd", "2ba", "$1,275+")]), "2020-05-01"),
+        ("http://x/2", "<html><not really parseable", "2020-05-02"),
+        ("http://x/3", _page("Elm Court", "Dallas",
+                             [("C3", "800 sqft", "2bd", "1ba", "$1,100")]), "2020-05-03"),
+    ]
+    d = str(tmp_path / "snaps")
+    write_snapshot_dir(rows, d)
+
+    via_source = (
+        spark.read.format("housing_snapshots").option("mode", "listings").load(d)
+    )
+    via_stage = extract_listings(spark.createDataFrame(rows, SNAPSHOT_SCHEMA))
+    a = sorted(tuple(r) for r in via_source.collect())
+    b = sorted(tuple(r) for r in via_stage.collect())
+    assert a == b and len(a) == 3  # 2 + 0 (malformed page isolated) + 1
