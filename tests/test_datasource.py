@@ -67,3 +67,49 @@ def test_listings_mode_equals_mapinpandas_path(spark, tmp_path):
     a = sorted(tuple(r) for r in via_source.collect())
     b = sorted(tuple(r) for r in via_stage.collect())
     assert a == b and len(a) == 3  # 2 + 0 (malformed page isolated) + 1
+
+
+def test_stream_reader_incremental_microbatches(spark, tmp_path):
+    """readStream over a snapshot dir: batch 1 sees the initial files,
+    batch 2 sees ONLY the files that arrived in between (offset = last
+    consumed filename, temporal because fetch_date leads the name), and
+    the streaming rows compose with the normal extraction transform."""
+    from etl_housing_spark.sources.html_extract import extract_listings
+
+    _register(spark)
+    d = str(tmp_path / "snapstream")
+    ckpt = str(tmp_path / "ckpt")
+    write_snapshot_dir(
+        [("http://x/1", _page("A", "Austin", [("A1", "500 sqft", "1bd", "1ba", "$900")]), "2020-05-01")],
+        d,
+    )
+
+    sink = str(tmp_path / "sink")
+
+    def run_available():
+        stream = spark.readStream.format("housing_snapshots").load(d)
+        listings = extract_listings(stream)  # mapInPandas over a stream
+        q = (
+            listings.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["name"], r["unit"], r["date"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    first = run_available()
+    assert first == {("A", "A1", "2020-05-01")}
+
+    write_snapshot_dir(
+        [("http://x/2", _page("B", "Boston", [("B2", "700 sqft", "2bd", "1ba", "$1,200")]), "2020-05-02")],
+        d,
+    )
+    second = run_available()
+    # same checkpoint -> the resumed run APPENDS only the new file's rows
+    # (exactly-once: A is not re-read, B arrives once)
+    assert second == {("A", "A1", "2020-05-01"), ("B", "B2", "2020-05-02")}
