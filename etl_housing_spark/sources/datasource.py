@@ -9,7 +9,7 @@ what sources/html_extract.py exposes as a mapInPandas stage. One
 executors exactly like any file source; rows are produced inside the
 reader (Arrow-batched by the runtime), never collected on the driver.
 
-Two modes (``option("mode", ...)``):
+Two modes (``option("mode", ...)``; anything else raises at plan time):
 
 - ``snapshots`` (default): one row per file — ``(url, html, fetch_date)``,
   the snapshot-table contract consumed by ``extract_listings``.
@@ -23,7 +23,10 @@ Two modes (``option("mode", ...)``):
 
 Snapshot file convention (written by :func:`write_snapshot_dir`):
 ``{fetch_date}__{percent-encoded-url}.html`` — metadata rides in the name
-so a snapshot dir needs no sidecar manifest.
+so a snapshot dir needs no sidecar manifest. Writes are atomic
+(tmp-suffix + rename), so a concurrent streaming reader never observes a
+partial file; names are length-validated up front so an over-long URL
+fails the whole write call before any file lands.
 
 The live crawl remains OUTSIDE the engine (SURVEY §3 boundary): this reads
 stored snapshots, it does not fetch.
@@ -43,14 +46,35 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .html_extract import LISTING_COLUMNS
+from .html_extract import LISTING_SCHEMA
 
 SNAPSHOT_DDL = "url string, html string, fetch_date string"
-LISTING_DDL = ", ".join(f"{c} string" for c in LISTING_COLUMNS)
+# the listings-mode schema IS the extraction stage's schema — one source
+# of truth (html_extract.LISTING_SCHEMA), not a re-derived copy
+LISTING_DDL = LISTING_SCHEMA
+
+_MODES = ("snapshots", "listings")
+_NAME_MAX = 255  # common filesystem NAME_MAX; enforced, not discovered
+
+
+def _validated_mode(options) -> str:
+    mode = options.get("mode", "snapshots")
+    if mode not in _MODES:
+        raise ValueError(
+            f"housing_snapshots: unknown mode {mode!r} — expected one of {_MODES}"
+        )
+    return mode
 
 
 def snapshot_filename(url: str, fetch_date: str) -> str:
-    return f"{fetch_date}__{urllib.parse.quote(url, safe='')}.html"
+    name = f"{fetch_date}__{urllib.parse.quote(url, safe='')}.html"
+    if len(name.encode()) > _NAME_MAX:
+        raise ValueError(
+            f"snapshot filename for url {url[:60]!r}… exceeds {_NAME_MAX} bytes "
+            "after percent-encoding — store long-URL snapshots through a "
+            "manifest-keyed layout instead of the filename convention"
+        )
+    return name
 
 
 def parse_snapshot_filename(name: str) -> tuple[str, str]:
@@ -64,16 +88,51 @@ def parse_snapshot_filename(name: str) -> tuple[str, str]:
 
 def write_snapshot_dir(rows: Sequence[tuple[str, str, str]], path: str) -> None:
     """(url, html, fetch_date) rows → one file each under ``path`` (test
-    fixture / ingest helper; the crawler writes the same convention)."""
+    fixture / ingest helper; the crawler writes the same convention).
+
+    All filenames are validated BEFORE anything is written (no partial dir
+    on a name error), and each file lands via tmp-write + ``os.rename`` so
+    a concurrently running streaming reader never reads a half-written
+    page (the tmp suffix does not match the readers' ``.html`` filter)."""
+    named = [(snapshot_filename(url, fetch_date), html) for url, html, fetch_date in rows]
     os.makedirs(path, exist_ok=True)
-    for url, html, fetch_date in rows:
-        with open(os.path.join(path, snapshot_filename(url, fetch_date)), "w") as fh:
+    for name, html in named:
+        final = os.path.join(path, name)
+        tmp = final + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(html)
+        os.rename(tmp, final)  # atomic on POSIX: readers see all or nothing
+
+
+def _list_snapshots(path: str) -> list[str]:
+    """The one filename filter both readers share."""
+    return sorted(f for f in os.listdir(path) if f.endswith(".html") and "__" in f)
+
+
+def _file_rows(path: str, name: str, mode: str) -> Iterator[tuple]:
+    """One snapshot file → its rows under ``mode`` — the single row
+    producer behind the batch partitions AND the streaming batches, so the
+    two paths cannot diverge."""
+    url, fetch_date = parse_snapshot_filename(name)
+    with open(os.path.join(path, name)) as fh:
+        html = fh.read()
+    if mode == "snapshots":
+        yield (url, html, fetch_date)
+        return
+    from .html_extract import _page_rows
+
+    try:
+        rows = _page_rows(url, html, fetch_date)
+    except Exception:
+        return  # per-page isolation: a malformed page loses itself only
+    for r in rows:
+        yield tuple(r)
 
 
 class _SnapshotPartition(InputPartition):
-    def __init__(self, file_path: str):
-        self.file_path = file_path
+    def __init__(self, dir_path: str, name: str):
+        self.dir_path = dir_path
+        self.name = name
 
 
 class _SnapshotReader(DataSourceReader):
@@ -84,28 +143,16 @@ class _SnapshotReader(DataSourceReader):
         self.mode = mode
 
     def partitions(self) -> Sequence[InputPartition]:
-        files = sorted(
-            f for f in os.listdir(self.path) if f.endswith(".html") and "__" in f
-        )
         # one partition per file: Spark schedules pages across executors
         # like any file source; a page is the natural parse unit
-        return [_SnapshotPartition(os.path.join(self.path, f)) for f in files]
+        return [_SnapshotPartition(self.path, f) for f in _list_snapshots(self.path)]
 
     def read(self, partition: _SnapshotPartition) -> Iterator[tuple]:
-        url, fetch_date = parse_snapshot_filename(os.path.basename(partition.file_path))
-        with open(partition.file_path) as fh:
-            html = fh.read()
-        if self.mode == "snapshots":
-            yield (url, html, fetch_date)
-            return
-        from .html_extract import _page_rows
+        return _file_rows(partition.dir_path, partition.name, self.mode)
 
-        try:
-            rows = _page_rows(url, html, fetch_date)
-        except Exception:
-            return  # per-page isolation: a malformed page loses itself only
-        for r in rows:
-            yield tuple(r)
+
+def _fetch_date_of(name: str) -> str:
+    return name.split("__", 1)[0]
 
 
 class _SnapshotStreamReader(SimpleDataSourceStreamReader):
@@ -114,12 +161,16 @@ class _SnapshotStreamReader(SimpleDataSourceStreamReader):
     crawler keeps dropping snapshot files, each microbatch picks up the
     files that arrived since the last offset.
 
-    Offset = the last consumed filename. Filenames lead with fetch_date,
-    so lexicographic filename order is temporal order and the offset is a
-    single monotone watermark (no growing processed-set in the offset
-    log). Contract: the crawler writes monotonically non-decreasing
-    fetch_dates (a backfilled EARLIER date would sort behind the watermark
-    and be skipped — run backfills through the batch reader instead).
+    Offset = ``{"date": <watermark fetch_date>, "seen": [files already
+    consumed AT that date]}``. A file is new iff its fetch_date is beyond
+    the watermark, or equals it and the name is not in ``seen`` — so
+    several files of the SAME fetch_date arriving across trigger
+    boundaries are all picked up regardless of how their encoded URLs sort
+    (a pure last-filename watermark would silently drop same-date files
+    sorting below it). ``seen`` is bounded by one fetch_date's file count,
+    never the full history. Contract: the crawler's fetch_dates are
+    non-decreasing; a backfilled EARLIER date sorts behind the watermark
+    and is skipped — run backfills through the batch reader instead.
     ``readBetweenOffsets`` replays any (start, end] window exactly, so
     recovery after a crash re-reads the same files."""
 
@@ -129,44 +180,44 @@ class _SnapshotStreamReader(SimpleDataSourceStreamReader):
         self.path = path
         self.mode = mode
 
-    def _files(self) -> list[str]:
-        return sorted(
-            f for f in os.listdir(self.path) if f.endswith(".html") and "__" in f
-        )
-
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"date": "", "seen": []}
 
-    def _rows_for(self, names: list[str]) -> Iterator[tuple]:
-        for name in names:
-            with open(os.path.join(self.path, name)) as fh:
-                html = fh.read()
-            url, fetch_date = parse_snapshot_filename(name)
-            if self.mode == "snapshots":
-                yield (url, html, fetch_date)
-                continue
-            from .html_extract import _page_rows
+    def _new_since(self, offset: dict) -> list[str]:
+        wdate, seen = offset.get("date", ""), set(offset.get("seen", []))
+        return [
+            f
+            for f in _list_snapshots(self.path)
+            if _fetch_date_of(f) > wdate
+            or (_fetch_date_of(f) == wdate and f not in seen)
+        ]
 
-            try:
-                rows = _page_rows(url, html, fetch_date)
-            except Exception:
-                continue  # per-page isolation, same as the batch reader
-            for r in rows:
-                yield tuple(r)
-
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
-        names = [f for f in self._files() if f > start.get("last", "")]
-        end = {"last": names[-1]} if names else dict(start)
+    def _rows_for(self, names: list[str]) -> list[tuple]:
         # materialized list, not a generator: the simple-reader runtime
         # prefetches on the driver and copy.copy()s the batch for replay —
-        # a generator is unpicklable there. Batches are page-sized by
-        # construction (files since last trigger), so this is the API's
-        # intended driver-side prefetch, not a scalability cliff.
-        return list(self._rows_for(names)), end
+        # a generator is unpicklable there. Batches are files-since-last-
+        # trigger sized, the API's intended driver-side prefetch.
+        out: list[tuple] = []
+        for name in names:
+            out.extend(_file_rows(self.path, name, self.mode))
+        return out
+
+    def read(self, start: dict) -> tuple[list[tuple], dict]:
+        names = self._new_since(start)
+        if not names:
+            return [], dict(start)
+        new_date = max(start.get("date", ""), max(_fetch_date_of(f) for f in names))
+        consumed = set(start.get("seen", [])) | set(names)
+        end = {
+            "date": new_date,
+            "seen": sorted(f for f in consumed if _fetch_date_of(f) == new_date),
+        }
+        return self._rows_for(names), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
-        lo, hi = start.get("last", ""), end.get("last", "")
-        return list(self._rows_for([f for f in self._files() if lo < f <= hi]))
+        new_at_start = set(self._new_since(start))
+        still_new_at_end = set(self._new_since(end))
+        return self._rows_for(sorted(new_at_start - still_new_at_end))
 
 
 class HousingSnapshotDataSource(DataSource):
@@ -180,16 +231,14 @@ class HousingSnapshotDataSource(DataSource):
         return "housing_snapshots"
 
     def schema(self) -> StructType | str:
-        if self.options.get("mode", "snapshots") == "listings":
+        if _validated_mode(self.options) == "listings":
             return LISTING_DDL
         return SNAPSHOT_DDL
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _SnapshotReader(
-            self.options.get("path", ""), self.options.get("mode", "snapshots")
-        )
+        return _SnapshotReader(self.options.get("path", ""), _validated_mode(self.options))
 
     def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
         return _SnapshotStreamReader(
-            self.options.get("path", ""), self.options.get("mode", "snapshots")
+            self.options.get("path", ""), _validated_mode(self.options)
         )

@@ -71,9 +71,9 @@ def test_listings_mode_equals_mapinpandas_path(spark, tmp_path):
 
 def test_stream_reader_incremental_microbatches(spark, tmp_path):
     """readStream over a snapshot dir: batch 1 sees the initial files,
-    batch 2 sees ONLY the files that arrived in between (offset = last
-    consumed filename, temporal because fetch_date leads the name), and
-    the streaming rows compose with the normal extraction transform."""
+    batch 2 sees ONLY the files that arrived in between (offset =
+    watermark fetch_date + seen-at-date set), and the streaming rows
+    compose with the normal extraction transform."""
     from etl_housing_spark.sources.html_extract import extract_listings
 
     _register(spark)
@@ -96,7 +96,7 @@ def test_stream_reader_incremental_microbatches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query did not finish in time"
         return {
             (r["name"], r["unit"], r["date"])
             for r in spark.read.parquet(sink).collect()
@@ -113,3 +113,53 @@ def test_stream_reader_incremental_microbatches(spark, tmp_path):
     # same checkpoint -> the resumed run APPENDS only the new file's rows
     # (exactly-once: A is not re-read, B arrives once)
     assert second == {("A", "A1", "2020-05-01"), ("B", "B2", "2020-05-02")}
+
+
+def test_stream_picks_up_same_date_files_across_triggers(spark, tmp_path):
+    """Offset is (watermark date, seen-at-date), not a last-filename mark:
+    a same-fetch_date file whose encoded URL sorts BEFORE the last consumed
+    name must still be read by the next trigger (the silent-loss case of a
+    pure lexicographic watermark)."""
+    _register(spark)
+    d = str(tmp_path / "snaps")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_available():
+        q = (
+            spark.readStream.format("housing_snapshots").load(d)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "streaming query did not finish in time"
+        return {r["url"] for r in spark.read.parquet(sink).collect()}
+
+    write_snapshot_dir([("http://zzz/9", "<html></html>", "2020-05-01")], d)
+    assert run_available() == {"http://zzz/9"}
+    # same date, URL sorts lexicographically BEFORE the consumed one
+    write_snapshot_dir([("http://aaa/1", "<html></html>", "2020-05-01")], d)
+    assert run_available() == {"http://zzz/9", "http://aaa/1"}
+
+
+def test_invalid_mode_raises_at_plan_time(spark, tmp_path):
+    _register(spark)
+    d = str(tmp_path / "snaps")
+    write_snapshot_dir([("http://x/1", "<html></html>", "2020-05-01")], d)
+    with pytest.raises(Exception, match="unknown mode"):
+        spark.read.format("housing_snapshots").option("mode", "listing").load(d).collect()
+
+
+def test_overlong_url_rejected_before_any_file_lands(tmp_path):
+    d = str(tmp_path / "snaps")
+    long_url = "http://x.example/listing?" + "&".join(f"k{i}=v{i}" for i in range(60))
+    with pytest.raises(ValueError, match="255 bytes"):
+        write_snapshot_dir(
+            [("http://ok/1", "<html></html>", "2020-05-01"),
+             (long_url, "<html></html>", "2020-05-01")],
+            d,
+        )
+    import os
+    assert not os.path.exists(d) or os.listdir(d) == []  # nothing written
