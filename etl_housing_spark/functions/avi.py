@@ -136,10 +136,21 @@ def decode_rgb24(data: bytes) -> tuple[int, int, int, list[bytes]]:
             if fourcc == b"LIST":
                 walk_list(p + 4, p + ln)
             elif fourcc == b"avih":
+                if ln < 56:
+                    # An undersized avih would either raise struct.error or —
+                    # worse, in a longer file — silently read bytes of the
+                    # following chunk. 14 little-endian u32s = 56 bytes.
+                    raise ValueError(
+                        f"malformed AVI: avih chunk is {ln} bytes (< 56)"
+                    )
                 vals = struct.unpack_from("<14I", data, p)
                 us_per_frame = vals[0] or us_per_frame
                 width, height = vals[8], vals[9]
-            elif fourcc == b"strf" and ln >= 40:
+            elif fourcc == b"strf":
+                if ln < 40:
+                    raise ValueError(
+                        f"malformed AVI: strf chunk is {ln} bytes (< 40)"
+                    )
                 (_, bw, bh, _, bc, comp) = struct.unpack_from("<IiiHHI", data, p)
                 bit_count, compression = bc, comp
             elif fourcc == b"00db":

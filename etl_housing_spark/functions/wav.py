@@ -65,6 +65,13 @@ def decode_pcm16(data: bytes) -> tuple[int, int, int, list[int]]:
             f"stdlib wave decodes uncompressed PCM only ({e}) — wire "
             "librosa/soundfile for compressed audio"
         ) from None
+    except EOFError:
+        # chunk.py raises bare EOFError on a truncated chunk header (e.g. a
+        # RIFF/WAVE prefix whose fmt chunk is cut short). That must stay a
+        # per-payload ValueError, not escape and kill the mapInPandas task.
+        raise ValueError(
+            "truncated WAV: chunk header ends before its declared length"
+        ) from None
     if sampwidth != 2:
         raise NotImplementedError(
             f"pure-stdlib WAV fixture decodes 16-bit PCM only (got "

@@ -332,15 +332,27 @@ def frame_sample(df: DataFrame, every_n: int = 2, strict: bool = False) -> DataF
                     # of one video demux the container once per batch run
                     mid_key = int(mid)
                     if mid_key not in demux_cache:
-                        demux_cache[mid_key] = _avi.decode_rgb24(b)[3]
+                        try:
+                            demux_cache[mid_key] = _avi.decode_rgb24(b)[3]
+                        except (ValueError, NotImplementedError):
+                            # malformed/compressed container: isolate the one
+                            # payload (skip its frames) unless strictness is
+                            # asked for — matching decode_audio/decode_video
+                            if strict:
+                                raise
+                            demux_cache[mid_key] = []
                     frames = demux_cache[mid_key]
                     if idx >= len(frames):
-                        # metadata contradicts the container — fail loudly
-                        # rather than fabricate empty frame bytes
-                        raise ValueError(
-                            f"meta.n_frames implies frame {idx} of media "
-                            f"{mid_key} but the AVI holds {len(frames)}"
-                        )
+                        if strict:
+                            # metadata contradicts the container — fail
+                            # loudly rather than fabricate empty frame bytes
+                            raise ValueError(
+                                f"meta.n_frames implies frame {idx} of media "
+                                f"{mid_key} but the AVI holds {len(frames)}"
+                            )
+                        # non-strict: one row with inflated metadata must not
+                        # kill the task — drop the out-of-range index
+                        continue
                     rows.append((mid, idx, frames[idx]))
                     continue
                 if strict:

@@ -140,3 +140,98 @@ def test_decode_video_malformed_avi_takes_stub_unless_strict(spark):
     assert row["n_frames"] >= 1
     with pytest.raises(PySparkException):
         decode_video(df, strict=True).collect()
+
+
+def _riff_avi(body: bytes) -> bytes:
+    body = b"AVI " + body
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_undersized_avih_is_valueerror_not_struct_error():
+    """A crafted avih chunk shorter than its 56-byte layout must raise the
+    documented ValueError — struct.error would escape decode_video's
+    isolation; in a longer file the old code would silently unpack bytes of
+    the FOLLOWING chunk (misparse)."""
+    short_avih = b"avih" + struct.pack("<I", 8) + b"\x00" * 8
+    with pytest.raises(ValueError):
+        avi.decode_rgb24(_riff_avi(short_avih))
+
+
+def test_undersized_avih_followed_by_data_does_not_misparse():
+    # avih declares 8 bytes; 56+ bytes of other chunks follow — the old
+    # unpack_from would read into them and fabricate dimensions.
+    short_avih = b"avih" + struct.pack("<I", 8) + b"\x00" * 8
+    junk = b"JUNK" + struct.pack("<I", 64) + b"\x07" * 64
+    with pytest.raises(ValueError):
+        avi.decode_rgb24(_riff_avi(short_avih + junk))
+
+
+def test_undersized_strf_is_valueerror():
+    data = avi.encode_rgb24(3, 2, [_frame(3, 2)])
+    # shrink the strf declared length below the 40-byte BITMAPINFOHEADER
+    i = data.index(b"strf")
+    crafted = data[: i + 4] + struct.pack("<I", 16) + data[i + 8 :]
+    with pytest.raises(ValueError):
+        avi.decode_rgb24(crafted)
+
+
+def test_decode_video_undersized_avih_takes_stub_unless_strict(spark):
+    from etl_housing_spark.operators.multimodal import decode_video
+
+    short_avih = b"avih" + struct.pack("<I", 8) + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(1, _riff_avi(short_avih))], "media_id bigint, payload binary"
+    )
+    row = decode_video(df).collect()[0]  # stub, not a dead task
+    assert row["n_frames"] >= 1
+
+
+def test_frame_sample_inflated_metadata_drops_rows_unless_strict(spark):
+    """meta.n_frames exceeding the real frame count must not kill the task
+    in non-strict mode (the decode_audio/decode_video isolation contract):
+    out-of-range indices are dropped; strict=True still fails loudly."""
+    from pyspark.errors.exceptions.base import PySparkException
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.operators.multimodal import frame_sample
+
+    w, h = 3, 2
+    frames = [_frame(w, h, salt=s) for s in (0, 1)]
+    payload = avi.encode_rgb24(w, h, frames)
+    df = spark.createDataFrame([(7, payload)], "media_id bigint, payload binary").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video/avi").alias("format"),
+            F.lit(w).alias("width"),
+            F.lit(h).alias("height"),
+            F.lit(6).alias("n_frames"),  # container holds only 2
+        ).alias("meta"),
+    )
+    got = {r["frame_idx"]: bytes(r["frame_payload"]) for r in frame_sample(df, every_n=1).collect()}
+    assert set(got) == {0, 1}  # indices 2..5 dropped, task alive
+    assert got[0] == frames[0] and got[1] == frames[1]
+    with pytest.raises(PySparkException):
+        frame_sample(df, every_n=1, strict=True).collect()
+
+
+def test_frame_sample_malformed_avi_skipped_unless_strict(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.operators.multimodal import frame_sample
+
+    truncated = avi.encode_rgb24(3, 2, [_frame(3, 2)])[:-8]
+    df = spark.createDataFrame([(1, truncated)], "media_id bigint, payload binary").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("video/avi").alias("format"),
+            F.lit(3).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+    assert frame_sample(df, every_n=1).collect() == []  # isolated, task alive
+    with pytest.raises(PySparkException):
+        frame_sample(df, every_n=1, strict=True).collect()

@@ -200,6 +200,38 @@ def test_decode_real_codec_png(spark):
     assert abs(r.mean_luma - 128 / 255.0) < 1e-9
 
 
+def test_decode_real_codec_jpeg_with_pillow(spark):
+    """The compressed-codec seam, exercised for real where the library IS
+    installed (skip-unless-Pillow — the sqlite-jdbc conditional pattern of
+    tests/test_sources.py): a genuine JPEG through the production
+    decode_media stage must return Pillow's exact dimensions and the same
+    grayscale mean _decode_real computes. Skips cleanly in codec-free
+    containers; runs wherever a real deployment wires Pillow on workers."""
+    import io
+
+    from etl_housing_spark.operators.multimodal import pil_available
+
+    if not pil_available():
+        pytest.skip("Pillow absent — compressed-codec seam runs where installed")
+    import numpy as np
+    from PIL import Image
+
+    pixels = bytes((i * 13) % 256 for i in range(12 * 9))
+    buf = io.BytesIO()
+    Image.frombytes("L", (12, 9), pixels).save(buf, format="JPEG", quality=95)
+    payload = buf.getvalue()
+    assert payload[:3] == b"\xff\xd8\xff"
+    # expectation computed through the same decode (JPEG is lossy — the
+    # contract is "whatever Pillow decodes", not the raw input bytes)
+    expect = np.asarray(
+        Image.open(io.BytesIO(payload)).convert("L"), dtype="float64"
+    ).mean() / 255.0
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    r = decode_media(df).first()
+    assert (r.width, r.height) == (12, 9)
+    assert abs(r.mean_luma - expect) < 1e-12
+
+
 def test_decode_real_codec_jpeg_without_pillow_is_marked(spark):
     """JPEG stays the declared Pillow boundary: without the library the
     decode raises the honest NotImplementedError instead of guessing."""

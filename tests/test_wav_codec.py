@@ -125,3 +125,24 @@ def test_decode_audio_strict_raises_on_synthetic(spark):
     df = spark.createDataFrame([(1, b"synthetic")], "media_id bigint, payload binary")
     with pytest.raises(PySparkException, match="NotImplementedError"):
         decode_audio(df, strict=True).collect()
+
+
+def test_truncated_chunk_header_is_valueerror_not_eoferror():
+    """A RIFF/WAVE prefix whose fmt chunk header is cut short makes stdlib
+    chunk.py raise a BARE EOFError — which would escape decode_audio's
+    (ValueError, NotImplementedError) isolation and kill the whole task.
+    decode_pcm16 must reclassify it as the documented ValueError."""
+    payload = b"RIFF\xff\xff\x00\x00WAVEfmt \x10\x00\x00\x00"
+    with pytest.raises(ValueError):
+        wav.decode_pcm16(payload)
+
+
+def test_decode_audio_truncated_chunk_header_takes_stub(spark):
+    """End-to-end: the EOFError-shaped payload through the production stage
+    must land in the deterministic stub (strict=False), not a dead task."""
+    from etl_housing_spark.operators.multimodal import decode_audio
+
+    payload = b"RIFF\xff\xff\x00\x00WAVEfmt \x10\x00\x00\x00"
+    df = spark.createDataFrame([(1, payload)], "media_id bigint, payload binary")
+    row = decode_audio(df).collect()[0]
+    assert row["sample_rate"] == 8000  # stub branch, not EOFError
