@@ -23,6 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._ckpt import (
+    register_tracked_ckpt_ids,
+    register_tracked_frame,
+    release_rdd_ids,
+    tracked_local_checkpoint,
+)
+
 __all__ = ["pagerank", "degree_stats", "label_propagation"]
 
 
@@ -84,7 +91,6 @@ def pagerank(
     flagged.count()
     nodes.unpersist()
 
-    from ._ckpt import release_rdd_ids, tracked_local_checkpoint
 
     spark = edges.sparkSession
     ranks = flagged.select("node", F.lit(1.0 / n).alias("rank"), "is_dangling").persist()
@@ -134,6 +140,11 @@ def pagerank(
     fanout.unpersist()
     flagged.unpersist()
     e.unpersist()
+    # the returned generation stays resident (persist, or a final-round
+    # checkpoint) — registered for session-scope release so a long-lived
+    # session can drain it via clear_pipeline_cache once consumed
+    register_tracked_frame(ranks)
+    register_tracked_ckpt_ids(spark, ranks_ckpt_ids)
     return ranks.select("node", "rank")
 
 
@@ -202,7 +213,8 @@ def label_propagation(
         state.unpersist()
         state = new_state
     e.unpersist()
-    return state.select("node", F.col("lab").alias("label"))
+    register_tracked_frame(state)  # returned generation: drained by
+    return state.select("node", F.col("lab").alias("label"))  # clear_pipeline_cache
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators._ckpt import single_shot_checkpoint
 from ._util import DEC, dsum, sql_dsum
 from .registry import query
 
@@ -438,10 +439,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    c = (
-        docs.groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+    c = single_shot_checkpoint(
+        docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
     )
     l_m = c.groupBy("lang").agg(F.sum("n").alias("nl"))
     s_m = c.groupBy("source").agg(F.sum("n").alias("ns"))

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import graph as G
-from ..operators._ckpt import release_rdd_ids, tracked_local_checkpoint
+from ..operators._ckpt import (
+    register_tracked_ckpt_ids,
+    release_rdd_ids,
+    single_shot_checkpoint,
+    tracked_local_checkpoint,
+)
 from .registry import query
 from .vector_queries import _RP
 
@@ -186,7 +191,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 )
 def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized once: degree_stats consumes the edge list twice (out + in).
-    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = single_shot_checkpoint(_knn_edges(spark, sf_dir))
     return G.degree_stats(edges).select(
         "node",
         F.col("out_deg").cast("bigint").alias("out_deg"),
@@ -214,7 +219,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (two hyperplane-literal joins + union + window) replayed under 4 power
     # iterations makes the composed plan tree explode (an un-truncated run
     # OOMed the driver just *printing* the plan).
-    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = single_shot_checkpoint(_knn_edges(spark, sf_dir))
     pr = G.pagerank(edges, damping=0.85, iterations=4, checkpoint_every=5)
     return pr.select("node", F.round("rank", 8).alias("rank"))
 
@@ -285,7 +290,7 @@ _LP_ROUND = """
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # Materialized once: the undirected union consumes the edge lineage twice.
-    edges = _knn_edges_global(spark, sf_dir).localCheckpoint(eager=True)
+    edges = single_shot_checkpoint(_knn_edges_global(spark, sf_dir))
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     seeds = emb.select(
         F.col("vec_id").alias("node"),
@@ -347,8 +352,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    und = single_shot_checkpoint(und)
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -420,8 +425,8 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    und = single_shot_checkpoint(und)
     e1, e2 = und.alias("e1"), und.alias("e2")
     w1 = e1.join(
         e2, (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b"))
@@ -494,7 +499,7 @@ _PR_DEC = "decimal(38,18)"
 )
 def q_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = single_shot_checkpoint(_knn_edges(spark, sf_dir))
     nodes = emb.select(F.col("vec_id").alias("node"))
     nt = nodes.agg(F.count(F.lit(1)).alias("n"))
     od = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
@@ -548,6 +553,9 @@ def q_pagerank_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+    # the final round's checkpoint backs the returned plan — registered so
+    # clear_pipeline_cache releases it once the result is consumed
+    register_tracked_ckpt_ids(spark, r_ids)
     return r.select("node", F.round("r", 8).alias("rank"))
 
 
@@ -592,7 +600,7 @@ _CC_ITER = """
 )
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    edges = single_shot_checkpoint(_knn_edges(spark, sf_dir))
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -613,4 +621,5 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             F.least(F.col("lab"), F.coalesce(F.col("nm"), F.col("lab"))).alias("lab"),
         )
-    return lab.select("node", F.col("lab").alias("component_id"))
+    register_tracked_ckpt_ids(spark, lab_ids)  # final generation: released
+    return lab.select("node", F.col("lab").alias("component_id"))  # by clear_pipeline_cache

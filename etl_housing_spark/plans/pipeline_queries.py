@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators._ckpt import tracked_persist
 from ..sources.warehouse import sql_zorder_key
 from ._util import sql_davg, sql_dsum
 from .registry import query
@@ -1585,15 +1586,14 @@ def q_dedup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded at one copy of (edges + 3 label rounds) per input dir, all the
     # work happens inside the caller's action (honest cold timing), and a
     # warm re-run is a legitimate cache hit.
-    edges = (
+    edges = tracked_persist(
         mp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(mp.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .persist()
     )
     lab = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
     for _ in range(3):
-        lab = lab.persist()
+        lab = tracked_persist(lab)
         nm = (
             edges.join(lab.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators._ckpt import single_shot_checkpoint
 from .registry import query
 
 _P = 4294967311  # smallest prime > 2^32 (the q_minhash_portable modulus)
@@ -190,7 +191,7 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline and the true_distinct aggregate consume the distinct-bigram
     # frame — without this each branch replays the explode+distinct shuffle
     # over the full corpus.
-    vals = docs.select(F.explode(grams).alias("tok")).distinct().localCheckpoint(eager=True)
+    vals = single_shot_checkpoint(docs.select(F.explode(grams).alias("tok")).distinct())
     h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     hashed = vals.select(h.alias("h"))
     suffix = (F.col("h") / 64).cast("bigint") % 67108864  # 26-bit suffix

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators._ckpt import tracked_persist
 from ..functions import text as T
 from .registry import query
 
@@ -1302,9 +1303,10 @@ def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         # vocab-sized; persisted because every round's pair count AND the
-        # rewrite chain re-reads it — CacheManager dedupes re-invocations
-        .persist()
+        # rewrite chain re-reads it — CacheManager dedupes re-invocations;
+        # tracked so clear_pipeline_cache releases it at session scope
     )
+    w = tracked_persist(w)
     s = w.select("w", "freq", F.concat_ws(" ", F.split("w", "")).alias("seq"))
     merges = []
     for rnd in (1, 2, 3):

