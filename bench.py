@@ -3,7 +3,21 @@
 
 Prints exactly ONE JSON line on stdout:
   {"metric": "bench_total", "value": <total sec>, "unit": "sec",
-   "queries": {"q_...": sec, ...}, "sf": <sf>}
+   "queries": {"q_...": sec, ...}, "value_fast": <sec>, "sf": <sf>,
+   "load": {...}, "sanity": {...}}
+
+Contamination self-identification (VERDICT r07 "What's wrong #1" — the
+driver's BENCH_r07 ran under heavy concurrent load and reported 4.7× the
+idle-machine numbers): the JSON now carries the evidence to judge a run on
+its face — os.getloadavg() at start/end, the share of machine CPU consumed
+by processes OUTSIDE this bench's process tree during the timed window, and
+a sanity flag raised when any query's warm pass exceeds 2× its cold pass
+(physically implausible on an idle box; the r7 smoking gun).
+
+Two timed modes per run (VERDICT r07 ask #2): the exact default (decimal
+oracle-parity sums — "value"/"queries") and the production
+``EHS_FAST_SUMS=1`` mode ("value_fast"/"queries_fast") — the 2×-per-query
+rubric should be judged on the mode a non-oracle deployment actually runs.
 
 Methodology (BASELINE.md "Benchmark protocol"):
 - queries tagged 'bench' in the catalog (scan+agg, joins, windows, top-k,
@@ -59,6 +73,57 @@ def _n_files(size_bytes: int, cpus: int) -> int:
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# ---------------------------------------------------------------- telemetry --
+
+
+def _machine_cpu_jiffies() -> tuple[int, int]:
+    """(busy, total) jiffies across all CPUs from /proc/stat line 1."""
+    with open("/proc/stat") as fh:
+        fields = [int(x) for x in fh.readline().split()[1:]]
+    idle = fields[3] + (fields[4] if len(fields) > 4 else 0)  # idle + iowait
+    return sum(fields) - idle, sum(fields)
+
+
+def _proc_tree_cpu_jiffies() -> int:
+    """utime+stime jiffies of this process and every live descendant (the
+    Spark JVM + executors/daemons live for the whole bench, so the tree sum
+    captures our own CPU; exited short-lived children are lost, which only
+    UNDERSTATES our share → conservatively OVERSTATES external load)."""
+    info: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                rest = fh.read().rsplit(")", 1)[1].split()
+            info[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (OSError, IndexError, ValueError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen or pid not in info:
+            continue
+        seen.add(pid)
+        total += info[pid][1]
+        stack.extend(kids.get(pid, []))
+    return total
+
+
+def _load_snapshot() -> dict:
+    la1, la5, la15 = os.getloadavg()
+    try:
+        with open("/proc/loadavg") as fh:
+            running = int(fh.read().split()[3].split("/")[0])
+    except (OSError, ValueError, IndexError):
+        running = -1
+    return {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2),
+            "loadavg_15m": round(la15, 2), "procs_running": running}
 
 
 def _layout_stamp(sf_dir: str) -> str:
@@ -190,10 +255,20 @@ def main() -> None:
     bprefix = bucketed_layout(spark, bench_dir)
     materialize(join_sortmerge_bucketed(spark, bprefix))
 
+    from etl_housing_spark.operators._ckpt import clear_pipeline_cache
+
+    clear_pipeline_cache()  # warmup-pass residency is not the timed state
+
+    load_start = _load_snapshot()
+    mach0 = _machine_cpu_jiffies()
+    tree0 = _proc_tree_cpu_jiffies()
+    wall0 = time.perf_counter()
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    fast: dict[str, float] = {}
 
-    def _timed(name, mk):
+    def _timed(name, mk, sink_cold, sink_warm=None):
         df = mk()
         if explain:
             print(f"==== {name}", file=sys.stderr)
@@ -201,19 +276,66 @@ def main() -> None:
             return
         t0 = time.perf_counter()
         materialize(df)
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        t1 = time.perf_counter()
-        materialize(mk())
-        warm[name] = round(time.perf_counter() - t1, 4)
-        print(f"{name}: {dt:.3f}s (warm {warm[name]:.3f}s)", file=sys.stderr)
+        dt = round(time.perf_counter() - t0, 4)
+        sink_cold[name] = dt
+        if sink_warm is not None:
+            t1 = time.perf_counter()
+            materialize(mk())
+            sink_warm[name] = round(time.perf_counter() - t1, 4)
+            print(f"{name}: {dt:.3f}s (warm {sink_warm[name]:.3f}s)", file=sys.stderr)
+        else:
+            print(f"{name}: {dt:.3f}s", file=sys.stderr)
 
+    # exact mode (the oracle-parity default): cold + warm pass per query.
+    # Within the phase, queries share the session's CacheManager like any
+    # long-lived deployment (the multi-stage pipelines deliberately reuse
+    # each other's persisted sub-plans — same protocol as rounds 1-7).
     for name in sorted(specs):
-        _timed(name, lambda name=name: specs[name].fn(spark, bench_dir))
+        _timed(name, lambda name=name: specs[name].fn(spark, bench_dir),
+               timings, warm)
     _timed("q_join_sortmerge_bucketed",
-           lambda: join_sortmerge_bucketed(spark, bprefix))
+           lambda: join_sortmerge_bucketed(spark, bprefix), timings, warm)
+
+    # drain tracked persists/checkpoints between phases: the fast phase must
+    # not inherit the exact phase's resident sub-plans (it re-times from a
+    # comparable cold-session state), and session storage returns to
+    # baseline instead of accumulating per phase/dir
+    clear_pipeline_cache()
+
+    # production fast mode (EHS_FAST_SUMS=1): plans rebuilt under the flag —
+    # the flag is read at plan-construction time (plans/_util.py), so each
+    # mk() here yields the double-sum plan; one timed pass per query
+    if not explain:
+        os.environ["EHS_FAST_SUMS"] = "1"
+        try:
+            for name in sorted(specs):
+                _timed(name, lambda name=name: specs[name].fn(spark, bench_dir),
+                       fast)
+            _timed("q_join_sortmerge_bucketed",
+                   lambda: join_sortmerge_bucketed(spark, bprefix), fast)
+        finally:
+            del os.environ["EHS_FAST_SUMS"]
+        clear_pipeline_cache()
 
     if not explain:
+        wall = time.perf_counter() - wall0
+        mach1 = _machine_cpu_jiffies()
+        tree1 = _proc_tree_cpu_jiffies()
+        load_end = _load_snapshot()
+        # share of the machine's CPU capacity burned by processes OUTSIDE
+        # this bench's tree during the timed window — ~0 on an idle box
+        ncpu = os.cpu_count() or 1
+        hz = os.sysconf("SC_CLK_TCK")
+        capacity = max(1.0, ncpu * hz * wall)
+        external = max(0, (mach1[0] - mach0[0]) - (tree1 - tree0))
+        external_frac = round(external / capacity, 4)
+
+        warm_gt_2x = sorted(
+            n for n in timings
+            if warm.get(n, 0.0) > 2.0 * timings[n] and warm.get(n, 0.0) > 0.5
+        )
+        flagged = bool(warm_gt_2x) or external_frac > 0.15 or load_start[
+            "loadavg_1m"] > 0.5 * ncpu
         total = round(sum(timings.values()), 4)
         print(json.dumps({
             "metric": "bench_total",
@@ -222,7 +344,14 @@ def main() -> None:
             "queries": timings,
             "queries_warm": warm,
             "warm_total": round(sum(warm.values()), 4),
+            "value_fast": round(sum(fast.values()), 4),
+            "queries_fast": fast,
             "sf": sf,
+            "load": {"start": load_start, "end": load_end,
+                     "external_cpu_frac": external_frac,
+                     "wall_s": round(wall, 2), "ncpu": ncpu},
+            "sanity": {"warm_gt_2x_cold": warm_gt_2x,
+                       "contaminated": flagged},
         }))
     spark.stop()
 

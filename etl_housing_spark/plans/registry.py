@@ -9,6 +9,7 @@ exposes this registry to the correctness driver.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -59,52 +60,38 @@ def query(name: str, oracle: str | None = None, description: str = "", tags: tup
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
-# Ids pinned to the very front of the round-7 window, per VERDICT.md r06
-# "Next round" #4: the 16 ids never driver-sampled through round 6 (8
-# oracle-checked + 8 rows-only), plus the 5 queries registered this round
-# (audio/video decode, k-means, BPE training, learned-cells IVF — no
-# verdict possible yet).  With these 21 verified, the catalog is 252/252
-# driver-covered.  Already-verified ids sort to the back automatically, so
-# stale entries here are harmless.
-_WINDOW_PRIORITY: tuple[str, ...] = (
-    # oracle-checked, never sampled (VERDICT r06 Counts)
-    "q_unpivot",
-    "q_validate",
-    "q_vocab_growth",
-    "q_weekend_activity",
-    "q_weighted_sample",
-    "q_window_nav",
-    "q_woe_iv",
-    "q_zipf_slope",
-    # rows-only (⊘), never sampled
-    "q_ann_ivf",
-    "q_approx_distinct",
-    "q_embed_neardup_lsh",
-    "q_ewma",
-    "q_heavy_hitters_sketch",
-    "q_percentile_sketch",
-    "q_rolling_fingerprint",
-    "q_stratified_sample",
-    # registered this round — first driver look
-    "q_audio_decode",
-    "q_video_decode",
-    "q_kmeans_portable",
-    "q_bpe_merges_portable",
-    "q_ann_ivf_kmeans",
-)
+# Explicit priority pins for the driver's sampling window.  EMPTY since
+# round 8: CORRECTNESS_r07 closed full coverage (252/252 ids verified, 0
+# failures), so there is nothing left to pin — rotation now re-verifies
+# oldest-verdict-first (the ids whose newest verdict is r01-r04 are the
+# natural next window), guarding against silent regressions in
+# long-untouched queries.  Re-populate only for newly registered ids that
+# must jump the queue in their first round.
+_WINDOW_PRIORITY: tuple[str, ...] = ()
 
 
 def driver_verified_ids() -> dict[str, str]:
-    """Map of query id → strongest driver verdict, from every
-    ``CORRECTNESS_r*.json`` at the repo root.  A sampled-but-failed id
-    (``err`` set or rows mismatch) is NOT included, so it rotates back to
-    the front of the window.
+    """Map of query id → strongest driver verdict (see
+    :func:`driver_verdict_history` for the round numbers).  A
+    sampled-but-failed id (``err`` set or rows mismatch) is NOT included,
+    so it rotates back to the front of the window.
     Verdict values: ``"hash"`` (value-level pass) or
     ``"rows"`` (the weaker rows-only check for a then-⊘ query) — the
     rotation treats a rows-only verdict as spent once the query gains an
     oracle, so promotions rotate back in for a value-level verdict."""
-    verified: dict[str, str] = {}
+    return {n: v for n, (v, _) in driver_verdict_history().items()}
+
+
+def driver_verdict_history() -> dict[str, tuple[str, int]]:
+    """Query id → (strongest verdict, newest round it passed in), from
+    every ``CORRECTNESS_r*.json`` at the repo root.  The round number
+    drives staleness-first rotation: with full coverage reached (r07),
+    the window re-verifies the ids whose verdict is OLDEST, so a silent
+    regression in a long-unsampled query surfaces within a few rounds."""
+    verified: dict[str, tuple[str, int]] = {}
     for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
@@ -114,20 +101,23 @@ def driver_verified_ids() -> dict[str, str]:
                 continue
             err = row.get("err")
             if err is None and row.get("rows_match", False) and row.get("hash_match", False):
-                verified[name] = "hash"
+                verified[name] = ("hash", rnd)
             elif err == "no_oracle" and row.get("spark_rows") is not None:
                 # ⊘ query: rows-only is its maximal check — it ran and
                 # returned a frame, which is all the driver can assert.
-                verified.setdefault(name, "rows")
+                # Newest round still recorded (staleness), verdict kind
+                # never downgraded from a prior hash pass.
+                kind = verified.get(name, ("rows", 0))[0]
+                verified[name] = (kind, rnd)
     return verified
 
 
-def _rotation_key(verified: dict[str, str]):
+def _rotation_key(history: dict[str, tuple[str, int]]):
     prio = {name: i for i, name in enumerate(_WINDOW_PRIORITY)}
 
     def key(item: tuple[str, QuerySpec]):
         name, spec = item
-        verdict = verified.get(name)
+        verdict, last_round = history.get(name, (None, 0))
         # a rows-only verdict on a query that NOW carries an oracle is
         # stale — the value-level check never ran, so it re-enters the
         # window alongside never-sampled oracle-checked ids
@@ -137,7 +127,9 @@ def _rotation_key(verified: dict[str, str]):
                 return (0, prio[name], name)
             # oracle-checked unverified before rows-only unverified
             return (1, 0, name) if spec.oracle is not None else (2, 0, name)
-        return (3, 0, name)
+        # verified: stalest verdict first, so the driver's window
+        # re-verifies long-unsampled ids (r01-r04 before r07)
+        return (3, last_round, name)
 
     return key
 
@@ -164,8 +156,7 @@ def all_queries() -> dict[str, QuerySpec]:
         vector_queries,
     )
 
-    verified = driver_verified_ids()
-    return dict(sorted(_REGISTRY.items(), key=_rotation_key(verified)))
+    return dict(sorted(_REGISTRY.items(), key=_rotation_key(driver_verdict_history())))
 
 
 def get(name: str) -> QuerySpec:

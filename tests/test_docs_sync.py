@@ -56,6 +56,7 @@ def test_driver_window_rotation_policy():
     from etl_housing_spark.plans.registry import (
         _WINDOW_PRIORITY,
         _rotation_key,
+        driver_verdict_history,
         driver_verified_ids,
     )
 
@@ -64,8 +65,9 @@ def test_driver_window_rotation_policy():
         assert name in specs, f"priority id {name} not in registry"
 
     verified = driver_verified_ids()
+    history = driver_verdict_history()
     ordered = list(specs.items())
-    assert ordered == sorted(ordered, key=_rotation_key(verified))
+    assert ordered == sorted(ordered, key=_rotation_key(history))
 
     def done(name):
         # mirror of registry._rotation_key: a rows-only verdict is spent
@@ -80,6 +82,14 @@ def test_driver_window_rotation_policy():
     assert len(fresh) == expected_fresh, (
         f"driver window holds {len(fresh)} never-verified ids, "
         f"expected {expected_fresh} — rotation broken"
+    )
+
+    # With full coverage (r07+), verified ids re-enter stalest-first: the
+    # newest-verdict rounds along the done suffix must be non-decreasing,
+    # so the driver window re-verifies the longest-unsampled ids first.
+    done_rounds = [history[n][1] for n in specs if done(n)]
+    assert done_rounds == sorted(done_rounds), (
+        "verified ids are not ordered stalest-verdict-first"
     )
 
 
