@@ -1349,3 +1349,63 @@ def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return merges[0].unionByName(merges[1]).unionByName(merges[2])
+
+
+@query(
+    "q_repetition_ratio",
+    # The Gopher/MassiveText "repeated n-gram" quality rule (Rae et al.
+    # 2021, §A.1.1): the fraction of a document's 2-grams that are repeats
+    # of an earlier 2-gram — high values mark boilerplate/spam/generated
+    # loops a pre-training corpus drops. Pure integer counts ratioed at 6dp,
+    # so the verdict hash-matches.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i + 1] || ' '
+                    || string_split(text, ' ')[i + 2]) AS grams
+      FROM documents)
+    SELECT doc_id,
+           len(grams) AS n_bigrams,
+           len(list_distinct(grams)) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+             AS rep_ratio
+    FROM g
+    WHERE len(grams) > 0
+    """,
+    description="Gopher-rule repetition filter: per-document duplicate-bigram "
+    "fraction (1 - distinct/total 2-grams) — boilerplate/spam signal for "
+    "pre-training corpus curation; MAP-ONLY (transform + array_distinct "
+    "inside codegen, no explode, no shuffle) so at 100 TB it runs at scan "
+    "speed with zero exchanges",
+    tags=("text", "pipeline"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # bind the split ONCE in its own projection — Catalyst does not CSE
+    # inside lambda bodies (the r07 MinHash lesson), so inlining the split
+    # into the transform() lambda would re-split per element
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+            ),
+        ).alias("grams"),
+    )
+    return (
+        grams.filter(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_bigrams"),
+            F.size(F.array_distinct("grams")).alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams"))
+                / F.size("grams").cast("double"),
+                6,
+            ).alias("rep_ratio"),
+        )
+    )
