@@ -267,3 +267,123 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "source", "n_chars")
     )
+
+
+@query(
+    "q_dedup_incremental",
+    # Incremental ingest dedup — the production shape every crawl pipeline
+    # runs per batch: an incoming slice (doc_id % 5 = 0 stands in for
+    # "today's crawl") is checked against the ALREADY-INGESTED corpus, never
+    # corpus-vs-corpus. Tier 1 is the q_doc_fingerprint exact match; tier 2
+    # is directional trigram containment >= 0.5 of the NEW doc inside any
+    # corpus doc (the q_containment_dedup measure — a rewrite of an indexed
+    # page should be caught even when Jaccard is diluted). Verdict per new
+    # doc: exact_dup | near_dup | new, with the best corpus match
+    # (containment desc, lowest id) and its score. Integer-ratio scores →
+    # hash-checked.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+             doc_id % 5 = 0 AS is_new
+      FROM documents),
+    ex AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS ex_match
+      FROM t n JOIN t c ON n.fp = c.fp AND NOT c.is_new
+      WHERE n.is_new GROUP BY n.doc_id),
+    sh AS (
+      SELECT doc_id AS id, is_new, unnest(list_distinct(
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(
+                   list_filter(list_zip(t, t[2:], t[3:]), p -> p[3] IS NOT NULL),
+                   p -> concat_ws(' ', p[1], p[2], p[3]))
+               ELSE [array_to_string(t, ' ')] END)) AS sh
+      FROM t),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh WHERE is_new GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_n, b.id AS id_c, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND NOT b.is_new
+      WHERE a.is_new GROUP BY a.id, b.id),
+    nd AS (
+      SELECT id_n, id_c, n_inter / s.n_sh AS cont,
+             row_number() OVER (PARTITION BY id_n
+                                ORDER BY n_inter / s.n_sh DESC, id_c) AS rn
+      FROM inter JOIN sizes s ON inter.id_n = s.id
+      WHERE n_inter / s.n_sh >= 0.5),
+    best AS (SELECT id_n, id_c, cont FROM nd WHERE rn = 1)
+    SELECT t.doc_id,
+           CASE WHEN ex.ex_match IS NOT NULL THEN 'exact_dup'
+                WHEN best.id_c IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           COALESCE(ex.ex_match, best.id_c) AS match_id,
+           CASE WHEN ex.ex_match IS NOT NULL THEN 1.0
+                ELSE ROUND(best.cont, 6) END AS score
+    FROM t LEFT JOIN ex ON t.doc_id = ex.doc_id
+    LEFT JOIN best ON t.doc_id = best.id_n
+    WHERE t.is_new
+    """,
+    description="incremental batch-vs-corpus dedup (the per-batch ingest gate): "
+    "new docs (doc_id % 5 = 0) checked against the already-ingested corpus "
+    "only — exact fingerprint tier, then directional trigram containment "
+    ">= 0.5 — verdict exact_dup/near_dup/new with best corpus match and "
+    "score. Scale shape: the corpus shingle index is write-once (bucketed "
+    "by shingle at ingest), each batch explodes only ITS shingles and "
+    "equi-joins the index — per-batch cost is batch-sized, the corpus is "
+    "never re-shuffled, and there is no corpus self-join anywhere",
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 5 == 0).alias("is_new"),
+        T.fingerprint("text").alias("fp"),
+    )
+    new = flagged.filter(F.col("is_new"))
+    corpus = flagged.filter(~F.col("is_new"))
+    exact = (
+        new.select("doc_id", "fp")
+        .join(corpus.select(F.col("doc_id").alias("cid"), "fp"), "fp")
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("ex_match"))
+    )
+    shn = D.shingles(new, "doc_id", "text", n=3)
+    shc = D.shingles(corpus, "doc_id", "text", n=3)
+    sizes = shn.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        shn.select(F.col("id").alias("id_n"), "sh")
+        .join(shc.select(F.col("id").alias("id_c"), "sh"), "sh")
+        .groupBy("id_n", "id_c")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cont = F.col("n_inter") / F.col("n_sh")
+    w = Window.partitionBy("id_n").orderBy(F.desc(cont), "id_c")
+    best = (
+        inter.join(sizes, inter.id_n == sizes.id)
+        .filter(cont >= 0.5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id_n", "id_c", cont.alias("cont"))
+    )
+    return (
+        new.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(best, new.doc_id == best.id_n, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("id_c").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce(F.col("ex_match"), F.col("id_c")).alias("match_id"),
+            F.when(F.col("ex_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.round(F.col("cont"), 6))
+            .alias("score"),
+        )
+    )

@@ -1653,3 +1653,211 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring deduplication with document reassembly (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better") at chunk
+# granularity: unlike q_corpus_pipeline (which returns surviving chunk
+# fingerprints), this DELETES every non-first duplicate chunk and rebuilds
+# the cleaned document text — the deletion semantics the paper's ExactSubstr
+# tool applies before tokenization.
+# --------------------------------------------------------------------------
+
+_ESD_W = 8  # chunk width (words), non-overlapping
+
+
+@query(
+    "q_exact_substr_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, {_ESD_W})) AS start
+      FROM t),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) / {_ESD_W} AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(toks, start, least(start + {_ESD_W} - 1, len(toks))), ' ')
+               AS chunk_text
+      FROM s),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (PARTITION BY chunk_text
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks)
+    SELECT doc_id,
+           string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx)
+             AS clean_text,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM r GROUP BY doc_id
+    """,
+    description=f"exact-substring dedup with deletion semantics (Lee et al. 2022 "
+    f"ExactSubstr at {_ESD_W}-word chunk granularity): every non-first duplicate "
+    "chunk (global keep-first by (doc_id, chunk_idx)) is deleted and the cleaned "
+    "document text is reassembled in chunk order. Two exchanges total — the "
+    "keep-first window partitions on the chunk text (the same key a suffix-array "
+    "shard would use) and the rebuild groups by doc_id; chunking is map-side and "
+    "the collect_list rebuild is bounded by document length, so the plan is the "
+    "same at 100 TB with the chunk key salted only if one chunk dominates",
+    tags=("pipeline", "dedup", "text"),
+)
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("toks")), F.lit(1)), F.lit(_ESD_W)
+    )
+    chunks = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / _ESD_W).cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(F.col("toks"), F.col("start"), _ESD_W), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    r = chunks.withColumn("rn", F.row_number().over(w))
+    # collect_list skips the NULLs the when() emits for dropped chunks, so one
+    # grouped pass yields survivors (in chunk order after array_sort — struct
+    # comparison never reaches chunk_text: chunk_idx is unique per doc) and
+    # both counters; string_agg-over-NULLs parity: empty docs -> NULL text.
+    kept = F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk_text"))
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.collect_list(kept).alias("lst"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            "doc_id",
+            F.nullif(
+                F.array_join(
+                    F.transform(F.array_sort("lst"), lambda s: s["chunk_text"]), " "
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            "n_kept",
+            "n_dropped",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): hashed-bigram bag models for a target
+# domain vs the raw corpus; each raw document scores
+# log w(d) = sum_b n_d(b) * ln(p_target(b) / p_raw(b)) with add-1 smoothing.
+# Docs are then resampled proportional to exp(logw) — the selection step the
+# paper uses to pick pretraining data that matches a high-quality target.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed feature buckets
+
+
+@query(
+    "q_dsir_weight",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source = 'src1' AS is_tgt, string_split(text, ' ') AS tk
+      FROM documents),
+    bg AS (
+      SELECT doc_id, is_tgt,
+             CAST('0x' || substr(md5(b), 1, 8) AS BIGINT) % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, is_tgt,
+              unnest(CASE WHEN len(tk) >= 2 THEN
+                 list_transform(
+                   list_filter(list_zip(tk, tk[2:]), p -> p[2] IS NOT NULL),
+                   p -> concat_ws(' ', p[1], p[2]))
+               ELSE [array_to_string(tk, ' ')] END) AS b
+            FROM t)),
+    stats AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS cr
+      FROM bg GROUP BY bucket),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM stats),
+    sc AS (
+      SELECT bucket,
+             ln(CAST((ct + 1) * (nr + {_DSIR_B}) AS DOUBLE)
+                / CAST((cr + 1) * (nt + {_DSIR_B}) AS DOUBLE)) AS s
+      FROM stats, tot),
+    db AS (
+      SELECT doc_id, bucket, COUNT(*) AS n
+      FROM bg WHERE NOT is_tgt GROUP BY doc_id, bucket)
+    SELECT db.doc_id,
+           ROUND(CAST(SUM(CAST(db.n * sc.s AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS logw,
+           CAST(SUM(db.n) AS BIGINT) AS n_bigrams
+    FROM db JOIN sc USING (bucket) GROUP BY db.doc_id
+    """,
+    description=f"DSIR importance weights (Xie et al. 2023): hashed-bigram "
+    f"({_DSIR_B} md5 buckets) bag models of the target domain (source='src1') "
+    "vs the raw corpus, add-1 smoothing, per-raw-doc log importance weight "
+    "sum_b n_d(b)*ln(p_t(b)/p_r(b)) — the data-selection score docs are "
+    "resampled by. Cross-engine exact: the smoothed ratio is a single ln of an "
+    "exact integer ratio ((ct+1)(Nr+B))/((cr+1)(Nt+B)), products stay under "
+    "2^53 through sf30-scale corpora, and terms accumulate in DECIMAL(38,18) "
+    "(order-free). Scale shape: two tiny bucket-table aggs (B rows) broadcast "
+    "back onto one map-side-combinable (doc,bucket) count — no shuffle ever "
+    "carries more than corpus-bigram rows, and the model tables are O(B)",
+    tags=("pipeline", "text"),
+)
+def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.concat_ws(" ", F.col("tk")[i], F.col("tk")[i + 1]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("tk"))))
+    bg = (
+        docs.select("doc_id", (F.col("source") == "src1").alias("is_tgt"), tk.alias("tk"))
+        .select("doc_id", "is_tgt", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id",
+            "is_tgt",
+            (F.conv(F.substring(F.md5("b"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias(
+                "bucket"
+            ),
+        )
+    )
+    stats = bg.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    sc = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + _DSIR_B)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_B)).cast("double")
+            ).alias("s"),
+        )
+    )
+    db = (
+        bg.filter(~F.col("is_tgt"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        db.join(F.broadcast(sc), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("n") * F.col("s")).cast("decimal(38,18)")).cast("double"),
+                6,
+            ).alias("logw"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+        )
+    )

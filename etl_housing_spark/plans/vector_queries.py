@@ -1084,3 +1084,83 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q_semdedup",
+    # SemDeDup (Abbas et al. 2023): cluster the embedding space, then look
+    # for semantic duplicates ONLY within a cluster — pairwise work is
+    # O(sum of cluster sizes squared), never corpus-squared, and the paper's
+    # k grows with the corpus to keep clusters bounded. The cluster fit is
+    # the hash-checked q_kmeans_portable chain (2 Lloyd rounds, k=4,
+    # deterministic lowest-id seeding); the within-cluster cosine is the
+    # decimal-exact q_embed_neardup construction, so the verdict per vector
+    # (cluster, lower-id duplicate count, kept flag) hash-matches DuckDB.
+    oracle=_KM_CTES + """,
+    norms AS (
+      SELECT t.vec_id, """ + _NORM_DEC.format(t="t") + """ AS nrm
+      FROM embeddings t, range(1, 65) i(i) GROUP BY t.vec_id),
+    dots AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             CAST(SUM(CAST(e1.v[i.i + 1] * e2.v[i.i + 1] AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dot
+      FROM a2 x JOIN a2 y ON x.cid = y.cid AND y.vec_id < x.vec_id
+      JOIN e e1 ON e1.vec_id = x.vec_id
+      JOIN e e2 ON e2.vec_id = y.vec_id, range(0, 64) i(i)
+      GROUP BY x.vec_id, y.vec_id),
+    dups AS (
+      SELECT d.id_a, COUNT(*) AS n_dups
+      FROM dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
+      GROUP BY d.id_a)
+    SELECT a2.vec_id, a2.cid,
+           COALESCE(dups.n_dups, 0) AS n_dups,
+           CAST(COALESCE(dups.n_dups, 0) = 0 AS INT) AS kept
+    FROM a2 LEFT JOIN dups ON a2.vec_id = dups.id_a
+    """,
+    description="SemDeDup semantic deduplication (Abbas et al. 2023): k-means "
+    "clusters the embedding space (the hash-checked 2-round Lloyd fit), then "
+    "cosine >= 0.5 pairs are sought ONLY within a cluster and the lowest "
+    "vec_id of each duplicate set is kept — per vector: cluster, count of "
+    "lower-id in-cluster duplicates, kept flag. Scale shape: broadcast-"
+    "centroid assignment, then a self-equi-join on cid whose cost is "
+    "sum-of-cluster-sizes-squared (k scales with the corpus to bound it, "
+    "per the paper), never corpus-squared; cosine is decimal-exact so the "
+    "0.5 threshold has no cross-engine boundary risk",
+    tags=("vector", "dedup", "pipeline"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, _cents = kmeans_fit(emb, k=4, rounds=2)
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (
+        V.norm(F.col("va")) * V.norm(F.col("vb"))
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(cos >= 0.5)
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(dups, assigned.vec_id == dups.id_a, "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).cast("int").alias("kept"),
+        )
+    )

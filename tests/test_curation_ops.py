@@ -1,0 +1,124 @@
+"""Hermetic semantics tests for the round-8 curation operators
+(q_exact_substr_dedup, q_dsir_weight, q_semdedup, q_dedup_incremental) on
+hand-constructed corpora where the right answer is known by inspection —
+the oracle-parity sweep (test_oracle_parity.py) proves cross-engine
+equality; these prove the SEMANTICS are the published ones (Lee et al.
+2022 deletion, Xie et al. 2023 importance direction, Abbas et al. 2023
+keep-lowest-id, and the batch-vs-corpus tiering)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_housing_spark.plans import all_queries
+
+SPECS = all_queries()
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", src, len(t)) for i, t, src in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+# 8-word chunks: build docs from labeled 8-word blocks so chunk boundaries
+# are exactly the blocks.
+def _blk(tag):
+    return " ".join(f"{tag}{i}" for i in range(8))
+
+
+def test_exact_substr_dedup_deletes_and_reassembles(spark, tmp_path):
+    a, b, c = _blk("a"), _blk("b"), _blk("c")
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, f"{a} {b}", "s"),  # first occurrence of A and B: kept whole
+            (1, f"{b} {c}", "s"),  # B is a repeat -> deleted; C survives
+            (2, f"{a} {b}", "s"),  # everything a repeat -> empty (NULL) doc
+        ],
+    )
+    out = {r.doc_id: r for r in SPECS["q_exact_substr_dedup"].fn(spark, sf).collect()}
+    assert out[0].clean_text == f"{a} {b}"
+    assert (out[0].n_kept, out[0].n_dropped) == (2, 0)
+    assert out[1].clean_text == c  # B deleted, C reassembled in order
+    assert (out[1].n_kept, out[1].n_dropped) == (1, 1)
+    assert out[2].clean_text is None  # fully deduplicated doc -> NULL text
+    assert (out[2].n_kept, out[2].n_dropped) == (0, 2)
+
+
+def test_exact_substr_dedup_preserves_chunk_order(spark, tmp_path):
+    # 3 chunks, the middle one duplicated from another doc: survivors must
+    # rejoin in original order (idx 0 then 2), not collect_list order.
+    a, b, c = _blk("x"), _blk("y"), _blk("z")
+    sf = _write_docs(spark, tmp_path, [(0, b, "s"), (1, f"{a} {b} {c}", "s")])
+    out = {r.doc_id: r.clean_text for r in SPECS["q_exact_substr_dedup"].fn(spark, sf).collect()}
+    assert out[1] == f"{a} {c}"
+
+
+def test_dsir_weight_prefers_target_like_docs(spark, tmp_path):
+    # Target domain (source='src1') speaks "alpha beta"; raw docs that share
+    # its bigrams must outscore raw docs that don't (Xie et al. 2023: logw
+    # orders docs by target-likeness).
+    tgt = "alpha beta alpha beta alpha beta"
+    like = "alpha beta alpha beta"
+    unlike = "gamma delta gamma delta"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, tgt, "src1"), (1, tgt, "src1"), (2, like, "src9"), (3, unlike, "src9")],
+    )
+    out = {r.doc_id: r for r in SPECS["q_dsir_weight"].fn(spark, sf).collect()}
+    assert set(out) == {2, 3}  # target docs are the model, never scored
+    assert out[2].logw > out[3].logw
+    assert out[2].n_bigrams == 3 and out[3].n_bigrams == 3
+
+
+def test_semdedup_keeps_lowest_id_per_duplicate_set(spark, tmp_path):
+    # Two tight groups of identical 64-d vectors: within each, only the
+    # lowest vec_id survives; cross-group cosine is 0 (disjoint support).
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0] * 63 + [1.0]
+    rows = [(0, e1, 0), (1, e1, 0), (2, e1, 0), (10, e2, 1), (11, e2, 1)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r.vec_id: r for r in SPECS["q_semdedup"].fn(spark, sf).collect()}
+    assert out[0].kept == 1 and out[10].kept == 1
+    assert out[1].kept == 0 and out[2].kept == 0 and out[11].kept == 0
+    assert out[2].n_dups == 2  # both lower ids of its set are duplicates
+
+
+def test_dedup_incremental_tiers(spark, tmp_path):
+    # Corpus = ids 1,2,3 (not % 5); batch = ids 0,5,10.
+    #   id 0: verbatim copy of corpus doc 1      -> exact_dup, match 1
+    #   id 5: doc 2 with one word changed        -> near_dup (containment), match 2
+    #   id 10: unrelated                         -> new
+    base = " ".join(f"w{i}" for i in range(12))
+    rewrite = " ".join(("CHANGED" if i == 11 else f"w{i}") for i in range(12))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, base, "s"),
+            (2, base + " tail0 tail1", "s"),
+            (3, "other corpus doc entirely", "s"),
+            (0, base, "s"),
+            (5, rewrite, "s"),
+            (10, "nothing shared here at all", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in SPECS["q_dedup_incremental"].fn(spark, sf).collect()}
+    assert out[0].verdict == "exact_dup" and out[0].match_id == 1 and out[0].score == 1.0
+    assert out[5].verdict == "near_dup" and out[5].match_id in (1, 2)
+    assert out[5].score == pytest.approx(0.9, abs=0.2)
+    assert out[10].verdict == "new" and out[10].match_id is None and out[10].score is None

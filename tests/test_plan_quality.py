@@ -578,3 +578,45 @@ def test_interarrival_windows_partition_on_type(spark):
     plan = _plan(_q(spark, "q_interarrival_stats"))
     assert "hashpartitioning(event_type" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- round-8 curation operators ----------------------------------------
+
+
+def test_dsir_model_tables_broadcast(spark):
+    """q_dsir_weight's O(B)-row bucket-score table must reach the per-doc
+    scoring join as a BROADCAST — a sort-merge there would shuffle the full
+    (doc, bucket) frame against a 512-row model."""
+    plan = _plan(_q(spark, "q_dsir_weight"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_substr_dedup_two_exchanges(spark):
+    """Chunk-level keep-first needs exactly two hash exchanges (the
+    chunk-key window + the doc_id rebuild); chunking itself must stay
+    map-side. A third exchange means someone broke the single-pass
+    conditional rebuild."""
+    plan = _plan(_q(spark, "q_exact_substr_dedup"))
+    # formatted mode lists each Exchange once in the detail section as
+    # "Arguments: hashpartitioning(key, N), ENSURE_REQUIREMENTS"
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark):
+    """SemDeDup's cluster assignment must broadcast the k centroids against
+    the vector scan (kmeans_assign contract) and the within-cluster pair
+    join must be an equi-join on cid — no cartesian anywhere."""
+    plan = _plan(_q(spark, "q_semdedup"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_no_corpus_self_join(spark):
+    """The incremental gate joins batch shingles against corpus shingles on
+    the shingle key — equi-joins only, and the batch/corpus split must push
+    the doc_id % 5 predicate into both scans."""
+    plan = _plan(_q(spark, "q_dedup_incremental"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
