@@ -1861,3 +1861,59 @@ def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n_bigrams"),
         )
     )
+
+
+@query(
+    "q_contamination_frac",
+    # Threshold-fraction decontamination — the refinement of
+    # q_decontaminate's any-overlap flag that the published pipelines
+    # actually apply (PaLM/GPT-3 style: a doc is contaminated when a high
+    # FRACTION of its n-grams appears in the eval set, not when a single
+    # shingle collides). Per corpus doc: distinct-shingle count, eval-hit
+    # count, hit fraction, and the >= 70% verdict as a cross-multiplied
+    # integer comparison (no float boundary).
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 37 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hit
+      FROM corpus c JOIN ev ON c.sh = ev.sh GROUP BY c.doc_id)
+    SELECT s.doc_id, s.n_sh,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(h.n_hit, 0) / CAST(s.n_sh AS DOUBLE), 6) AS hit_frac,
+           CASE WHEN 10 * COALESCE(h.n_hit, 0) >= 7 * s.n_sh
+                THEN 1 ELSE 0 END AS contaminated
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    description="threshold-fraction benchmark decontamination (the PaLM/GPT-3 "
+    "refinement of q_decontaminate): per corpus doc, the FRACTION of its "
+    "distinct word 3-grams found in the eval holdout (doc_id % 37 = 0) and "
+    "the >= 70% contaminated verdict as a cross-multiplied integer "
+    "comparison. Same scale shape as q_decontaminate — DISTINCT eval "
+    "shingles broadcast, corpus side one explode + two grouped counts that "
+    "share the doc_id exchange, no all-pairs join",
+    tags=("pipeline", "text"),
+)
+def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("sh")
+    )
+    ev = sh.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
+    corpus = sh.filter(F.col("doc_id") % 37 != 0)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        corpus.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        n_hit.alias("n_hit"),
+        F.round(n_hit / F.col("n_sh").cast("double"), 6).alias("hit_frac"),
+        (10 * n_hit >= 7 * F.col("n_sh")).cast("int").alias("contaminated"),
+    )

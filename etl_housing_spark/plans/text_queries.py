@@ -1297,6 +1297,17 @@ def _bpe_round_sql(i: int) -> str:
 )
 def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    merges, _ = _bpe_chain(docs)
+    return merges[0].unionByName(merges[1]).unionByName(merges[2])
+
+
+def _bpe_chain(docs: DataFrame):
+    """Three unrolled BPE training rounds over the distinct-word table.
+
+    Returns (per-round 1-row merge frames, the final rewritten sequence
+    frame) — the latter IS the learned tokenizer applied to the vocabulary,
+    which q_bpe_encode joins back onto the corpus.
+    """
     w = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -1348,7 +1359,7 @@ def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "concat(acc, _b), concat(acc, ' ', x))) AS seq",
             )
         )
-    return merges[0].unionByName(merges[1]).unionByName(merges[2])
+    return merges, s
 
 
 @query(
@@ -1407,5 +1418,160 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.size("grams").cast("double"),
                 6,
             ).alias("rep_ratio"),
+        )
+    )
+
+
+# Gopher/MassiveText quality-rule battery (Rae et al. 2021, §A.1.1). The
+# paper's fixed stop list, distinct from functions.text.STOPWORDS (which is
+# the language-ID heuristic list): a doc must contain >= 2 of these.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query(
+    "q_gopher_rules",
+    # Every flag is an integer comparison (cross-multiplied thresholds), so
+    # no float boundary can flip a verdict between engines; the reported
+    # ratios are one identical double division rounded at 6dp.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS n_wchars,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_intersect(list_distinct(w),
+                 [{", ".join("'" + s + "'" for s in _GOPHER_STOPS)}])) AS n_stop,
+             (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '…', ''))) AS n_sym
+      FROM t)
+    SELECT doc_id, n_words,
+           ROUND(n_wchars / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+           n_stop,
+           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS ok_word_count,
+           CASE WHEN 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+                THEN 1 ELSE 0 END AS ok_mean_len,
+           CASE WHEN 10 * n_sym < n_words THEN 1 ELSE 0 END AS ok_symbol,
+           CASE WHEN 5 * n_alpha > 4 * n_words THEN 1 ELSE 0 END AS ok_alpha,
+           CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+                 AND 10 * n_sym < n_words
+                 AND 5 * n_alpha > 4 * n_words
+                 AND n_stop >= 2 THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+    description="Gopher quality-rule battery (Rae et al. 2021 A.1.1): word-count "
+    "bounds [50, 100k], mean word length in [3, 10], symbol-to-word ratio "
+    "(#/ellipsis) < 0.1, >= 80% words with an alphabetic char, >= 2 of the "
+    "paper's 8 stop words — per-doc metrics, per-rule flags, and the combined "
+    "keep verdict. Every threshold is a cross-multiplied INTEGER comparison "
+    "(no float boundary risk), and the whole battery is MAP-ONLY: token-array "
+    "lambdas inside codegen, zero exchanges, scan-speed at 100 TB",
+    tags=("text", "pipeline"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # bind the split once in its own projection (Catalyst does not CSE
+    # inside lambda bodies — the r07 MinHash lesson)
+    t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    m = t.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x)).alias("n_wchars"),
+        F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("w"),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            )
+        ).alias("n_stop"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("…"))))
+        ).alias("n_sym"),
+    )
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_len = (3 * F.col("n_words") <= F.col("n_wchars")) & (
+        F.col("n_wchars") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_sym") < F.col("n_words")
+    ok_alpha = 5 * F.col("n_alpha") > 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    as_flag = lambda c, name: c.cast("int").alias(name)  # noqa: E731
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_wchars") / F.col("n_words").cast("double"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("n_alpha") / F.col("n_words").cast("double"), 6).alias(
+            "alpha_frac"
+        ),
+        "n_stop",
+        as_flag(ok_wc, "ok_word_count"),
+        as_flag(ok_len, "ok_mean_len"),
+        as_flag(ok_sym, "ok_symbol"),
+        as_flag(ok_alpha, "ok_alpha"),
+        as_flag(ok_stop, "ok_stop"),
+        as_flag(ok_wc & ok_len & ok_sym & ok_alpha & ok_stop, "keep"),
+    )
+
+
+@query(
+    "q_bpe_encode",
+    # Tokenizer APPLICATION — the token-budget accounting step: every doc's
+    # token count under the tokenizer q_bpe_merges_portable just learned
+    # (train -> encode -> q_seq_packing is the full published pipeline).
+    # The training chain's final rewritten sequences ARE the encoded
+    # vocabulary, so encoding is a vocab-sized broadcast join back onto the
+    # corpus — no per-doc merge loop anywhere.
+    oracle="WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    "    w AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),\n"
+    "    s0 AS (SELECT w, freq, array_to_string(string_split(w, ''), ' ') AS seq FROM w),"
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """,
+    v AS (SELECT w, len(string_split(seq, ' ')) AS n_tok FROM s3),
+    tokd AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(tokd.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(v.n_tok) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(len(tokd.w)) / CAST(SUM(v.n_tok) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM tokd JOIN v USING (w)
+    WHERE tokd.w <> ''
+    GROUP BY doc_id
+    """,
+    description="BPE tokenizer application: per-doc token counts under the "
+    "merge table q_bpe_merges_portable learns (3 rounds, exact canonical "
+    "greedy fold) — the token-budget accounting between tokenizer training "
+    "and q_seq_packing. The trained chain's rewritten sequences are the "
+    "encoded VOCABULARY, so corpus encoding is one broadcast hash join of "
+    "the vocab-sized (word, token-count) table onto the exploded corpus "
+    "plus a per-doc partial-agg groupBy; the per-word merge fold runs "
+    "once per DISTINCT word, never per occurrence",
+    tags=("text", "pipeline"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, s = _bpe_chain(docs)
+    v = s.select("w", F.size(F.split("seq", " ")).alias("n_tok"))
+    tokd = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        tokd.join(F.broadcast(v), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("n_tok").cast("double"), 6
+            ).alias("chars_per_token"),
         )
     )

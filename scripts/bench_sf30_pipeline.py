@@ -5,11 +5,13 @@ Times the three multi-stage pipeline queries (q_minhash_pairs_portable,
 q_dedup_pipeline_portable, q_corpus_pipeline) at an arbitrary generated SF
 (default .benchdata/sf30, ~5.6 GB — past the page-cache comfort zone of the
 sf10 run) under the exact bench.py protocol: ingest relayout (not billed),
-engine warmup at sf0.01 (not billed), cold + warm timed passes, DuckDB
-yardstick on the same parquet with one warmup execution. Also reports the
-bench.py load/sanity telemetry and first skew/spill observations: the AQE
+engine warmup at sf0.01 (not billed), cold + warm timed passes. Also reports
+the bench.py load/sanity telemetry and first skew/spill observations: the AQE
 markers present in the executed plans (skew-join splits, coalesced
-readers) and the session peak RSS.
+readers) and the session peak RSS. The DuckDB yardstick runs in its own
+process (scripts/bench_sf30_duckdb.py) — at sf30 it alone takes tens of
+minutes, and running the engines sequentially in separate processes keeps
+either measurement from contaminating the other.
 
 Prints one JSON line.
 """
@@ -35,10 +37,6 @@ QUERIES = (
     "q_dedup_pipeline_portable",
     "q_corpus_pipeline",
 )
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def main() -> None:
@@ -93,28 +91,11 @@ def main() -> None:
         pass
     spark.stop()
 
-    import duckdb
-
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count() or 4}")
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-    dk: dict[str, float] = {}
-    for name in QUERIES:
-        sql = specs[name].oracle
-        con.execute(sql).fetchall()  # warmup (protocol parity)
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        dk[name] = round(time.perf_counter() - t0, 3)
-        print(f"duckdb {name}: {dk[name]}s", file=sys.stderr)
-
     print(json.dumps({
         "sf_dir": sf_dir,
-        "spark_cold": cold, "spark_warm": warm, "duckdb": dk,
+        "spark_cold": cold, "spark_warm": warm,
         "spark_cold_total": round(sum(cold.values()), 3),
-        "duckdb_total": round(sum(dk.values()), 3),
+        "spark_warm_total": round(sum(warm.values()), 3),
         "aqe_observations": plans,
         "spark_driver_rss_gb": peak_rss_gb,
         "spark_jvm_rss_gb": jvm_rss_gb,

@@ -122,3 +122,70 @@ def test_dedup_incremental_tiers(spark, tmp_path):
     assert out[5].verdict == "near_dup" and out[5].match_id in (1, 2)
     assert out[5].score == pytest.approx(0.9, abs=0.2)
     assert out[10].verdict == "new" and out[10].match_id is None and out[10].score is None
+
+
+def test_gopher_rules_flags(spark, tmp_path):
+    # Rae et al. 2021 A.1.1 thresholds, checked on crafted docs:
+    # doc 0 passes every rule; doc 1 fails word-count (< 50 words);
+    # doc 2 fails mean-word-length (> 10) and the stop-word rule.
+    good = " ".join(["the", "be", "to", "of"] + ["word"] * 60)
+    short = "the be quick word"
+    longwords = " ".join(["pneumonoultramicroscopic"] * 60)
+    sf = _write_docs(
+        spark, tmp_path, [(0, good, "s"), (1, short, "s"), (2, longwords, "s")]
+    )
+    out = {r.doc_id: r for r in SPECS["q_gopher_rules"].fn(spark, sf).collect()}
+    assert out[0].keep == 1 and out[0].ok_stop == 1
+    assert out[1].keep == 0 and out[1].ok_word_count == 0
+    assert out[2].keep == 0 and out[2].ok_mean_len == 0 and out[2].ok_stop == 0
+    # every component flag is also individually right for the good doc
+    assert (
+        out[0].ok_word_count,
+        out[0].ok_mean_len,
+        out[0].ok_symbol,
+        out[0].ok_alpha,
+    ) == (1, 1, 1, 1)
+
+
+def test_bpe_encode_counts_match_trained_merges(spark, tmp_path):
+    # corpus of 'abab'-family words: round-1 merge is (a,b) -> 'ab';
+    # subsequent rounds merge ('ab','ab') and ('abab','c') on this corpus.
+    # 'abab'  -> after (a,b): 'ab ab' -> after (ab,ab): 'abab'  => 1 token
+    # 'ababc' -> 'ab ab c' -> 'abab c' -> (abab,c) => 1 token
+    # 'xy'    -> untouched by all merges => 2 tokens
+    sf = _write_docs(
+        spark, tmp_path, [(0, "abab ababc", "s"), (1, "abab xy abab", "s")]
+    )
+    out = {r.doc_id: r for r in SPECS["q_bpe_encode"].fn(spark, sf).collect()}
+    assert (out[0].n_words, out[0].n_bpe_tokens) == (2, 2)
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (3, 4)
+    assert out[0].n_chars == 9  # 4 + 5
+    # and the merge table the encoding claims to apply is the trained one
+    merges = {
+        r.rnd: (r.a, r.b)
+        for r in SPECS["q_bpe_merges_portable"].fn(spark, sf).collect()
+    }
+    assert merges[1] == ("a", "b")
+
+
+def test_contamination_frac_thresholds(spark, tmp_path):
+    # doc 0 is the eval holdout (0 % 37 == 0): shingles {abc, bcd}.
+    # doc 1 repeats it verbatim -> frac 1.0, contaminated.
+    # doc 2 shares 1 of its 4 shingles -> 0.25, clean.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a b c d", "s"),
+            (1, "a b c d", "s"),
+            (2, "a b c x y z", "s"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in SPECS["q_contamination_frac"].fn(spark, sf).collect()
+    }
+    assert 0 not in out  # eval docs are not scored
+    assert (out[1].n_sh, out[1].n_hit, out[1].contaminated) == (2, 2, 1)
+    assert (out[2].n_sh, out[2].n_hit, out[2].contaminated) == (4, 1, 0)
+    assert abs(out[2].hit_frac - 0.25) < 1e-12

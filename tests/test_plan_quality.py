@@ -620,3 +620,20 @@ def test_dedup_incremental_no_corpus_self_join(spark):
     plan = _plan(_q(spark, "q_dedup_incremental"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_rules_is_map_only(spark):
+    """The Gopher rule battery is token-array lambdas inside codegen — any
+    exchange means someone turned a per-doc metric into an aggregation."""
+    plan = _plan(_q(spark, "q_gopher_rules"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_bpe_encode_vocab_join_broadcasts(spark):
+    """Corpus encoding must join the vocab-sized encoded table as a
+    BROADCAST onto the exploded corpus — a sort-merge would shuffle every
+    token occurrence against a table of distinct words."""
+    plan = _plan(_q(spark, "q_bpe_encode"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
