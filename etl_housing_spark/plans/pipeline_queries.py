@@ -1917,3 +1917,224 @@ def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_hit / F.col("n_sh").cast("double"), 6).alias("hit_frac"),
         (10 * n_hit >= 7 * F.col("n_sh")).cast("int").alias("contaminated"),
     )
+
+
+# --------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting High
+# Quality Monolingual Datasets from Web Crawl Data", §3.3): score every
+# document by language-model perplexity and split the corpus into
+# head / middle / tail thirds — the head is what the paper keeps for
+# pretraining. The paper uses a KenLM 5-gram; the portable in-engine
+# variant trains a UNIGRAM LM on the corpus itself (the model class is a
+# parameter of the method, not of the pipeline shape): per-token
+# cross-entropy  H(d) = ln(T) - (1/n_d) * sum_w ln c_w  with c_w the corpus
+# count of token w and T the corpus token total, perplexity = e^H.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_ccnet_perplexity",
+    # Float hygiene: ln runs on exact integer counts (identical doubles both
+    # engines), per-doc terms accumulate in DECIMAL(38,18) (order-free), the
+    # final H is one identical double expression rounded 6dp, and exp runs
+    # on the ROUNDED H so both engines exponentiate the same input (the
+    # q_odds_ratio exp-precedent). Tertile assignment is the q_corpus_mix
+    # discrete integer rank over the rounded-H histogram — no NTILE global
+    # sort, no percentile interpolation.
+    oracle="""
+    WITH t2 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tk AS (SELECT doc_id, w FROM t2 WHERE w <> ''),
+    vocab AS (SELECT w, COUNT(*) AS cw FROM tk GROUP BY w),
+    tot AS (SELECT ln(CAST(SUM(cw) AS DOUBLE)) AS ln_t FROM vocab),
+    dw AS (SELECT doc_id, w, COUNT(*) AS n FROM tk GROUP BY doc_id, w),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             SUM(CAST(n * ln(CAST(cw AS DOUBLE)) AS DECIMAL(38,18))) AS slc
+      FROM dw JOIN vocab USING (w) GROUP BY doc_id),
+    h AS (
+      SELECT doc_id, n_words,
+             ROUND(ln_t - CAST(slc AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS ce6
+      FROM per, tot),
+    hist AS (SELECT ce6, COUNT(*) AS cnt FROM h GROUP BY ce6),
+    w2 AS (
+      SELECT ce6, cnt,
+             SUM(cnt) OVER (ORDER BY ce6
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist),
+    m AS (SELECT ce6, CAST((3 * (cum - cnt)) // n AS BIGINT) AS b FROM w2)
+    SELECT doc_id, n_words,
+           ce6 AS cross_entropy,
+           ROUND(exp(ce6), 6) AS perplexity,
+           CASE b WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM h JOIN m USING (ce6)
+    """,
+    description="CCNet perplexity bucketing (Wenzek et al. 2020 §3.3): "
+    "unigram-LM cross-entropy and perplexity per document, corpus split "
+    "into head/middle/tail thirds by discrete integer rank over the "
+    "rounded-score histogram (the paper keeps the head). Scale shape: one "
+    "vocab-sized groupBy (partial-agg), the LM broadcast back onto a "
+    "(doc, word) count that shares the corpus explode, a per-doc "
+    "partial-agg, and tertile cutpoints from a histogram whose cardinality "
+    "is bounded by the 6dp rounding — no global NTILE sort anywhere; at "
+    "100 TB the unigram table is still vocabulary-sized",
+    tags=("pipeline", "text"),
+)
+def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = tk.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = vocab.agg(F.log(F.sum("cw").cast("double")).alias("ln_t"))
+    dw = tk.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        dw.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(
+                (F.col("n") * F.log(F.col("cw").cast("double"))).cast(
+                    "decimal(38,18)"
+                )
+            ).alias("slc"),
+        )
+    )
+    h = per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("ln_t")
+            - F.col("slc").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("ce6"),
+    )
+    hist = h.groupBy("ce6").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.orderBy("ce6").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(F.lit(1))))
+        .select("ce6", F.expr("(3 * (cum - cnt)) div n").cast("long").alias("b"))
+    )
+    return h.join(F.broadcast(m), "ce6").select(
+        "doc_id",
+        "n_words",
+        F.col("ce6").alias("cross_entropy"),
+        F.round(F.exp("ce6"), 6).alias("perplexity"),
+        F.when(F.col("b") == 0, "head")
+        .when(F.col("b") == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing Data
+# Mixtures Speeds Up Language Model Pretraining"): one multiplicative-
+# weights round — each domain's mixture weight is scaled by exp(eta *
+# excess_loss) and renormalized, where excess loss is the domain's loss
+# above the best domain's. The paper's proxy/reference models are
+# external; the portable in-engine variant uses the same corpus-trained
+# unigram LM as q_ccnet_perplexity for the per-domain loss, eta = 1, and a
+# uniform prior (which cancels in the normalization).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_doremi_weights",
+    # Per-domain token-level cross-entropy with the same decimal-sum
+    # discipline as q_ccnet_perplexity; excess and exp run on 6dp-rounded
+    # identical doubles; the normalizer accumulates exp terms in
+    # DECIMAL(38,18) so the K-row sum is order-free.
+    oracle="""
+    WITH t2 AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    tk AS (SELECT source, w FROM t2 WHERE w <> ''),
+    vocab AS (SELECT w, COUNT(*) AS cw FROM (SELECT w FROM tk) GROUP BY w),
+    tot AS (SELECT ln(CAST(SUM(cw) AS DOUBLE)) AS ln_t FROM vocab),
+    sw AS (SELECT source, w, COUNT(*) AS n FROM tk GROUP BY source, w),
+    per AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             SUM(CAST(n * ln(CAST(cw AS DOUBLE)) AS DECIMAL(38,18))) AS slc
+      FROM sw JOIN vocab USING (w) GROUP BY source),
+    h AS (
+      SELECT source, n_tokens,
+             ROUND(ln_t - CAST(slc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS ce6
+      FROM per, tot),
+    e AS (
+      SELECT source, n_tokens, ce6,
+             ROUND(ce6 - MIN(ce6) OVER (), 6) AS excess
+      FROM h),
+    x AS (SELECT source, n_tokens, ce6, excess, exp(excess) AS ew FROM e),
+    z AS (
+      SELECT source, n_tokens, ce6, excess, ew,
+             SUM(CAST(ew AS DECIMAL(38,18))) OVER () AS denom
+      FROM x)
+    SELECT source, n_tokens,
+           ce6 AS cross_entropy,
+           excess,
+           ROUND(ew / CAST(denom AS DOUBLE), 6) AS weight
+    FROM z
+    """,
+    description="DoReMi domain reweighting (Xie et al. 2023): one "
+    "multiplicative-weights round over the source domains — per-domain "
+    "unigram-LM cross-entropy (the same corpus-trained LM as "
+    "q_ccnet_perplexity), excess loss over the best domain, weight = "
+    "exp(excess) / sum exp(excess) with eta=1 and the uniform prior "
+    "cancelled. Scale shape: the (source, word) count shares the corpus "
+    "explode and partial-aggregates before its shuffle; everything after "
+    "is O(K domains) rows, so the windows over the domain table are "
+    "trivially small — the plan never sorts or re-shuffles corpus-sized "
+    "data after the first aggregation",
+    tags=("pipeline", "text"),
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = tk.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = vocab.agg(F.log(F.sum("cw").cast("double")).alias("ln_t"))
+    sw = tk.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        sw.join(F.broadcast(vocab), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(
+                (F.col("n") * F.log(F.col("cw").cast("double"))).cast(
+                    "decimal(38,18)"
+                )
+            ).alias("slc"),
+        )
+    )
+    h = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("ln_t")
+            - F.col("slc").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("ce6"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    e = h.withColumn("excess", F.round(F.col("ce6") - F.min("ce6").over(w_all), 6))
+    x = e.withColumn("ew", F.exp("excess"))
+    z = x.withColumn(
+        "denom", F.sum(F.col("ew").cast("decimal(38,18)")).over(w_all)
+    )
+    return z.select(
+        "source",
+        "n_tokens",
+        F.col("ce6").alias("cross_entropy"),
+        "excess",
+        F.round(F.col("ew") / F.col("denom").cast("double"), 6).alias("weight"),
+    )

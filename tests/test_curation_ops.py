@@ -189,3 +189,51 @@ def test_contamination_frac_thresholds(spark, tmp_path):
     assert (out[1].n_sh, out[1].n_hit, out[1].contaminated) == (2, 2, 1)
     assert (out[2].n_sh, out[2].n_hit, out[2].contaminated) == (4, 1, 0)
     assert abs(out[2].hit_frac - 0.25) < 1e-12
+
+
+def test_ccnet_perplexity_formula_and_buckets(spark, tmp_path):
+    # Corpus: "a a" (only common tokens), "a b" (one rare token).
+    # Counts: a=3, b=1, T=4. CE(doc0) = ln4 - ln3 = ln(4/3); CE(doc1) =
+    # ln4 - (ln3 + ln1)/2. Perplexity(doc0) = 4/3 exactly.
+    sf = _write_docs(spark, tmp_path, [(0, "a a", "s"), (1, "a b", "s")])
+    out = {r.doc_id: r for r in SPECS["q_ccnet_perplexity"].fn(spark, sf).collect()}
+    import math
+
+    assert out[0].cross_entropy == pytest.approx(math.log(4 / 3), abs=1e-6)
+    assert out[0].perplexity == pytest.approx(4 / 3, abs=1e-6)
+    assert out[1].cross_entropy == pytest.approx(
+        math.log(4) - math.log(3) / 2, abs=1e-6
+    )
+    # lower perplexity -> head (the CCNet keep side), higher -> later bucket
+    assert out[0].bucket == "head"
+    assert out[1].bucket != "head"
+
+
+def test_ccnet_tertiles_order_by_perplexity(spark, tmp_path):
+    # Nine docs in three fluency classes: repeated common tokens (head),
+    # mixed (middle), all-unique rare tokens (tail).
+    rows = []
+    for i in range(3):
+        rows.append((i, "x x x x", "s"))  # very common -> low ppl
+    for i in range(3, 6):
+        rows.append((i, f"x x u{i}a u{i}b", "s"))  # mixed
+    for i in range(6, 9):
+        rows.append((i, f"r{i}a r{i}b r{i}c r{i}d", "s"))  # all rare
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r.bucket for r in SPECS["q_ccnet_perplexity"].fn(spark, sf).collect()}
+    assert all(out[i] == "head" for i in range(3))
+    assert all(out[i] == "middle" for i in range(3, 6))
+    assert all(out[i] == "tail" for i in range(6, 9))
+
+
+def test_doremi_one_round_multiplicative_weights(spark, tmp_path):
+    # src1 = "a a a" (the best/lowest-loss domain), src2 = "b" (rare).
+    # Unigram counts a=3, b=1, T=4: H(src1) = ln4 - ln3, H(src2) = ln4,
+    # excess(src2) = ln3, so weights = 1/(1+3), 3/(1+3) = 0.25 / 0.75 —
+    # DoReMi upweights the HIGH-excess-loss domain.
+    sf = _write_docs(spark, tmp_path, [(0, "a a a", "src1"), (1, "b", "src2")])
+    out = {r.source: r for r in SPECS["q_doremi_weights"].fn(spark, sf).collect()}
+    assert out["src1"].excess == pytest.approx(0.0, abs=1e-6)
+    assert out["src1"].weight == pytest.approx(0.25, abs=1e-6)
+    assert out["src2"].weight == pytest.approx(0.75, abs=1e-6)
+    assert out["src1"].n_tokens == 3 and out["src2"].n_tokens == 1

@@ -637,3 +637,23 @@ def test_bpe_encode_vocab_join_broadcasts(spark):
     plan = _plan(_q(spark, "q_bpe_encode"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+def test_ccnet_perplexity_no_global_sort(spark):
+    """CCNet bucketing must take its tertile cutpoints from the rounded-score
+    histogram (bounded cardinality), broadcast back — never a corpus-wide
+    NTILE sort, and the LM join must broadcast the vocab table."""
+    plan = _plan(_q(spark, "q_ccnet_perplexity"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only Sort allowed is the one inside the histogram window, whose
+    # input is the distinct-ce6 table, never the corpus
+    assert "Python" not in plan
+
+
+def test_doremi_weights_windows_only_on_domain_table(spark):
+    """After the (source, word) partial aggregation everything is O(K
+    domains): the min/normalizer windows must not re-shuffle corpus-sized
+    data, and the unigram LM joins in as a broadcast."""
+    plan = _plan(_q(spark, "q_doremi_weights"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
