@@ -1164,3 +1164,68 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).cast("int").alias("kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-balanced sampling (the MetaCLIP balancing step — Xu et al. 2024,
+# "Demystifying CLIP Data": entries over the cap t are kept with probability
+# t / count, flattening the head of the distribution while leaving tail
+# clusters intact). Clusters come from the hash-checked k-means fit; the
+# keep decision is the deterministic md5-uniform u(vec_id) < t / n_c,
+# evaluated as the cross-multiplied INTEGER comparison h * n_c < t * 2^32 —
+# no float boundary, no rand(), reproducible under any partitioning.
+# --------------------------------------------------------------------------
+
+_CLUSTER_CAP = 64  # expected per-cluster keep budget t
+
+
+@query(
+    "q_cluster_balanced_sample",
+    oracle=_KM_CTES + f""",
+    sizes AS (SELECT cid, COUNT(*) AS n_c FROM a2 GROUP BY cid),
+    h AS (
+      SELECT a2.vec_id, a2.cid, sizes.n_c,
+             CAST('0x' || substr(md5(CAST(a2.vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS hv
+      FROM a2 JOIN sizes USING (cid))
+    SELECT vec_id, cid, n_c,
+           CASE WHEN n_c <= {_CLUSTER_CAP}
+                  OR hv * n_c < {_CLUSTER_CAP} * 4294967296
+                THEN 1 ELSE 0 END AS kept
+    FROM h
+    """,
+    description=f"cluster-balanced sampling (the MetaCLIP balancing step, Xu "
+    f"et al. 2024): embedding k-means clusters (the hash-checked Lloyd fit), "
+    f"then head-flattening — clusters at or under the cap t={_CLUSTER_CAP} "
+    "keep everything, larger clusters keep each vector with probability "
+    "t/n_c via the deterministic md5-uniform, evaluated as the "
+    "cross-multiplied integer comparison h*n_c < t*2^32 (no float boundary, "
+    "no rand()). Scale shape: broadcast-centroid assignment, one k-row "
+    "cluster-size aggregate broadcast back, keep decision MAP-ONLY — no "
+    "per-cluster window sort, so a skewed head cluster costs a scan, not a "
+    "single-partition sort",
+    tags=("vector", "pipeline"),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, _cents = kmeans_fit(emb, k=4, rounds=2)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_c"))
+    h = assigned.select("vec_id", "cid").join(F.broadcast(sizes), "cid")
+    hv = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return h.select(
+        "vec_id",
+        "cid",
+        "n_c",
+        (
+            (F.col("n_c") <= _CLUSTER_CAP)
+            | (hv * F.col("n_c") < F.lit(_CLUSTER_CAP) * F.lit(4294967296))
+        )
+        .cast("int")
+        .alias("kept"),
+    )

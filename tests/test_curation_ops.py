@@ -237,3 +237,45 @@ def test_doremi_one_round_multiplicative_weights(spark, tmp_path):
     assert out["src1"].weight == pytest.approx(0.25, abs=1e-6)
     assert out["src2"].weight == pytest.approx(0.75, abs=1e-6)
     assert out["src1"].n_tokens == 3 and out["src2"].n_tokens == 1
+
+
+def test_cluster_balanced_sample_flattens_head(spark, tmp_path):
+    # One head cluster of 150 + three tail clusters of 10 (seeds 0..3 land
+    # one per group, so the Lloyd fit recovers the groups exactly). Tail
+    # clusters are under the cap -> fully kept; the head cluster thins to
+    # ~cap via the deterministic md5-uniform.
+    import hashlib
+
+    def vec(center_dim, jitter):
+        v = [0.0] * 64
+        if center_dim >= 0:
+            v[center_dim] = 10.0
+        v[60] += jitter * 1e-3
+        return v
+
+    rows = [(0, vec(-1, 0), 0), (1, vec(0, 0), 1), (2, vec(1, 0), 2), (3, vec(2, 0), 3)]
+    nid = 4
+    for j in range(1, 150):  # head group around the origin
+        rows.append((nid, vec(-1, j), 0)); nid += 1
+    for d in range(3):  # three tail groups
+        for j in range(1, 10):
+            rows.append((nid, vec(d, j), d + 1)); nid += 1
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = all_queries()["q_cluster_balanced_sample"].fn(spark, sf).collect()
+    assert len(out) == len(rows)
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r.cid, []).append(r)
+    sizes = sorted(len(v) for v in by_cid.values())
+    assert sizes == [10, 10, 10, 150]
+    for rs in by_cid.values():
+        n_c = len(rs)
+        kept = sum(r.kept for r in rs)
+        if n_c <= 64:
+            assert kept == n_c  # under the cap: untouched
+        else:
+            assert abs(kept - 64) <= 24  # 3 sigma of Binomial(150, 64/150)
+        for r in rs:  # exact md5 thinning formula, engine-independent
+            hv = int(hashlib.md5(str(r.vec_id).encode()).hexdigest()[:8], 16)
+            expect = 1 if (n_c <= 64 or hv * n_c < 64 * 2**32) else 0
+            assert r.kept == expect

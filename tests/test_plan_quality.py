@@ -657,3 +657,16 @@ def test_doremi_weights_windows_only_on_domain_table(spark):
     plan = _plan(_q(spark, "q_doremi_weights"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_no_window_sort(spark):
+    """The balancing step must be map-only after the k-row size aggregate
+    broadcasts back — a per-cluster row_number window would serialize the
+    head cluster through one partition, the exact shape this op avoids."""
+    plan = _plan(_q(spark, "q_cluster_balanced_sample"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the shared kmeans-fit chain owns every Window in the plan: balancing
+    # itself must add zero (compare against q_semdedup, same fit, k=4)
+    base = _plan(_q(spark, "q_semdedup"))
+    assert plan.count("Window") <= base.count("Window")
