@@ -278,3 +278,95 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
     )
+
+
+def _gate_oracle() -> str:
+    from .dedup_queries import _mh_oracle
+    from .pipeline_queries import _BAND_UNION
+
+    return f"""
+    WITH sigs AS ({_mh_oracle()}),
+    bands AS (
+      {_BAND_UNION}),
+    bm AS (
+      SELECT b, bkey, MIN(doc_id) AS prev_min
+      FROM bands WHERE doc_id % 5 <> 0 GROUP BY b, bkey),
+    hits AS (
+      SELECT t.doc_id, bm.prev_min
+      FROM bands t LEFT JOIN bm ON t.b = bm.b AND t.bkey = bm.bkey
+      WHERE t.doc_id % 5 = 0)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN prev_min IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CASE WHEN COUNT(prev_min) > 0 THEN 'near_dup' ELSE 'new' END
+             AS verdict,
+           MIN(prev_min) AS best_match
+    FROM hits GROUP BY doc_id
+    """
+
+
+@query(
+    "q_stream_neardup_gate",
+    # The custom stateful operator is value-checked end to end: under the
+    # two-batch replay (corpus = doc_id % 5 <> 0 seeds state, then the
+    # ingest batch is gated), the emitted prev_min per (doc, band) is
+    # exactly the corpus-side MIN(doc_id) of that band bucket — prefix
+    # semantics, read-before-fold, so within-batch pairs never match and
+    # the oracle is plain SQL over the same banded signatures.
+    oracle=_gate_oracle(),
+    description="streaming MinHash-LSH ingest gate via applyInPandasWithState "
+    "— the streaming twin of q_dedup_incremental's near-dup tier: the "
+    "corpus batch seeds O(occupied buckets) state (one BIGINT per (band, "
+    "bucket)), then every newly ingested doc is gated against ALL prior "
+    "batches by band-bucket lookup, never an all-pairs join; per-doc "
+    "verdict (n band hits, near_dup/new, best prior match) is a stateless "
+    "rollup of the operator's emissions. Hash-checked against the SQL "
+    "replay of the same two-batch split — the state transition itself is "
+    "value-checked, not just row-counted",
+    tags=("streaming", "dedup", "pipeline"),
+)
+def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-batch replay (the q_stream_anomaly pattern): banded signatures are
+    # computed map-side by the portable MinHash chain, written as two files
+    # with pinned mtimes so the file source delivers corpus -> ingest batch.
+    import os
+    import shutil
+    import tempfile
+
+    from .dedup_queries import q_minhash_portable
+    from .pipeline_queries import _BAND_STACK
+
+    sigs = q_minhash_portable(spark, sf_dir)
+    bands = sigs.selectExpr("doc_id", _BAND_STACK)
+    d = tempfile.mkdtemp(prefix="ehs_gate_replay_")
+    try:
+        bands.filter(F.col("doc_id") % 5 != 0).coalesce(1).write.parquet(f"{d}/p1")
+        bands.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.parquet(f"{d}/p2")
+        now = 1_700_000_000
+        for sub, t in (("p1", now - 1000), ("p2", now)):
+            for f in os.listdir(f"{d}/{sub}"):
+                os.utime(f"{d}/{sub}/{f}", (t, t))
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, b INT, bkey STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*")
+        )
+        hits = jobs.run_available_now(jobs.neardup_gate_stream(stream))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    gated = hits.filter(F.col("doc_id") % 5 == 0)
+    return (
+        gated.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("prev_min").isNotNull().cast("int")).cast("bigint").alias(
+                "n_hits"
+            ),
+            F.min("prev_min").alias("best_match"),
+        )
+        .select(
+            "doc_id",
+            "n_hits",
+            F.when(F.col("n_hits") > 0, "near_dup").otherwise("new").alias("verdict"),
+            "best_match",
+        )
+    )

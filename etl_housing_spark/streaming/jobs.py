@@ -314,3 +314,64 @@ def anomaly_stream(events: DataFrame, threshold: float = 3.0) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GATE_OUT_SCHEMA = "doc_id BIGINT, b INT, prev_min BIGINT"
+_GATE_STATE_SCHEMA = "min_id BIGINT"
+
+
+def neardup_gate_stream(bands: DataFrame) -> DataFrame:
+    """Streaming MinHash-LSH ingest gate — the stateful twin of
+    plans.pipeline_queries.q_dedup_incremental's near-dup tier.
+
+    Input is the banded signature stream (doc_id, b, bkey): one row per
+    document per LSH band, produced map-side from the portable MinHash
+    chain. State per (band, bucket) key is ONE number — the minimum doc_id
+    seen in *previous* micro-batches — so every arriving document is gated
+    against the entire already-ingested corpus at O(1) state per occupied
+    bucket, never against the corpus rows themselves.
+
+    Prefix semantics (the anomaly_stream contract): a batch's rows see only
+    state accumulated from earlier batches — the emitted ``prev_min`` is
+    read BEFORE the batch folds in, so within-batch pairs never match each
+    other and the result is deterministic given the batch sequence,
+    independent of partition/arrival order inside a batch. The per-doc
+    verdict (any band hit => near-dup candidate) is a downstream stateless
+    rollup; the oracle replays the same two-batch split in SQL, so the
+    operator is value-checked end to end, not just row-counted.
+
+    At 100 TB: state is bounded by occupied buckets (≤ min(4·docs, key
+    space)), each a single BIGINT; in production the seen-set would be
+    bootstrapped from the batch corpus index and aged with a timeout —
+    both knobs orthogonal to the gating logic shown here.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        parts = [pdf for pdf in pdfs]
+        rows = (
+            pd.concat(parts)
+            if parts
+            else pd.DataFrame({"doc_id": [], "b": [], "bkey": []})
+        )
+        prev = state.get[0] if state.exists else None
+        if len(rows):
+            yield pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"].astype("int64"),
+                    "b": rows["b"].astype("int32"),
+                    "prev_min": pd.array([prev] * len(rows), dtype="Int64"),
+                }
+            )
+            cur = int(rows["doc_id"].min())
+            state.update((cur if prev is None else min(prev, cur),))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return bands.groupBy("b", "bkey").applyInPandasWithState(
+        fn,
+        outputStructType=GATE_OUT_SCHEMA,
+        stateStructType=_GATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

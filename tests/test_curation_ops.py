@@ -279,3 +279,31 @@ def test_cluster_balanced_sample_flattens_head(spark, tmp_path):
             hv = int(hashlib.md5(str(r.vec_id).encode()).hexdigest()[:8], 16)
             expect = 1 if (n_c <= 64 or hv * n_c < 64 * 2**32) else 0
             assert r.kept == expect
+
+
+def test_stream_neardup_gate_prefix_semantics(spark, tmp_path):
+    # corpus (doc_id % 5 != 0) seeds state; the ingest batch (doc_id % 5
+    # == 0) is gated against it. Within-batch duplicates must NOT match
+    # each other (prefix semantics: state is read before the batch folds).
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    t_new = "one two three four five six seven eight"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, t_dup, "s"),  # corpus
+            (2, "unrelated corpus text nothing shared here at all", "s"),
+            (5, t_dup, "s"),  # ingest: exact twin of corpus doc 1
+            (10, t_new, "s"),  # ingest: identical to 15, but NOT in corpus
+            (15, t_new, "s"),
+            (20, "totally fresh never seen words appear now here", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in SPECS["q_stream_neardup_gate"].fn(spark, sf).collect()}
+    assert set(out) == {5, 10, 15, 20}  # only the ingest batch is gated
+    assert out[5].verdict == "near_dup"
+    assert out[5].n_hits == 4 and out[5].best_match == 1  # all 4 bands hit
+    # the within-batch twins gate only against PRIOR batches -> both new
+    assert out[10].verdict == "new" and out[15].verdict == "new"
+    assert out[10].best_match is None
+    assert out[20].verdict == "new" and out[20].n_hits == 0
