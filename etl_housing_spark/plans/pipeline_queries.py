@@ -1932,6 +1932,59 @@ def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Shared CE chain (also composed into q_fineweb_funnel): corpus-trained
+# unigram-LM cross-entropy per doc, CTE chain ending in
+# ce(doc_id, n_words, ce6) — and the Spark twin below.
+_CCNET_CE_SQL = """t2 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tk AS (SELECT doc_id, w FROM t2 WHERE w <> ''),
+    vocab AS (SELECT w, COUNT(*) AS cw FROM tk GROUP BY w),
+    tot AS (SELECT ln(CAST(SUM(cw) AS DOUBLE)) AS ln_t FROM vocab),
+    dw AS (SELECT doc_id, w, COUNT(*) AS n FROM tk GROUP BY doc_id, w),
+    perw AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             SUM(CAST(n * ln(CAST(cw AS DOUBLE)) AS DECIMAL(38,18))) AS slc
+      FROM dw JOIN vocab USING (w) GROUP BY doc_id),
+    ce AS (
+      SELECT doc_id, n_words,
+             ROUND(ln_t - CAST(slc AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS ce6
+      FROM perw, tot)"""
+
+
+def _unigram_ce(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram-LM cross-entropy (doc_id, n_words, ce6) — the Spark
+    twin of :data:`_CCNET_CE_SQL`, decimal-exact term accumulation."""
+    tk = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = tk.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = vocab.agg(F.log(F.sum("cw").cast("double")).alias("ln_t"))
+    dw = tk.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    per = (
+        dw.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(
+                (F.col("n") * F.log(F.col("cw").cast("double"))).cast(
+                    "decimal(38,18)"
+                )
+            ).alias("slc"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.col("ln_t")
+            - F.col("slc").cast("double") / F.col("n_words").cast("double"),
+            6,
+        ).alias("ce6"),
+    )
+
+
 @query(
     "q_ccnet_perplexity",
     # Float hygiene: ln runs on exact integer counts (identical doubles both
@@ -1941,23 +1994,9 @@ def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_odds_ratio exp-precedent). Tertile assignment is the q_corpus_mix
     # discrete integer rank over the rounded-H histogram — no NTILE global
     # sort, no percentile interpolation.
-    oracle="""
-    WITH t2 AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-    tk AS (SELECT doc_id, w FROM t2 WHERE w <> ''),
-    vocab AS (SELECT w, COUNT(*) AS cw FROM tk GROUP BY w),
-    tot AS (SELECT ln(CAST(SUM(cw) AS DOUBLE)) AS ln_t FROM vocab),
-    dw AS (SELECT doc_id, w, COUNT(*) AS n FROM tk GROUP BY doc_id, w),
-    per AS (
-      SELECT doc_id,
-             CAST(SUM(n) AS BIGINT) AS n_words,
-             SUM(CAST(n * ln(CAST(cw AS DOUBLE)) AS DECIMAL(38,18))) AS slc
-      FROM dw JOIN vocab USING (w) GROUP BY doc_id),
-    h AS (
-      SELECT doc_id, n_words,
-             ROUND(ln_t - CAST(slc AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
-               AS ce6
-      FROM per, tot),
+    oracle=f"""
+    WITH {_CCNET_CE_SQL},
+    h AS (SELECT doc_id, n_words, ce6 FROM ce),
     hist AS (SELECT ce6, COUNT(*) AS cnt FROM h GROUP BY ce6),
     w2 AS (
       SELECT ce6, cnt,
@@ -1986,33 +2025,7 @@ def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    vocab = tk.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    tot = vocab.agg(F.log(F.sum("cw").cast("double")).alias("ln_t"))
-    dw = tk.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
-    per = (
-        dw.join(F.broadcast(vocab), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("n").cast("bigint").alias("n_words"),
-            F.sum(
-                (F.col("n") * F.log(F.col("cw").cast("double"))).cast(
-                    "decimal(38,18)"
-                )
-            ).alias("slc"),
-        )
-    )
-    h = per.crossJoin(F.broadcast(tot)).select(
-        "doc_id",
-        "n_words",
-        F.round(
-            F.col("ln_t")
-            - F.col("slc").cast("double") / F.col("n_words").cast("double"),
-            6,
-        ).alias("ce6"),
-    )
+    h = _unigram_ce(docs)
     hist = h.groupBy("ce6").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = (
         Window.orderBy("ce6").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2137,4 +2150,235 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ce6").alias("cross_entropy"),
         "excess",
         F.round(F.col("ew") / F.col("denom").cast("double"), 6).alias("weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The composed published curation recipe — the FineWeb/RefinedWeb-shaped
+# funnel (Penedo et al. 2024): Gopher rule battery -> repetition filter ->
+# perplexity tail drop -> exact dedup -> MinHash-LSH near-dup dedup, each
+# stage applied to the SURVIVORS of the previous one, with cumulative
+# per-stage pass flags so the attrition at every step is one SUM away.
+# Every stage reuses a construction that is independently hash-checked
+# (q_gopher_rules, q_repetition, q_ccnet_perplexity, q_dedup_exact,
+# q_minhash_pairs_portable) — this query proves they COMPOSE.
+# --------------------------------------------------------------------------
+
+
+# The funnel's S1 is the four STRUCTURAL Gopher rules. The fifth (>= 2 of
+# the paper's 8 English stop words) is vocabulary-dependent — FineWeb
+# itself adapts the battery per corpus, and on a corpus whose vocabulary
+# lacks most of the 8 it annihilates the funnel; the full 5-rule battery
+# stays reported per-rule by q_gopher_rules.
+_FUNNEL_GOPHER_SQL = (
+    "n_words BETWEEN 50 AND 100000"
+    " AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words"
+    " AND 10 * n_sym < n_words"
+    " AND 5 * n_alpha > 4 * n_words"
+)
+
+
+def _fineweb_oracle() -> str:
+    from .dedup_queries import _mh_oracle
+    from .text_queries import GOPHER_M_SQL
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    gm AS ({GOPHER_M_SQL}),
+    s1 AS (
+      SELECT doc_id, n_words,
+             CASE WHEN {_FUNNEL_GOPHER_SQL} THEN 1 ELSE 0 END AS p1
+      FROM gm),
+    bgf AS (
+      SELECT doc_id, unnest(list_transform(
+               list_filter(list_zip(w, w[2:]), p -> p[2] IS NOT NULL),
+               p -> concat_ws(' ', p[1], p[2]))) AS bigram
+      FROM t WHERE len(w) >= 2),
+    bcf AS (
+      SELECT doc_id, MAX(c) AS mc FROM (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM bgf GROUP BY doc_id, bigram)
+      GROUP BY doc_id),
+    s2 AS (
+      SELECT s1.doc_id, p1,
+             CASE WHEN p1 = 1 AND 5 * COALESCE(bcf.mc, 0) <= s1.n_words - 1
+                  THEN 1 ELSE 0 END AS p2
+      FROM s1 LEFT JOIN bcf USING (doc_id)),
+    {_CCNET_CE_SQL},
+    histf AS (
+      SELECT ce6, COUNT(*) AS cnt
+      FROM ce JOIN s2 USING (doc_id) WHERE p2 = 1 GROUP BY ce6),
+    w2f AS (
+      SELECT ce6, cnt,
+             SUM(cnt) OVER (ORDER BY ce6
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM histf),
+    mf AS (SELECT ce6, CAST((3 * (cum - cnt)) // n AS BIGINT) AS b FROM w2f),
+    s3 AS (
+      SELECT s2.doc_id, p1, p2,
+             CASE WHEN p2 = 1 AND mf.b <= 1 THEN 1 ELSE 0 END AS p3
+      FROM s2 LEFT JOIN ce ON s2.doc_id = ce.doc_id
+               LEFT JOIN mf ON ce.ce6 = mf.ce6),
+    fp AS (SELECT doc_id, md5(text) AS f FROM documents),
+    mnf AS (
+      SELECT f, MIN(s3.doc_id) AS keep_id
+      FROM fp JOIN s3 USING (doc_id) WHERE p3 = 1 GROUP BY f),
+    s4 AS (
+      SELECT s3.doc_id, p1, p2, p3,
+             CASE WHEN p3 = 1 AND s3.doc_id = mnf.keep_id THEN 1 ELSE 0 END AS p4
+      FROM s3 JOIN fp USING (doc_id) LEFT JOIN mnf ON fp.f = mnf.f),
+    sigs AS ({_mh_oracle()}),
+    bands AS (
+      {_BAND_UNION}),
+    sb AS (
+      SELECT doc_id, b, bkey FROM bands JOIN s4 USING (doc_id) WHERE p4 = 1),
+    drp AS (
+      SELECT DISTINCT a.doc_id FROM sb a JOIN sb b2
+      ON a.b = b2.b AND a.bkey = b2.bkey AND b2.doc_id < a.doc_id),
+    s5 AS (
+      SELECT s4.doc_id, p1, p2, p3, p4,
+             CASE WHEN p4 = 1 AND drp.doc_id IS NULL THEN 1 ELSE 0 END AS p5
+      FROM s4 LEFT JOIN drp USING (doc_id))
+    SELECT doc_id,
+           p1 AS pass_gopher, p2 AS pass_repetition, p3 AS pass_perplexity,
+           p4 AS pass_exact, p5 AS pass_neardup
+    FROM s5
+    """
+
+
+@query(
+    "q_fineweb_funnel",
+    oracle=_fineweb_oracle(),
+    description="the composed published curation recipe (FineWeb/RefinedWeb "
+    "shape, Penedo et al. 2024): structural Gopher rules (the stop-word "
+    "rule is corpus-vocabulary-dependent and reported separately by "
+    "q_gopher_rules, as FineWeb adapts the battery) -> top-bigram "
+    "repetition filter (<= 0.2, cross-multiplied integers) -> unigram-LM "
+    "perplexity tail drop (tertile over the stage's survivors, discrete "
+    "integer rank) -> exact md5 dedup keep-lowest-id -> MinHash-LSH "
+    "near-dup drop (band-mate with smaller surviving id), each stage over "
+    "the previous stage's survivors, cumulative per-doc pass flags. Every "
+    "stage reuses an independently hash-checked construction — this query "
+    "proves the catalog COMPOSES. Scale shape: the stages share the corpus "
+    "scan's doc_id partitioning; dedup joins are equi-joins on fingerprint/"
+    "bucket keys over survivors only; the one unbounded-window sort runs on "
+    "the rounded-CE histogram, never the corpus",
+    tags=("pipeline", "text", "dedup"),
+)
+def q_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import q_minhash_portable
+    from .text_queries import gopher_metrics, gopher_rule_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # S1: the four structural Gopher rules (see _FUNNEL_GOPHER_SQL note)
+    fl = gopher_rule_flags()
+    keep1 = (
+        fl["ok_word_count"] & fl["ok_mean_len"] & fl["ok_symbol"] & fl["ok_alpha"]
+    )
+    s1 = gopher_metrics(docs).select(
+        "doc_id", "n_words", F.when(keep1, 1).otherwise(0).alias("p1")
+    )
+
+    # S2: top-bigram repetition <= 0.2 on S1 survivors
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = t.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")
+        ).alias("bigram"),
+    )
+    bc = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"))
+    )
+    s2 = s1.join(bc, "doc_id", "left").select(
+        "doc_id",
+        "p1",
+        F.when(
+            (F.col("p1") == 1)
+            & (5 * F.coalesce(F.col("mc"), F.lit(0)) <= F.col("n_words") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("p2"),
+    )
+
+    # S3: perplexity tail drop — tertile of the corpus-LM CE over S2 survivors
+    ce = _unigram_ce(docs).select("doc_id", "ce6")
+    hist = (
+        ce.join(s2.filter(F.col("p2") == 1).select("doc_id"), "doc_id")
+        .groupBy("ce6")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.orderBy("ce6").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(F.lit(1))))
+        .select("ce6", F.expr("(3 * (cum - cnt)) div n").cast("long").alias("b"))
+    )
+    s3 = (
+        s2.join(ce, "doc_id", "left")
+        .join(F.broadcast(m), "ce6", "left")
+        .select(
+            "doc_id",
+            "p1",
+            "p2",
+            F.when((F.col("p2") == 1) & (F.col("b") <= 1), 1).otherwise(0).alias("p3"),
+        )
+    )
+
+    # S4: exact dedup keep-lowest-id among S3 survivors
+    fp = docs.select("doc_id", F.md5("text").alias("f"))
+    mn = (
+        fp.join(s3.filter(F.col("p3") == 1).select("doc_id"), "doc_id")
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    s4 = (
+        s3.join(fp, "doc_id")
+        .join(mn, "f", "left")
+        .select(
+            "doc_id",
+            "p1",
+            "p2",
+            "p3",
+            F.when((F.col("p3") == 1) & (F.col("doc_id") == F.col("keep_id")), 1)
+            .otherwise(0)
+            .alias("p4"),
+        )
+    )
+
+    # S5: near-dup drop — band-mate with a smaller surviving doc_id
+    sigs = q_minhash_portable(spark, sf_dir)
+    bands = sigs.selectExpr("doc_id", _BAND_STACK)
+    sb = bands.join(s4.filter(F.col("p4") == 1).select("doc_id"), "doc_id")
+    b2 = sb.select(F.col("doc_id").alias("id_b"), "b", "bkey")
+    drp = (
+        sb.join(b2, ["b", "bkey"])
+        .filter(F.col("id_b") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    s5 = s4.join(drp, "doc_id", "left").select(
+        "doc_id",
+        "p1",
+        "p2",
+        "p3",
+        "p4",
+        F.when((F.col("p4") == 1) & F.col("hit").isNull(), 1).otherwise(0).alias("p5"),
+    )
+    return s5.select(
+        "doc_id",
+        F.col("p1").alias("pass_gopher"),
+        F.col("p2").alias("pass_repetition"),
+        F.col("p3").alias("pass_perplexity"),
+        F.col("p4").alias("pass_exact"),
+        F.col("p5").alias("pass_neardup"),
     )

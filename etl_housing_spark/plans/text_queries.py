@@ -1427,16 +1427,10 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the language-ID heuristic list): a doc must contain >= 2 of these.
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
-
-@query(
-    "q_gopher_rules",
-    # Every flag is an integer comparison (cross-multiplied thresholds), so
-    # no float boundary can flip a verdict between engines; the reported
-    # ratios are one identical double division rounded at 6dp.
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-    m AS (
+# Shared fragments (also composed into q_fineweb_funnel): the per-doc metric
+# CTE body and the combined keep condition, in both dialects. Every
+# threshold is a cross-multiplied integer comparison.
+GOPHER_M_SQL = f"""
       SELECT doc_id,
              len(w) AS n_words,
              COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS n_wchars,
@@ -1445,39 +1439,24 @@ _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
                  [{", ".join("'" + s + "'" for s in _GOPHER_STOPS)}])) AS n_stop,
              (len(text) - len(replace(text, '#', '')))
                + (len(text) - len(replace(text, '…', ''))) AS n_sym
-      FROM t)
-    SELECT doc_id, n_words,
-           ROUND(n_wchars / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
-           ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
-           n_stop,
-           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS ok_word_count,
-           CASE WHEN 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
-                THEN 1 ELSE 0 END AS ok_mean_len,
-           CASE WHEN 10 * n_sym < n_words THEN 1 ELSE 0 END AS ok_symbol,
-           CASE WHEN 5 * n_alpha > 4 * n_words THEN 1 ELSE 0 END AS ok_alpha,
-           CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop,
-           CASE WHEN n_words BETWEEN 50 AND 100000
-                 AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
-                 AND 10 * n_sym < n_words
-                 AND 5 * n_alpha > 4 * n_words
-                 AND n_stop >= 2 THEN 1 ELSE 0 END AS keep
-    FROM m
-    """,
-    description="Gopher quality-rule battery (Rae et al. 2021 A.1.1): word-count "
-    "bounds [50, 100k], mean word length in [3, 10], symbol-to-word ratio "
-    "(#/ellipsis) < 0.1, >= 80% words with an alphabetic char, >= 2 of the "
-    "paper's 8 stop words — per-doc metrics, per-rule flags, and the combined "
-    "keep verdict. Every threshold is a cross-multiplied INTEGER comparison "
-    "(no float boundary risk), and the whole battery is MAP-ONLY: token-array "
-    "lambdas inside codegen, zero exchanges, scan-speed at 100 TB",
-    tags=("text", "pipeline"),
+      FROM t"""
+
+GOPHER_KEEP_SQL = (
+    "n_words BETWEEN 50 AND 100000"
+    " AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words"
+    " AND 10 * n_sym < n_words"
+    " AND 5 * n_alpha > 4 * n_words"
+    " AND n_stop >= 2"
 )
-def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+
+
+def gopher_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc Gopher A.1.1 metric columns (doc_id, n_words, n_wchars,
+    n_alpha, n_stop, n_sym) — the Spark twin of :data:`GOPHER_M_SQL`."""
     # bind the split once in its own projection (Catalyst does not CSE
     # inside lambda bodies — the r07 MinHash lesson)
     t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
-    m = t.select(
+    return t.select(
         "doc_id",
         F.size("w").alias("n_words"),
         F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x)).alias("n_wchars"),
@@ -1493,13 +1472,60 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.length("text") - F.length(F.replace(F.col("text"), F.lit("…"))))
         ).alias("n_sym"),
     )
-    ok_wc = F.col("n_words").between(50, 100000)
-    ok_len = (3 * F.col("n_words") <= F.col("n_wchars")) & (
-        F.col("n_wchars") <= 10 * F.col("n_words")
-    )
-    ok_sym = 10 * F.col("n_sym") < F.col("n_words")
-    ok_alpha = 5 * F.col("n_alpha") > 4 * F.col("n_words")
-    ok_stop = F.col("n_stop") >= 2
+
+
+def gopher_rule_flags() -> dict[str, "F.Column"]:
+    """The five rule conditions over :func:`gopher_metrics` columns."""
+    return {
+        "ok_word_count": F.col("n_words").between(50, 100000),
+        "ok_mean_len": (3 * F.col("n_words") <= F.col("n_wchars"))
+        & (F.col("n_wchars") <= 10 * F.col("n_words")),
+        "ok_symbol": 10 * F.col("n_sym") < F.col("n_words"),
+        "ok_alpha": 5 * F.col("n_alpha") > 4 * F.col("n_words"),
+        "ok_stop": F.col("n_stop") >= 2,
+    }
+
+
+@query(
+    "q_gopher_rules",
+    # Every flag is an integer comparison (cross-multiplied thresholds), so
+    # no float boundary can flip a verdict between engines; the reported
+    # ratios are one identical double division rounded at 6dp.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    m AS ({GOPHER_M_SQL})
+    SELECT doc_id, n_words,
+           ROUND(n_wchars / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+           ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_frac,
+           n_stop,
+           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS ok_word_count,
+           CASE WHEN 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words
+                THEN 1 ELSE 0 END AS ok_mean_len,
+           CASE WHEN 10 * n_sym < n_words THEN 1 ELSE 0 END AS ok_symbol,
+           CASE WHEN 5 * n_alpha > 4 * n_words THEN 1 ELSE 0 END AS ok_alpha,
+           CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop,
+           CASE WHEN {GOPHER_KEEP_SQL} THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+    description="Gopher quality-rule battery (Rae et al. 2021 A.1.1): word-count "
+    "bounds [50, 100k], mean word length in [3, 10], symbol-to-word ratio "
+    "(#/ellipsis) < 0.1, >= 80% words with an alphabetic char, >= 2 of the "
+    "paper's 8 stop words — per-doc metrics, per-rule flags, and the combined "
+    "keep verdict. Every threshold is a cross-multiplied INTEGER comparison "
+    "(no float boundary risk), and the whole battery is MAP-ONLY: token-array "
+    "lambdas inside codegen, zero exchanges, scan-speed at 100 TB",
+    tags=("text", "pipeline"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = gopher_metrics(docs)
+    flags = gopher_rule_flags()
+    ok_wc = flags["ok_word_count"]
+    ok_len = flags["ok_mean_len"]
+    ok_sym = flags["ok_symbol"]
+    ok_alpha = flags["ok_alpha"]
+    ok_stop = flags["ok_stop"]
     as_flag = lambda c, name: c.cast("int").alias(name)  # noqa: E731
     return m.select(
         "doc_id",

@@ -307,3 +307,74 @@ def test_stream_neardup_gate_prefix_semantics(spark, tmp_path):
     assert out[10].verdict == "new" and out[15].verdict == "new"
     assert out[10].best_match is None
     assert out[20].verdict == "new" and out[20].n_hits == 0
+
+
+def test_fineweb_funnel_every_stage_binds(spark, tmp_path):
+    # A corpus where each stage's drop is known by construction:
+    #   doc 2 fails Gopher (too short); doc 3 fails repetition (periodic
+    #   bigram); doc 4 fails exact dedup (copy of doc 1); docs 9-11 fail
+    #   the perplexity tail drop (all-unique words => highest CE tertile);
+    #   doc 5 is a 1-word-changed near-dup of doc 1 whose s5 verdict is
+    #   cross-checked against the hash-checked MinHash primitive itself.
+    base = [f"ab{i:02d}" for i in range(60)]  # 60 distinct 4-char words
+    a_text = " ".join(base)
+    c_words = list(base)
+    c_words[30] = "zzzz"
+
+    def rare(tag, n_doubled):
+        # 60 words: n_doubled words appear twice (scattered), rest unique
+        words = [f"q{tag}x{i:02d}" for i in range(60 - n_doubled)]
+        for j in range(n_doubled):
+            words.insert(7 * (j + 1), words[j])  # scatter the repeats
+        return " ".join(words[:60])
+
+    rows = [
+        (1, a_text, "s"),
+        (2, "tiny text", "s"),
+        (3, " ".join(["abcd", "efgh"] * 30), "s"),
+        (4, a_text, "s"),
+        (5, " ".join(c_words), "s"),
+        (6, rare("a", 3), "s"),
+        (7, rare("b", 2), "s"),
+        (8, rare("c", 1), "s"),
+        (9, rare("d", 0), "s"),
+        (10, rare("e", 0), "s"),
+        (11, rare("f", 0), "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in SPECS["q_fineweb_funnel"].fn(spark, sf).collect()}
+    assert len(out) == 11
+
+    flags = lambda i: (  # noqa: E731
+        out[i].pass_gopher,
+        out[i].pass_repetition,
+        out[i].pass_perplexity,
+        out[i].pass_exact,
+    )
+    assert flags(2) == (0, 0, 0, 0)  # gopher drop cascades
+    assert flags(3) == (1, 0, 0, 0)  # repetition drop
+    assert flags(4) == (1, 1, 1, 0)  # exact-dup of doc 1
+    for i in (9, 10, 11):  # all-unique words: highest-CE tertile
+        assert flags(i) == (1, 1, 0, 0)
+    for i in (1, 5, 6, 7, 8):  # survive through exact dedup
+        assert flags(i) == (1, 1, 1, 1)
+    assert out[1].pass_neardup == 1  # lowest id can never be the dropped side
+
+    # s5 ground truth from the independently hash-checked primitive: a
+    # survivor drops iff it shares a band bucket with a SMALLER survivor
+    from etl_housing_spark.plans.dedup_queries import q_minhash_portable
+    from etl_housing_spark.plans.pipeline_queries import _BAND_STACK
+
+    survivors = {1, 5, 6, 7, 8}
+    bands = {}
+    for r in q_minhash_portable(spark, sf).selectExpr("doc_id", _BAND_STACK).collect():
+        if r.doc_id in survivors:
+            bands.setdefault((r.b, r.bkey), []).append(r.doc_id)
+    for i in sorted(survivors):
+        expected = 0 if any(
+            min(ids) < i for ids in bands.values() if i in ids
+        ) else 1
+        assert out[i].pass_neardup == expected, f"doc {i}"
+    # and the probe doc 5 (1 word changed of 60) must actually have
+    # collided with doc 1 — otherwise the near-dup stage went untested
+    assert out[5].pass_neardup == 0

@@ -670,3 +670,13 @@ def test_cluster_balanced_sample_no_window_sort(spark):
     # itself must add zero (compare against q_semdedup, same fit, k=4)
     base = _plan(_q(spark, "q_semdedup"))
     assert plan.count("Window") <= base.count("Window")
+
+
+def test_fineweb_funnel_no_cartesian_no_python(spark):
+    """Five composed stages must stay equi-join + broadcast shaped: no
+    cartesian anywhere, no Python stage, and the LSH step must remain a
+    band-bucket equi-self-join (never all-pairs)."""
+    plan = _plan(_q(spark, "q_fineweb_funnel"))
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
