@@ -2264,7 +2264,7 @@ def _fineweb_oracle() -> str:
     "scan's doc_id partitioning; dedup joins are equi-joins on fingerprint/"
     "bucket keys over survivors only; the one unbounded-window sort runs on "
     "the rounded-CE histogram, never the corpus",
-    tags=("pipeline", "text", "dedup"),
+    tags=("pipeline", "text", "dedup", "bench"),
 )
 def q_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import q_minhash_portable
