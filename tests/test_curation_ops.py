@@ -378,3 +378,36 @@ def test_fineweb_funnel_every_stage_binds(spark, tmp_path):
     # and the probe doc 5 (1 word changed of 60) must actually have
     # collided with doc 1 — otherwise the near-dup stage went untested
     assert out[5].pass_neardup == 0
+
+
+# -- property: the distributed unigram-CE chain equals the direct formula --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=6))
+def test_unigram_ce_matches_direct_formula(spark, tmp_path_factory, docs_texts):
+    import math
+    from collections import Counter
+
+    from etl_housing_spark.plans.pipeline_queries import _unigram_ce
+
+    tmp = tmp_path_factory.mktemp("ce")
+    sf = _write_docs(
+        spark, tmp, [(i, t, "s") for i, t in enumerate(docs_texts)]
+    )
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in _unigram_ce(df).collect()}
+
+    corpus = Counter(w for t in docs_texts for w in t.split(" ") if w)
+    total = sum(corpus.values())
+    for i, t in enumerate(docs_texts):
+        words = [w for w in t.split(" ") if w]
+        expect = math.log(total) - sum(math.log(corpus[w]) for w in words) / len(words)
+        assert out[i].n_words == len(words)
+        assert abs(out[i].ce6 - round(expect, 6)) < 2e-6, (i, t)
