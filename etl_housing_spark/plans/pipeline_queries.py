@@ -2382,3 +2382,41 @@ def q_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p4").alias("pass_exact"),
         F.col("p5").alias("pass_neardup"),
     )
+
+
+@query(
+    "q_funnel_report",
+    # The operations-dashboard view of q_fineweb_funnel: survivor counts
+    # per stage in one row — SUMs of the cumulative flags, so the stage
+    # attrition (and any future regression in a stage's drop rate) is one
+    # subtraction away.
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass_gopher) AS BIGINT) AS n_gopher,
+           CAST(SUM(pass_repetition) AS BIGINT) AS n_repetition,
+           CAST(SUM(pass_perplexity) AS BIGINT) AS n_perplexity,
+           CAST(SUM(pass_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(pass_neardup) AS BIGINT) AS n_kept,
+           ROUND(SUM(pass_neardup) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+    FROM ({_fineweb_oracle()})
+    """,
+    description="per-stage survivor counts of the composed curation funnel "
+    "(q_fineweb_funnel) in one row, plus the final keep rate — the "
+    "attrition dashboard a corpus-curation run reports. One extra "
+    "partial-agg over the funnel's per-doc flags; inherits the funnel's "
+    "scale shape unchanged",
+    tags=("pipeline", "text"),
+)
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = q_fineweb_funnel(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass_gopher").cast("bigint").alias("n_gopher"),
+        F.sum("pass_repetition").cast("bigint").alias("n_repetition"),
+        F.sum("pass_perplexity").cast("bigint").alias("n_perplexity"),
+        F.sum("pass_exact").cast("bigint").alias("n_exact"),
+        F.sum("pass_neardup").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum("pass_neardup") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("keep_rate"),
+    )
