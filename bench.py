@@ -78,12 +78,18 @@ def materialize(df) -> None:
 # ---------------------------------------------------------------- telemetry --
 
 
-def _machine_cpu_jiffies() -> tuple[int, int]:
-    """(busy, total) jiffies across all CPUs from /proc/stat line 1."""
+def _machine_cpu_jiffies() -> tuple[int, int, int]:
+    """(busy, total, steal) jiffies across all CPUs from /proc/stat line 1.
+    Steal is the hypervisor withholding cycles from this VM — the one
+    slowdown neither loadavg nor the per-process accounting can see
+    (measured round 8: same-day idle runs drift ±30% with steal ~0, so a
+    HIGH steal fraction is the smoking gun when totals blow out and
+    external_cpu_frac stays 0)."""
     with open("/proc/stat") as fh:
         fields = [int(x) for x in fh.readline().split()[1:]]
     idle = fields[3] + (fields[4] if len(fields) > 4 else 0)  # idle + iowait
-    return sum(fields) - idle, sum(fields)
+    steal = fields[7] if len(fields) > 7 else 0
+    return sum(fields) - idle, sum(fields), steal
 
 
 def _proc_tree_cpu_jiffies() -> int:
@@ -329,13 +335,14 @@ def main() -> None:
         capacity = max(1.0, ncpu * hz * wall)
         external = max(0, (mach1[0] - mach0[0]) - (tree1 - tree0))
         external_frac = round(external / capacity, 4)
+        steal_frac = round(max(0, mach1[2] - mach0[2]) / capacity, 4)
 
         warm_gt_2x = sorted(
             n for n in timings
             if warm.get(n, 0.0) > 2.0 * timings[n] and warm.get(n, 0.0) > 0.5
         )
-        flagged = bool(warm_gt_2x) or external_frac > 0.15 or load_start[
-            "loadavg_1m"] > 0.5 * ncpu
+        flagged = bool(warm_gt_2x) or external_frac > 0.15 or steal_frac > 0.15 \
+            or load_start["loadavg_1m"] > 0.5 * ncpu
         total = round(sum(timings.values()), 4)
         print(json.dumps({
             "metric": "bench_total",
@@ -349,6 +356,7 @@ def main() -> None:
             "sf": sf,
             "load": {"start": load_start, "end": load_end,
                      "external_cpu_frac": external_frac,
+                     "steal_cpu_frac": steal_frac,
                      "wall_s": round(wall, 2), "ncpu": ncpu},
             "sanity": {"warm_gt_2x_cold": warm_gt_2x,
                        "contaminated": flagged},
