@@ -333,9 +333,13 @@ def main() -> None:
         ncpu = os.cpu_count() or 1
         hz = os.sysconf("SC_CLK_TCK")
         capacity = max(1.0, ncpu * hz * wall)
-        external = max(0, (mach1[0] - mach0[0]) - (tree1 - tree0))
+        # machine busy includes steal (it's a /proc/stat line-1 field), so
+        # subtract it: external = other-VM-visible processes ONLY, keeping
+        # the two metrics orthogonal (steal high + external 0 = hypervisor)
+        d_steal = max(0, mach1[2] - mach0[2])
+        external = max(0, (mach1[0] - mach0[0]) - d_steal - (tree1 - tree0))
         external_frac = round(external / capacity, 4)
-        steal_frac = round(max(0, mach1[2] - mach0[2]) / capacity, 4)
+        steal_frac = round(d_steal / capacity, 4)
 
         warm_gt_2x = sorted(
             n for n in timings

@@ -2165,22 +2165,19 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-# The funnel's S1 is the four STRUCTURAL Gopher rules. The fifth (>= 2 of
+# The funnel's S1 is the four STRUCTURAL Gopher rules
+# (text_queries.GOPHER_STRUCTURAL_SQL, one definition). The fifth (>= 2 of
 # the paper's 8 English stop words) is vocabulary-dependent — FineWeb
 # itself adapts the battery per corpus, and on a corpus whose vocabulary
 # lacks most of the 8 it annihilates the funnel; the full 5-rule battery
 # stays reported per-rule by q_gopher_rules.
-_FUNNEL_GOPHER_SQL = (
-    "n_words BETWEEN 50 AND 100000"
-    " AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words"
-    " AND 10 * n_sym < n_words"
-    " AND 5 * n_alpha > 4 * n_words"
-)
 
 
 def _fineweb_oracle() -> str:
     from .dedup_queries import _mh_oracle
-    from .text_queries import GOPHER_M_SQL
+    from .text_queries import GOPHER_M_SQL, GOPHER_STRUCTURAL_SQL
+
+    _FUNNEL_GOPHER_SQL = GOPHER_STRUCTURAL_SQL
 
     return f"""
     WITH t AS (

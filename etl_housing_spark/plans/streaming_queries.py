@@ -131,6 +131,39 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _two_batch_replay(spark, df, batch2_cond, schema, op, prefix) -> DataFrame:
+    """Replay ``df`` as two micro-batches (rows matching ``batch2_cond``
+    arrive second; mtimes pinned so the file source orders them;
+    ``maxFilesPerTrigger=1`` delivers one file per trigger), run the
+    stateful ``op`` over the stream, and return the fully materialized
+    result. A single-batch availableNow run would process everything
+    against empty state — this harness demonstrates the cross-batch state
+    the stateful operators exist for. run_available_now materializes into
+    a memory sink, so the replay directory is removed before returning
+    (repeated driver sweeps were accumulating unbounded temp-disk —
+    round-4 advisor)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    try:
+        df.filter(~batch2_cond).coalesce(1).write.parquet(f"{d}/p1")
+        df.filter(batch2_cond).coalesce(1).write.parquet(f"{d}/p2")
+        now = 1_700_000_000
+        for sub, t in (("p1", now - 1000), ("p2", now)):
+            for f in os.listdir(f"{d}/{sub}"):
+                os.utime(f"{d}/{sub}/{f}", (t, t))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/*")
+        )
+        return jobs.run_available_now(op(stream))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @query(
     "q_stream_anomaly",
     # Promoted from rows-only in round 4: the operator's per-batch Σv / Σv²
@@ -168,36 +201,19 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "timeseries"),
 )
 def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Replay events as two micro-batches (split on event_id parity, mtimes
-    # pinned so the file source orders them) — a single-batch availableNow
-    # run would score everything against an empty prefix and emit nothing;
-    # this entry demonstrates the cross-batch state the operator exists for.
-    import os
-    import shutil
-    import tempfile
-
+    # two-batch replay split on event_id parity: batch 1 (even ids) builds
+    # the per-type stats, batch 2 (odd ids) is scored against them
     from ..catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    d = tempfile.mkdtemp(prefix="ehs_anom_replay_")
-    try:
-        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{d}/p1")
-        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{d}/p2")
-        now = 1_700_000_000
-        for sub, t in (("p1", now - 1000), ("p2", now)):
-            for f in os.listdir(f"{d}/{sub}"):
-                os.utime(f"{d}/{sub}/{f}", (t, t))
-        stream = (
-            spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/*")
-        )
-        # run_available_now fully materializes into a memory sink, so the
-        # replay directory can be removed before returning (repeated driver
-        # sweeps were accumulating unbounded temp-disk — round-4 advisor)
-        return jobs.run_available_now(jobs.anomaly_stream(stream))
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    return _two_batch_replay(
+        spark,
+        ev,
+        F.col("event_id") % 2 == 1,
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+        jobs.anomaly_stream,
+        "ehs_anom_replay_",
+    )
 
 
 @query(
@@ -326,34 +342,22 @@ def _gate_oracle() -> str:
     tags=("streaming", "dedup", "pipeline"),
 )
 def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two-batch replay (the q_stream_anomaly pattern): banded signatures are
-    # computed map-side by the portable MinHash chain, written as two files
-    # with pinned mtimes so the file source delivers corpus -> ingest batch.
-    import os
-    import shutil
-    import tempfile
-
+    # Two-batch replay (shared _two_batch_replay harness): banded signatures
+    # are computed map-side by the portable MinHash chain; the corpus
+    # (doc_id % 5 <> 0) seeds state, then the ingest batch is gated.
     from .dedup_queries import q_minhash_portable
     from .pipeline_queries import _BAND_STACK
 
     sigs = q_minhash_portable(spark, sf_dir)
     bands = sigs.selectExpr("doc_id", _BAND_STACK)
-    d = tempfile.mkdtemp(prefix="ehs_gate_replay_")
-    try:
-        bands.filter(F.col("doc_id") % 5 != 0).coalesce(1).write.parquet(f"{d}/p1")
-        bands.filter(F.col("doc_id") % 5 == 0).coalesce(1).write.parquet(f"{d}/p2")
-        now = 1_700_000_000
-        for sub, t in (("p1", now - 1000), ("p2", now)):
-            for f in os.listdir(f"{d}/{sub}"):
-                os.utime(f"{d}/{sub}/{f}", (t, t))
-        stream = (
-            spark.readStream.schema("doc_id BIGINT, b INT, bkey STRING")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{d}/*")
-        )
-        hits = jobs.run_available_now(jobs.neardup_gate_stream(stream))
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    hits = _two_batch_replay(
+        spark,
+        bands,
+        F.col("doc_id") % 5 == 0,
+        "doc_id BIGINT, b INT, bkey STRING",
+        jobs.neardup_gate_stream,
+        "ehs_gate_replay_",
+    )
     gated = hits.filter(F.col("doc_id") % 5 == 0)
     return (
         gated.groupBy("doc_id")

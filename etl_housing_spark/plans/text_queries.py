@@ -1441,13 +1441,17 @@ GOPHER_M_SQL = f"""
                + (len(text) - len(replace(text, '…', ''))) AS n_sym
       FROM t"""
 
-GOPHER_KEEP_SQL = (
+# The four structural rules (shared verbatim with q_fineweb_funnel's S1,
+# which drops the vocabulary-dependent stop-word rule); the full battery
+# appends it.
+GOPHER_STRUCTURAL_SQL = (
     "n_words BETWEEN 50 AND 100000"
     " AND 3 * n_words <= n_wchars AND n_wchars <= 10 * n_words"
     " AND 10 * n_sym < n_words"
     " AND 5 * n_alpha > 4 * n_words"
-    " AND n_stop >= 2"
 )
+
+GOPHER_KEEP_SQL = GOPHER_STRUCTURAL_SQL + " AND n_stop >= 2"
 
 
 def gopher_metrics(docs: DataFrame) -> DataFrame:

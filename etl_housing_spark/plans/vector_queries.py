@@ -1190,7 +1190,7 @@ _CLUSTER_CAP = 64  # expected per-cluster keep budget t
       FROM a2 JOIN sizes USING (cid))
     SELECT vec_id, cid, n_c,
            CASE WHEN n_c <= {_CLUSTER_CAP}
-                  OR hv * n_c < {_CLUSTER_CAP} * 4294967296
+                  OR hv <= ({_CLUSTER_CAP} * 4294967296 - 1) // n_c
                 THEN 1 ELSE 0 END AS kept
     FROM h
     """,
@@ -1198,9 +1198,12 @@ _CLUSTER_CAP = 64  # expected per-cluster keep budget t
     f"et al. 2024): embedding k-means clusters (the hash-checked Lloyd fit), "
     f"then head-flattening — clusters at or under the cap t={_CLUSTER_CAP} "
     "keep everything, larger clusters keep each vector with probability "
-    "t/n_c via the deterministic md5-uniform, evaluated as the "
-    "cross-multiplied integer comparison h*n_c < t*2^32 (no float boundary, "
-    "no rand()). Scale shape: broadcast-centroid assignment, one k-row "
+    "t/n_c via the deterministic md5-uniform, evaluated as the integer "
+    "comparison hv <= (t*2^32 - 1) div n_c — algebraically identical to "
+    "the cross-multiplied hv*n_c < t*2^32 but overflow-free at ANY "
+    "cluster size (t*2^32 = 2^38 is the largest intermediate; the product "
+    "form wraps past n_c ~ 2^31). No float boundary, no rand(). Scale "
+    "shape: broadcast-centroid assignment, one k-row "
     "cluster-size aggregate broadcast back, keep decision MAP-ONLY — no "
     "per-cluster window sort, so a skewed head cluster costs a scan, not a "
     "single-partition sort",
@@ -1224,7 +1227,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_c",
         (
             (F.col("n_c") <= _CLUSTER_CAP)
-            | (hv * F.col("n_c") < F.lit(_CLUSTER_CAP) * F.lit(4294967296))
+            | (hv <= F.expr(f"({_CLUSTER_CAP} * 4294967296 - 1) div n_c"))
         )
         .cast("int")
         .alias("kept"),

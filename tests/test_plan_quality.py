@@ -645,9 +645,14 @@ def test_ccnet_perplexity_no_global_sort(spark):
     plan = _plan(_q(spark, "q_ccnet_perplexity"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # the only Sort allowed is the one inside the histogram window, whose
-    # input is the distinct-ce6 table, never the corpus
     assert "Python" not in plan
+    # the tertile must stay discrete-rank over the histogram: exactly the
+    # two cum/total windows (both downstream of the ce6 aggregate), no
+    # NTILE, and no range partitioning (a corpus-wide sort's signature)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2, tree
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" not in plan
 
 
 def test_doremi_weights_windows_only_on_domain_table(spark):
@@ -657,6 +662,12 @@ def test_doremi_weights_windows_only_on_domain_table(spark):
     plan = _plan(_q(spark, "q_doremi_weights"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # both windows (domain min, normalizer) run over the K-row per-source
+    # aggregate: window count pinned, and no range partitioning anywhere —
+    # a window moved upstream of the (source, word) agg would add nodes
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2, tree
+    assert "rangepartitioning" not in plan
 
 
 def test_cluster_balanced_sample_no_window_sort(spark):
