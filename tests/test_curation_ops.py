@@ -411,3 +411,26 @@ def test_unigram_ce_matches_direct_formula(spark, tmp_path_factory, docs_texts):
         expect = math.log(total) - sum(math.log(corpus[w]) for w in words) / len(words)
         assert out[i].n_words == len(words)
         assert abs(out[i].ce6 - round(expect, 6)) < 2e-6, (i, t)
+
+
+def test_fineweb_funnel_exact_stage_shields_lsh_from_dup_floods(spark, tmp_path):
+    # Adversarial shape for any LSH stage: a flood of IDENTICAL documents
+    # would put every copy in every band bucket (one giant bucket => the
+    # pair join goes quadratic). The funnel's ordering defuses it by
+    # construction: exact dedup runs FIRST, so only ONE copy of the flood
+    # reaches the near-dup join. This pins that ordering.
+    base = [f"fl{i:02d}" for i in range(60)]
+    flood = " ".join(base)
+    other = " ".join(f"ok{i:02d}" for i in range(60))
+    rows = [(i, flood, "s") for i in range(40)]  # 40 identical docs
+    rows.append((40, other, "s"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in SPECS["q_fineweb_funnel"].fn(spark, sf).collect()}
+    kept_flood = [i for i in range(40) if out[i].pass_exact == 1]
+    assert kept_flood == [0]  # one survivor of the flood reaches S5
+    assert out[0].pass_neardup == 1  # ...and is kept (no smaller band-mate)
+    # every other copy was stopped BEFORE the LSH stage
+    assert all(out[i].pass_exact == 0 for i in range(1, 40))
+    # the lone unique doc is this corpus's perplexity TAIL (every word
+    # count 1 vs the flood's 40) — dropped at S3, never reaching dedup
+    assert out[40].pass_repetition == 1 and out[40].pass_perplexity == 0
