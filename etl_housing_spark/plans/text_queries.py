@@ -1605,3 +1605,95 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+@query(
+    "q_bpe_encode_ids",
+    # Token-ID encoding — the sequences a trainer actually consumes. IDs are
+    # dense ranks over the learned token vocabulary in token-string order
+    # (deterministic, engine-identical binary collation on the ASCII
+    # alphabet); per-word and per-doc sequences reassemble in original
+    # position order (the q_exact_substr_dedup collect-sort pattern /
+    # string_agg ORDER BY). Emitted as a space-joined string so the value
+    # hash is portable.
+    oracle="WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    "    w AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),\n"
+    "    s0 AS (SELECT w, freq, array_to_string(string_split(w, ''), ' ') AS seq FROM w),"
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """,
+    vt AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS tok FROM s3),
+    vid AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+            FROM vt),
+    wt0 AS (SELECT w, string_split(seq, ' ') AS tks FROM s3),
+    wtp AS (SELECT w, tks, unnest(range(1, len(tks) + 1)) AS pos FROM wt0),
+    wt AS (SELECT w, pos, tks[pos] AS tok FROM wtp),
+    widseq AS (
+      SELECT w, string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS idseq,
+             CAST(COUNT(*) AS BIGINT) AS ntok
+      FROM wt JOIN vid USING (tok) GROUP BY w),
+    d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    dp AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM d0),
+    dw AS (SELECT doc_id, pos, ws[pos] AS w FROM dp WHERE ws[pos] <> '')
+    SELECT doc_id,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           string_agg(idseq, ' ' ORDER BY pos) AS ids
+    FROM dw JOIN widseq USING (w) GROUP BY doc_id
+    """,
+    description="token-ID encoding under the trained BPE tokenizer — the "
+    "actual id sequences a trainer consumes (completes train -> encode -> "
+    "pack at the id level): dense vocabulary ids in token order, per-doc "
+    "sequence reassembled in word-position order. Scale shape: the merge "
+    "fold and id assignment run once per DISTINCT word/token (vocab-sized, "
+    "incl. the one vocab-sized id window), broadcast back onto the corpus "
+    "posexplode; per-doc reassembly is the bounded collect-sort, so the "
+    "only corpus-sized exchanges are the posexplode groupBys",
+    tags=("text", "pipeline"),
+)
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, s = _bpe_chain(docs)
+    vt = s.select(F.explode(F.split("seq", " ")).alias("tok")).distinct()
+    vid = vt.select(
+        "tok",
+        F.row_number().over(Window.orderBy("tok")).cast("bigint").alias("tid"),
+    )
+    wt = s.select("w", F.posexplode(F.split("seq", " ")).alias("pos", "tok"))
+    widseq = (
+        wt.join(F.broadcast(vid), "tok")
+        .groupBy("w")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos", F.col("tid").cast("string").alias("tid_s")
+                            )
+                        )
+                    ),
+                    lambda x: x["tid_s"],
+                ),
+                " ",
+            ).alias("idseq"),
+            F.count(F.lit(1)).cast("bigint").alias("ntok"),
+        )
+    )
+    dw = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    return (
+        dw.join(F.broadcast(widseq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "idseq"))),
+                    lambda x: x["idseq"],
+                ),
+                " ",
+            ).alias("ids"),
+        )
+    )

@@ -434,3 +434,32 @@ def test_fineweb_funnel_exact_stage_shields_lsh_from_dup_floods(spark, tmp_path)
     # the lone unique doc is this corpus's perplexity TAIL (every word
     # count 1 vs the flood's 40) — dropped at S3, never reaching dedup
     assert out[40].pass_repetition == 1 and out[40].pass_perplexity == 0
+
+
+def test_bpe_encode_ids_consistent_with_token_counts(spark, tmp_path):
+    # The id-level encoding must agree with the count-level encoding
+    # (q_bpe_encode) doc for doc, emit exactly n_tokens ids, dense ids
+    # starting at 1, and give identical texts identical id sequences.
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "abab cdcd abab", "s"),
+            (1, "abab cdcd abab", "s"),  # identical text -> identical ids
+            (2, "cdcd efef", "s"),
+            (3, "zz", "s"),
+        ],
+    )
+    ids_out = {r.doc_id: r for r in SPECS["q_bpe_encode_ids"].fn(spark, sf).collect()}
+    cnt_out = {r.doc_id: r for r in SPECS["q_bpe_encode"].fn(spark, sf).collect()}
+    assert set(ids_out) == set(cnt_out) == {0, 1, 2, 3}
+    all_ids = set()
+    for i, r in ids_out.items():
+        toks = r.ids.split(" ")
+        assert len(toks) == r.n_tokens == cnt_out[i].n_bpe_tokens
+        assert all(t.isdigit() and int(t) >= 1 for t in toks)
+        all_ids.update(int(t) for t in toks)
+    assert ids_out[0].ids == ids_out[1].ids
+    assert ids_out[0].ids != ids_out[2].ids
+    # dense vocabulary: ids drawn from 1..max with no required gaps at 1
+    assert min(all_ids) == 1
