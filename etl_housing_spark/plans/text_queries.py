@@ -1607,16 +1607,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bpe_encode_ids",
-    # Token-ID encoding — the sequences a trainer actually consumes. IDs are
-    # dense ranks over the learned token vocabulary in token-string order
-    # (deterministic, engine-identical binary collation on the ASCII
-    # alphabet); per-word and per-doc sequences reassemble in original
-    # position order (the q_exact_substr_dedup collect-sort pattern /
-    # string_agg ORDER BY). Emitted as a space-joined string so the value
-    # hash is portable.
-    oracle="WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+# The full id-encoding SQL (also nested as a subquery by q_pack_sequences —
+# DuckDB allows a WITH inside a parenthesized subquery).
+_BPE_IDS_SQL = (
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
     "    w AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),\n"
     "    s0 AS (SELECT w, freq, array_to_string(string_split(w, ''), ' ') AS seq FROM w),"
     + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
@@ -1638,7 +1632,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(ntok) AS BIGINT) AS n_tokens,
            string_agg(idseq, ' ' ORDER BY pos) AS ids
     FROM dw JOIN widseq USING (w) GROUP BY doc_id
-    """,
+    """
+)
+
+
+@query(
+    "q_bpe_encode_ids",
+    # Token-ID encoding — the sequences a trainer actually consumes. IDs are
+    # dense ranks over the learned token vocabulary in token-string order
+    # (deterministic, engine-identical binary collation on the ASCII
+    # alphabet); per-word and per-doc sequences reassemble in original
+    # position order (the q_exact_substr_dedup collect-sort pattern /
+    # string_agg ORDER BY). Emitted as a space-joined string so the value
+    # hash is portable.
+    oracle=_BPE_IDS_SQL,
     description="token-ID encoding under the trained BPE tokenizer — the "
     "actual id sequences a trainer consumes (completes train -> encode -> "
     "pack at the id level): dense vocabulary ids in token order, per-doc "
@@ -1696,4 +1703,111 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("ids"),
         )
+    )
+
+
+_PACK_L = 32  # ids per packed training sequence
+
+
+@query(
+    "q_pack_sequences",
+    # The tokenize-and-pack artifact itself: fixed-length id buffers in the
+    # GPT concat-then-chunk regime — documents concatenate in doc_id order
+    # within a source shard and are CUT at every L ids, so a doc can span
+    # chunks and a chunk can hold pieces of several docs. Chunk membership
+    # and slice bounds are pure integer arithmetic off the running offset;
+    # piece reassembly is the bounded collect-sort (unique start offsets).
+    # The final chunk per shard is short (no padding — that's a trivial
+    # downstream map, and reporting the honest length keeps the hash exact).
+    oracle=f"""
+    WITH perdoc AS ({_BPE_IDS_SQL}),
+    d AS (
+      SELECT documents.source, perdoc.doc_id, perdoc.n_tokens,
+             string_split(perdoc.ids, ' ') AS arr
+      FROM perdoc JOIN documents USING (doc_id)),
+    c AS (
+      SELECT source, doc_id, n_tokens, arr,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens
+                  AS BIGINT) AS start
+      FROM d),
+    e AS (
+      SELECT source, doc_id, start, n_tokens, arr,
+             unnest(range(start // {_PACK_L},
+                          (start + n_tokens - 1) // {_PACK_L} + 1)) AS chunk_id
+      FROM c),
+    p AS (
+      SELECT source, chunk_id, start,
+             greatest(chunk_id * {_PACK_L} - start, 0) AS frm,
+             least((chunk_id + 1) * {_PACK_L} - start, n_tokens) AS toe,
+             arr
+      FROM e)
+    SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toe - frm) AS BIGINT) AS n_ids,
+           string_agg(array_to_string(list_slice(arr, frm + 1, toe), ' '),
+                      ' ' ORDER BY start) AS ids
+    FROM p GROUP BY source, chunk_id
+    """,
+    description=f"sequence packing at the ID level (the artifact a trainer "
+    f"reads): fixed-{_PACK_L}-id buffers in the concat-then-chunk regime, "
+    "docs split across chunk boundaries, each chunk's ids assembled from "
+    "its doc pieces in offset order, short final chunk reported honestly. "
+    "Scale shape: per-source-shard cumsum window (distributes across "
+    "shards, no global sort), chunk membership exploded by integer "
+    "arithmetic (a doc emits one row per chunk it touches, so total rows "
+    "are corpus-ids / L + docs), piece slicing map-side, one (source, "
+    "chunk) partial-agg; composes the q_bpe_encode_ids chain unchanged",
+    tags=("text", "pipeline"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = q_bpe_encode_ids(spark, sf_dir)
+    d = per.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "doc_id", "n_tokens", F.split("ids", " ").alias("arr")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    e = c.select(
+        "source",
+        "start",
+        "n_tokens",
+        "arr",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {_PACK_L}"),
+                F.expr(f"(start + n_tokens - 1) div {_PACK_L}"),
+            )
+        ).alias("chunk_id"),
+    )
+    frm = F.greatest(F.col("chunk_id") * _PACK_L - F.col("start"), F.lit(0))
+    toe = F.least(
+        (F.col("chunk_id") + 1) * _PACK_L - F.col("start"), F.col("n_tokens")
+    )
+    p = e.select(
+        "source",
+        "chunk_id",
+        "start",
+        (toe - frm).alias("plen"),
+        F.array_join(
+            F.slice("arr", (frm + 1).cast("int"), (toe - frm).cast("int")), " "
+        ).alias("piece"),
+    )
+    return p.groupBy("source", F.col("chunk_id").cast("bigint").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("plen").cast("bigint").alias("n_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("start", "piece"))),
+                lambda x: x["piece"],
+            ),
+            " ",
+        ).alias("ids"),
     )

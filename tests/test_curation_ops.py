@@ -463,3 +463,33 @@ def test_bpe_encode_ids_consistent_with_token_counts(spark, tmp_path):
     assert ids_out[0].ids != ids_out[2].ids
     # dense vocabulary: ids drawn from 1..max with no required gaps at 1
     assert min(all_ids) == 1
+
+
+def test_pack_sequences_reconstructs_the_id_stream(spark, tmp_path):
+    # Packing invariants: (1) concatenating chunks in chunk order per source
+    # reproduces the per-doc id stream in doc order exactly; (2) every
+    # chunk except the last per source holds exactly L=32 ids; (3) n_ids
+    # matches the payload.
+    rows = []
+    did = 0
+    for src in ("sa", "sb"):
+        for d in range(5):
+            rows.append((did, " ".join(f"{src}w{d}{i:02d}" for i in range(10)), src))
+            did += 1
+    sf = _write_docs(spark, tmp_path, rows)
+    per = {r.doc_id: r for r in SPECS["q_bpe_encode_ids"].fn(spark, sf).collect()}
+    docsrc = {i: s for i, (_, _, s) in zip(range(did), [(None, None, r[2]) for r in rows])}
+    chunks = SPECS["q_pack_sequences"].fn(spark, sf).collect()
+    by_src = {}
+    for r in chunks:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.n_ids == len(r.ids.split(" "))
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        for r in rs[:-1]:
+            assert r.n_ids == 32, (src, r.chunk_id, r.n_ids)
+        packed = " ".join(r.ids for r in rs)
+        stream = " ".join(
+            per[i].ids for i in sorted(per) if docsrc[i] == src
+        )
+        assert packed == stream, src
