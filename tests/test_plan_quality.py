@@ -691,3 +691,13 @@ def test_fineweb_funnel_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_shardwise_no_global_sort(spark):
+    """Packing must window per source shard and broadcast the vocab-sized
+    id tables — no corpus-wide range partitioning, no cartesian."""
+    plan = _plan(_q(spark, "q_pack_sequences"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan
