@@ -1811,3 +1811,158 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("ids"),
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    # Fertility — the standard tokenizer-quality metric across languages
+    # (tokens per word; chars per token): a tokenizer trained on one
+    # language mix "over-segments" the others, and fertility is how that is
+    # measured and reported. Uses the same trained-BPE vocabulary table as
+    # q_bpe_encode, grouped by the documents' lang column.
+    oracle="WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    "    w AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),\n"
+    "    s0 AS (SELECT w, freq, array_to_string(string_split(w, ''), ' ') AS seq FROM w),"
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """,
+    v AS (SELECT w, len(string_split(seq, ' ')) AS n_tok FROM s3),
+    dl AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    d2 AS (SELECT lang, doc_id, w FROM dl WHERE w <> '')
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.n_tok) AS BIGINT) AS n_tokens,
+           ROUND(SUM(v.n_tok) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+           ROUND(SUM(len(d2.w)) / CAST(SUM(v.n_tok) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM d2 JOIN v USING (w)
+    GROUP BY lang
+    """,
+    description="tokenizer fertility report per language (tokens/word and "
+    "chars/token under the trained BPE tokenizer) — THE cross-lingual "
+    "tokenizer-quality metric: a vocabulary fit to one language mix "
+    "over-segments the rest, and this is the table that shows it. Same "
+    "scale shape as q_bpe_encode: the merge fold runs once per DISTINCT "
+    "word, vocab table broadcast onto the exploded corpus, one partial-agg "
+    "groupBy on the K languages",
+    tags=("text", "pipeline"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, s = _bpe_chain(docs)
+    v = s.select("w", F.size(F.split("seq", " ")).alias("n_tok"))
+    d2 = docs.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        d2.join(F.broadcast(v), "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_tok") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "fertility"
+            ),
+            F.round(
+                F.sum(F.length("w")) / F.sum("n_tok").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@query(
+    "q_pack_efficiency",
+    # Packing-efficiency report (the metric of Krell et al. 2021,
+    # "Efficient Sequence Packing without Cross-contamination"): how full
+    # the fixed-length buffers are, how many documents a chunk straddles,
+    # and the padding waste the shard would pay — derived from
+    # q_pack_sequences' chunks per source shard.
+    oracle=f"""
+    WITH perdoc AS ({_BPE_IDS_SQL}),
+    d AS (
+      SELECT documents.source, perdoc.doc_id, perdoc.n_tokens
+      FROM perdoc JOIN documents USING (doc_id)),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens
+                  AS BIGINT) AS start
+      FROM d),
+    e AS (
+      SELECT source, doc_id,
+             unnest(range(start // {_PACK_L},
+                          (start + n_tokens - 1) // {_PACK_L} + 1)) AS chunk_id,
+             n_tokens, start
+      FROM c),
+    p AS (
+      SELECT source, chunk_id,
+             COUNT(*) AS n_docs,
+             SUM(least((chunk_id + 1) * {_PACK_L}, start + n_tokens)
+                 - greatest(chunk_id * {_PACK_L}, start)) AS fill
+      FROM e GROUP BY source, chunk_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(fill) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN fill = {_PACK_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full,
+           ROUND(SUM(fill) / CAST(COUNT(*) * {_PACK_L} AS DOUBLE), 6)
+             AS fill_rate,
+           ROUND(AVG(CAST(n_docs AS DOUBLE)), 6) AS avg_docs_per_chunk,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_chunk
+    FROM p GROUP BY source
+    """,
+    description=f"packing-efficiency report per source shard (Krell et al. "
+    f"2021's metric): chunk count, id count, full-chunk count, fill rate "
+    f"vs the {_PACK_L}-id budget (1 - fill_rate = padding waste), and "
+    "docs-per-chunk stats (cross-contamination exposure in the concat "
+    "regime). Derived by the same integer chunk arithmetic as "
+    "q_pack_sequences without materializing the id payloads at all — "
+    "the report costs one exploded (doc, chunk) row stream and two "
+    "partial-agg groupBys",
+    tags=("text", "pipeline"),
+)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = q_bpe_encode_ids(spark, sf_dir).select("doc_id", "n_tokens")
+    d = per.join(docs.select("doc_id", "source"), "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    e = c.select(
+        "source",
+        "start",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {_PACK_L}"),
+                F.expr(f"(start + n_tokens - 1) div {_PACK_L}"),
+            )
+        ).alias("chunk_id"),
+    )
+    fill = F.least(
+        (F.col("chunk_id") + 1) * _PACK_L, F.col("start") + F.col("n_tokens")
+    ) - F.greatest(F.col("chunk_id") * _PACK_L, F.col("start"))
+    p = e.groupBy("source", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(fill).alias("fill")
+    )
+    return p.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("fill").cast("bigint").alias("n_ids"),
+        F.sum((F.col("fill") == _PACK_L).cast("int")).cast("bigint").alias("n_full"),
+        F.round(
+            F.sum("fill") / (F.count(F.lit(1)) * _PACK_L).cast("double"), 6
+        ).alias("fill_rate"),
+        F.round(F.avg(F.col("n_docs").cast("double")), 6).alias(
+            "avg_docs_per_chunk"
+        ),
+        F.max("n_docs").cast("bigint").alias("max_docs_per_chunk"),
+    )

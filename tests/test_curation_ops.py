@@ -493,3 +493,20 @@ def test_pack_sequences_reconstructs_the_id_stream(spark, tmp_path):
             per[i].ids for i in sorted(per) if docsrc[i] == src
         )
         assert packed == stream, src
+
+
+def test_pack_efficiency_consistent_with_packed_chunks(spark, tmp_path):
+    # The report must agree with the materialized chunks it describes:
+    # same chunk counts, same id totals, fill_rate = n_ids/(n_chunks*32),
+    # and every non-final chunk full.
+    rows = [(i, " ".join(f"w{i}x{j:02d}" for j in range(12)), "s") for i in range(6)]
+    sf = _write_docs(spark, tmp_path, rows)
+    rep = {r.source: r for r in SPECS["q_pack_efficiency"].fn(spark, sf).collect()}
+    chunks = SPECS["q_pack_sequences"].fn(spark, sf).collect()
+    assert set(rep) == {"s"}
+    r = rep["s"]
+    assert r.n_chunks == len(chunks)
+    assert r.n_ids == sum(c.n_ids for c in chunks)
+    assert r.n_full == sum(1 for c in chunks if c.n_ids == 32)
+    assert r.fill_rate == pytest.approx(r.n_ids / (r.n_chunks * 32), abs=1e-6)
+    assert r.max_docs_per_chunk == max(c.n_docs for c in chunks)
