@@ -2417,3 +2417,157 @@ def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pass_neardup") / F.count(F.lit(1)).cast("double"), 6
         ).alias("keep_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# The quality classifier (the GPT-3 / PaLM CommonCrawl filter: a linear
+# classifier on hashed bag-of-ngram features, trained target-vs-raw, whose
+# score gates or importance-samples the raw corpus). Portable exact form:
+# logistic regression on the same hashed-bigram buckets as q_dsir_weight,
+# two unrolled full-batch gradient-descent rounds from w=0 — the same
+# unroll-and-decimal discipline as q_kmeans_portable: every gradient
+# accumulates per-term in DECIMAL(38,18) (order-free), sigmoid/exp run on
+# 6dp-rounded identical doubles, so the trained weights and every score
+# hash-match DuckDB.
+# --------------------------------------------------------------------------
+
+_QC_LR = 5.0  # full-batch learning rate (scale only; 2 rounds, fixed)
+
+
+@query(
+    "q_quality_classifier_portable",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source = 'src1' AS is_tgt, string_split(text, ' ') AS tk
+      FROM documents),
+    bg AS (
+      SELECT doc_id, is_tgt,
+             CAST('0x' || substr(md5(b), 1, 8) AS BIGINT) % {_DSIR_B} AS bucket
+      FROM (SELECT doc_id, is_tgt,
+              unnest(CASE WHEN len(tk) >= 2 THEN
+                 list_transform(
+                   list_filter(list_zip(tk, tk[2:]), p -> p[2] IS NOT NULL),
+                   p -> concat_ws(' ', p[1], p[2]))
+               ELSE [array_to_string(tk, ' ')] END) AS b
+            FROM t)),
+    x AS (
+      SELECT doc_id, is_tgt, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bg GROUP BY doc_id, is_tgt, bucket),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t),
+    -- round 1 from w = 0: p = 0.5 exactly for every doc
+    g1 AS (
+      SELECT bucket,
+             CAST(SUM(CAST(n * (0.5 - CASE WHEN is_tgt THEN 1 ELSE 0 END)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS g
+      FROM x GROUP BY bucket),
+    w1 AS (
+      SELECT bucket, -{_QC_LR} * g / n_docs AS w FROM g1, nn),
+    -- round 2: score with w1, then one more gradient step
+    z1 AS (
+      SELECT x.doc_id, x.is_tgt,
+             ROUND(CAST(SUM(CAST(x.n * w1.w AS DECIMAL(38,18))) AS DOUBLE), 6)
+               AS z
+      FROM x JOIN w1 USING (bucket) GROUP BY x.doc_id, x.is_tgt),
+    p1 AS (SELECT doc_id, is_tgt, 1.0 / (1.0 + exp(-z)) AS p FROM z1),
+    g2 AS (
+      SELECT x.bucket,
+             CAST(SUM(CAST(x.n * (p1.p - CASE WHEN x.is_tgt THEN 1 ELSE 0 END)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS g
+      FROM x JOIN p1 USING (doc_id) GROUP BY x.bucket),
+    w2 AS (
+      SELECT w1.bucket, w1.w - {_QC_LR} * g2.g / nn.n_docs AS w
+      FROM w1 JOIN g2 ON w1.bucket = g2.bucket, nn)
+    SELECT x.doc_id,
+           CAST(MAX(CASE WHEN x.is_tgt THEN 1 ELSE 0 END) AS INT) AS is_tgt,
+           ROUND(CAST(SUM(CAST(x.n * w2.w AS DECIMAL(38,18))) AS DOUBLE), 6)
+             AS z,
+           ROUND(1.0 / (1.0 + exp(
+             -ROUND(CAST(SUM(CAST(x.n * w2.w AS DECIMAL(38,18))) AS DOUBLE), 6)
+           )), 6) AS score
+    FROM x JOIN w2 USING (bucket) GROUP BY x.doc_id
+    """,
+    description=f"the GPT-3/PaLM-style quality classifier, trained IN-ENGINE "
+    f"and hash-checked: logistic regression on {_DSIR_B} hashed-bigram "
+    "buckets (the q_dsir_weight feature map), target domain source='src1' "
+    "vs the rest, two unrolled full-batch gradient rounds from w=0 (the "
+    "q_kmeans_portable unroll discipline) — per-term DECIMAL(38,18) "
+    "gradient accumulation, sigmoid on 6dp-rounded identical doubles, so "
+    "weights and every per-doc score are bit-identical cross-engine. "
+    "Scale shape: each round is one corpus-bigram-sized partial-agg plus "
+    "an O(B) weight table broadcast back; nothing ever shuffles more than "
+    "the (doc, bucket) count matrix, and rounds are data-parallel "
+    "full-batch GD exactly as a distributed trainer runs it",
+    tags=("pipeline", "text", "ml"),
+)
+def q_quality_classifier_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.concat_ws(" ", F.col("tk")[i], F.col("tk")[i + 1]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("tk"))))
+    bg = (
+        docs.select(
+            "doc_id", (F.col("source") == "src1").alias("is_tgt"), tk.alias("tk")
+        )
+        .select("doc_id", "is_tgt", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id",
+            "is_tgt",
+            (F.conv(F.substring(F.md5("b"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias(
+                "bucket"
+            ),
+        )
+    )
+    x = bg.groupBy("doc_id", "is_tgt", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    y = F.when(F.col("is_tgt"), 1).otherwise(0)
+    dec = "decimal(38,18)"
+    g1 = x.groupBy("bucket").agg(
+        F.sum((F.col("n") * (F.lit(0.5) - y)).cast(dec)).cast("double").alias("g")
+    )
+    w1 = g1.crossJoin(F.broadcast(nn)).select(
+        "bucket", (-_QC_LR * F.col("g") / F.col("n_docs")).alias("w")
+    )
+    z1 = (
+        x.join(F.broadcast(w1), "bucket")
+        .groupBy("doc_id", "is_tgt")
+        .agg(
+            F.round(F.sum((F.col("n") * F.col("w")).cast(dec)).cast("double"), 6).alias(
+                "z"
+            )
+        )
+    )
+    p1 = z1.select(
+        "doc_id", "is_tgt", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p")
+    )
+    g2 = (
+        x.join(p1.select("doc_id", "p"), "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("n") * (F.col("p") - y)).cast(dec)).cast("double").alias("g")
+        )
+    )
+    w2 = (
+        w1.join(g2, "bucket")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "bucket",
+            (F.col("w") - _QC_LR * F.col("g") / F.col("n_docs")).alias("w"),
+        )
+    )
+    zf = F.round(F.sum((F.col("n") * F.col("w")).cast(dec)).cast("double"), 6)
+    return (
+        x.join(F.broadcast(w2), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.max(y).cast("int").alias("is_tgt"),
+            zf.alias("z"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 6).alias("score"),
+        )
+    )

@@ -510,3 +510,26 @@ def test_pack_efficiency_consistent_with_packed_chunks(spark, tmp_path):
     assert r.n_full == sum(1 for c in chunks if c.n_ids == 32)
     assert r.fill_rate == pytest.approx(r.n_ids / (r.n_chunks * 32), abs=1e-6)
     assert r.max_docs_per_chunk == max(c.n_docs for c in chunks)
+
+
+def test_quality_classifier_separates_target_like_docs(spark, tmp_path):
+    # Two GD rounds on the hashed-bigram features must already order docs
+    # by target-likeness: raw docs sharing the target's bigrams outscore
+    # raw docs that don't, and the target docs themselves score highest.
+    tgt = "alpha beta alpha beta alpha beta"
+    like = "alpha beta alpha beta"
+    unlike = "gamma delta gamma delta"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, tgt, "src1"), (1, tgt, "src1"), (2, like, "src9"), (3, unlike, "src9")],
+    )
+    out = {
+        r.doc_id: r
+        for r in SPECS["q_quality_classifier_portable"].fn(spark, sf).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}  # scores every doc, target included
+    assert (out[0].is_tgt, out[2].is_tgt, out[3].is_tgt) == (1, 0, 0)
+    assert out[2].score > out[3].score  # target-like raw doc wins
+    assert out[0].score > out[3].score  # target itself scores high
+    assert 0.0 < out[3].score < 1.0  # a probability, not a degenerate 0/1
