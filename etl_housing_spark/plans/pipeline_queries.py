@@ -2571,3 +2571,124 @@ def q_quality_classifier_portable(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zf)), 6).alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Held-out LM scoring with Jelinek-Mercer interpolation (Chen & Goodman
+# 1996/1998's baseline smoother): p(w2|w1) = 0.7*p_ML(w2|w1) +
+# 0.2*p_uni(w2) + 0.1/V. Unlike q_lm_score (which scores docs under an LM
+# trained on the same corpus, so every bigram is seen), this trains on
+# doc_id % 7 != 0 and scores the HELD-OUT slice — where unseen bigrams and
+# unseen words actually occur, which is exactly what the interpolation
+# exists to handle (the uniform 1/V floor keeps every probability
+# positive, so no -inf escapes into the score).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_lm_heldout_jm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tr AS (SELECT * FROM toks WHERE doc_id % 7 <> 0),
+    ho AS (SELECT * FROM toks WHERE doc_id % 7 = 0),
+    uni AS (SELECT unnest(t) AS tok FROM tr),
+    c1 AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    tv AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tok,
+                  CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+    c12 AS (
+      SELECT bigram, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(
+                 list_filter(list_zip(t, t[2:]), p -> p[2] IS NOT NULL),
+                 p -> concat_ws(' ', p[1], p[2]))) AS bigram
+        FROM tr) GROUP BY bigram),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(list_zip(t, t[2:]), p -> p[2] IS NOT NULL),
+               p -> concat_ws(' ', p[1], p[2]))) AS bigram
+      FROM ho),
+    p AS (
+      SELECT o.doc_id,
+             0.7 * (CASE WHEN c12.c IS NOT NULL AND w1.c IS NOT NULL
+                         THEN c12.c / CAST(w1.c AS DOUBLE) ELSE 0 END)
+             + 0.2 * (CASE WHEN w2.c IS NOT NULL
+                           THEN w2.c / CAST(tv.t_tok AS DOUBLE) ELSE 0 END)
+             + 0.1 / CAST(tv.v AS DOUBLE) AS prob
+      FROM occ o
+      LEFT JOIN c12 ON o.bigram = c12.bigram
+      LEFT JOIN c1 w1 ON string_split(o.bigram, ' ')[1] = w1.tok
+      LEFT JOIN c1 w2 ON string_split(o.bigram, ' ')[2] = w2.tok, tv)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           {{DAVG}} AS lm_score,
+           ROUND(exp(-({{DAVG}})), 6) AS ppl
+    FROM p GROUP BY doc_id
+    """.replace("{DAVG}", sql_davg("ln(prob)")),
+    description="held-out LM scoring with Jelinek-Mercer interpolation "
+    "(Chen & Goodman's baseline smoother): train the bigram/unigram LM on "
+    "doc_id % 7 <> 0, score the held-out slice with 0.7*p_ML(w2|w1) + "
+    "0.2*p_uni(w2) + 0.1/V — the uniform floor keeps unseen events "
+    "positive, which is the whole point of smoothing and what q_lm_score's "
+    "same-corpus MLE never faces. Per-doc mean log prob via the "
+    "decimal-exact davg plus the implied perplexity. Scale shape: two "
+    "train-side grouped counts, three equi-joins on token keys against the "
+    "held-out bigram stream, scalar (T, V) broadcast in-plan, one per-doc "
+    "partial-agg — hot-token skew salts like every token join here",
+    tags=("pipeline", "text"),
+)
+def q_lm_heldout_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import davg
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tr = toks.filter(F.col("doc_id") % 7 != 0)
+    ho = toks.filter(F.col("doc_id") % 7 == 0)
+    bigrams = F.expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"
+    )
+    c1 = (
+        tr.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tv = c1.agg(
+        F.sum("c").cast("bigint").alias("t_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    c12 = (
+        tr.filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    occ = ho.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    w1 = c1.select(F.col("tok").alias("tok1"), F.col("c").alias("cw1"))
+    w2 = c1.select(F.col("tok").alias("tok2"), F.col("c").alias("cw2"))
+    prob = (
+        0.7
+        * F.when(
+            F.col("c12").isNotNull() & F.col("cw1").isNotNull(),
+            F.col("c12") / F.col("cw1").cast("double"),
+        ).otherwise(0.0)
+        + 0.2
+        * F.when(
+            F.col("cw2").isNotNull(), F.col("cw2") / F.col("t_tok").cast("double")
+        ).otherwise(0.0)
+        + 0.1 / F.col("v").cast("double")
+    )
+    p = (
+        occ.join(c12, "bigram", "left")
+        .join(w1, F.expr("split(bigram, ' ')[0]") == F.col("tok1"), "left")
+        .join(w2, F.expr("split(bigram, ' ')[1]") == F.col("tok2"), "left")
+        .crossJoin(F.broadcast(tv))
+        .select("doc_id", prob.alias("prob"))
+    )
+    lp = F.log("prob")
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        davg(lp).alias("lm_score"),
+        F.round(F.exp(-davg(lp)), 6).alias("ppl"),
+    )

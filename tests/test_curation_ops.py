@@ -533,3 +533,32 @@ def test_quality_classifier_separates_target_like_docs(spark, tmp_path):
     assert out[2].score > out[3].score  # target-like raw doc wins
     assert out[0].score > out[3].score  # target itself scores high
     assert 0.0 < out[3].score < 1.0  # a probability, not a degenerate 0/1
+
+
+def test_lm_heldout_jm_smooths_unseen_events(spark, tmp_path):
+    # Train on ids % 7 != 0 ("alpha beta" world); held-out docs contain
+    # seen bigrams (doc 0), a mix (doc 14: one seen bigram + one fully
+    # novel), and nothing the LM ever saw (doc 7). The interpolation's
+    # uniform floor must keep even doc 7 finite, and scores must order by
+    # how much of the doc the LM explains.
+    import math
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta alpha beta", "s"),
+            (2, "alpha beta alpha beta", "s"),
+            (3, "alpha beta gamma", "s"),
+            (0, "alpha beta alpha beta", "s"),  # held-out: all seen
+            (7, "zeta eta zeta", "s"),  # held-out: fully novel
+            (14, "alpha beta nu", "s"),  # held-out: one seen, one novel
+        ],
+    )
+    out = {r.doc_id: r for r in SPECS["q_lm_heldout_jm"].fn(spark, sf).collect()}
+    assert set(out) == {0, 7, 14}  # only the held-out slice is scored
+    for r in out.values():
+        assert math.isfinite(r.lm_score) and r.ppl > 0  # the floor held
+    assert out[0].lm_score > out[14].lm_score > out[7].lm_score
+    assert out[0].ppl < out[14].ppl < out[7].ppl
+    assert out[7].n_bigrams == 2
