@@ -1362,6 +1362,156 @@ def _bpe_chain(docs: DataFrame):
     return merges, s
 
 
+def _wp_round_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+    u{i} AS (
+      SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym FROM s{p})
+      GROUP BY sym),
+    p{i} AS (
+      SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest(list_transform(
+               list_filter(list_zip(l, l[2:]), q -> q[2] IS NOT NULL),
+               q -> [q[1], q[2]])) AS pr
+            FROM (SELECT freq, string_split(seq, ' ') AS l FROM s{p}))
+      GROUP BY pr[1], pr[2]),
+    m{i} AS (
+      SELECT p{i}.a AS a, p{i}.b AS b, p{i}.cnt AS cnt,
+             ua.cnt AS cnt_a, ub.cnt AS cnt_b
+      FROM p{i}
+      JOIN u{i} ua ON ua.sym = p{i}.a
+      JOIN u{i} ub ON ub.sym = p{i}.b
+      ORDER BY CAST(p{i}.cnt AS DOUBLE)
+                 / (CAST(ua.cnt AS DOUBLE) * CAST(ub.cnt AS DOUBLE)) DESC,
+               a, b
+      LIMIT 1),
+    s{i} AS (
+      SELECT w, freq,
+             list_reduce(string_split(seq, ' '),
+               (acc, x) -> CASE WHEN (acc = m{i}.a OR ends_with(acc, ' ' || m{i}.a))
+                                     AND x = m{i}.b
+                           THEN acc || m{i}.b ELSE acc || ' ' || x END) AS seq
+      FROM s{p} CROSS JOIN m{i})"""
+
+
+@query(
+    "q_wordpiece_merges_portable",
+    # WordPiece merge TRAINING (Schuster & Nakajima 2012; the BERT
+    # tokenizer's trainer) — the second published tokenizer-learning family
+    # next to q_bpe_merges_portable, differing only in the argmax objective:
+    # BPE merges the most FREQUENT adjacent pair; WordPiece merges the pair
+    # maximizing the LIKELIHOOD gain score count(ab)/(count(a)*count(b))
+    # (the pointwise "glue" of the pair under a unigram LM over the current
+    # segmentation). 3 unrolled rounds; symbol unigram counts and pair
+    # counts both corpus-weighted over the DISTINCT-WORD table; the argmax
+    # compares scores as IEEE doubles — cnt/(cnt_a*cnt_b) where every
+    # operand is an exact integer ≤ 2^40, so the divide and multiply are
+    # correctly rounded and BIT-IDENTICAL on Spark and DuckDB — ties broken
+    # (a, b) asc; the rewrite is the same exact canonical greedy
+    # left-to-right fold the BPE trainer proved. The emitted table is ALL
+    # INTEGERS AND STRINGS (rnd, a, b, cnt, cnt_a, cnt_b — the score is the
+    # exact rational cnt/(cnt_a*cnt_b), reported by numerator and
+    # denominator factors), so the cross-engine hash never touches a float.
+    # Scale shape identical to BPE: vocab-sized shuffles only (one unigram
+    # agg + one pair agg per round), 1-row argmax broadcast into the
+    # rewrite, corpus weight rides as a frequency column.
+    oracle="WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),\n"
+    "    w AS (SELECT w, COUNT(*) AS freq FROM tok WHERE w <> '' GROUP BY w),\n"
+    "    s0 AS (SELECT w, freq, array_to_string(string_split(w, ''), ' ') AS seq FROM w),"
+    + ",".join(_wp_round_sql(i) for i in (1, 2, 3))
+    + """
+    SELECT CAST(1 AS INTEGER) AS rnd, a, b, cnt, cnt_a, cnt_b FROM m1
+    UNION ALL SELECT 2, a, b, cnt, cnt_a, cnt_b FROM m2
+    UNION ALL SELECT 3, a, b, cnt, cnt_a, cnt_b FROM m3
+    """,
+    description="WordPiece merge training (the BERT tokenizer's learner), "
+    "hash-checked: 3 unrolled rounds over char-level symbol sequences of the "
+    "distinct-word table, argmax on the likelihood score cnt(ab)/(cnt(a)*cnt(b)) "
+    "— exact-integer operands through correctly-rounded IEEE ops, so the "
+    "ordering is bit-identical cross-engine — ties (a,b) asc, then the same "
+    "exact canonical greedy left-to-right merge fold as the BPE trainer; "
+    "output is all integers/strings (score reported as its exact rational "
+    "factors); vocab-sized shuffles, corpus weight as a frequency column",
+    tags=("text", "pipeline"),
+)
+def q_wordpiece_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = _wordpiece_chain(docs)
+    return merges[0].unionByName(merges[1]).unionByName(merges[2])
+
+
+def _wordpiece_chain(docs: DataFrame):
+    """Three unrolled WordPiece training rounds over the distinct-word table.
+
+    Identical scaffolding to :func:`_bpe_chain` (same distinct-word base,
+    same canonical greedy rewrite fold); only the per-round argmax differs —
+    likelihood score cnt(ab)/(cnt(a)·cnt(b)) instead of raw pair count.
+    Returns (per-round 1-row merge frames, final rewritten sequences).
+    """
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = tracked_persist(w)
+    s = w.select("w", "freq", F.concat_ws(" ", F.split("w", "")).alias("seq"))
+    merges = []
+    for rnd in (1, 2, 3):
+        symbols = F.split(F.col("seq"), " ")
+        prs = F.zip_with(
+            F.slice(symbols, 1, F.size(symbols) - 1),
+            F.slice(symbols, 2, F.size(symbols) - 1),
+            lambda x, y: F.array(x, y),
+        )
+        # corpus-weighted unigram symbol counts over the CURRENT segmentation
+        # — the denominator of the WordPiece score; vocab-sized, one agg
+        uni = (
+            s.select("freq", F.explode(symbols).alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("freq").alias("ucnt"))
+        )
+        pairs = (
+            s.select("freq", F.explode(prs).alias("pr"))
+            .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        scored = pairs.join(
+            F.broadcast(uni.select(F.col("sym").alias("a"), F.col("ucnt").alias("cnt_a"))),
+            "a",
+        ).join(
+            F.broadcast(uni.select(F.col("sym").alias("b"), F.col("ucnt").alias("cnt_b"))),
+            "b",
+        )
+        # exact-integer operands through correctly-rounded IEEE divide —
+        # bit-identical to the DuckDB oracle's ORDER BY expression
+        score = F.col("cnt").cast("double") / (
+            F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")
+        )
+        best = (
+            scored.orderBy(F.desc(score), "a", "b")
+            .limit(1)
+            .select(F.lit(rnd).alias("rnd"), "a", "b", "cnt", "cnt_a", "cnt_b")
+        )
+        merges.append(best)
+        bj = best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
+        s = (
+            s.crossJoin(F.broadcast(bj))
+            .select("w", "freq", "_a", "_b", F.split("seq", " ").alias("l"))
+            .selectExpr(
+                "w",
+                "freq",
+                # same exact canonical greedy left-to-right fold as
+                # _bpe_chain (see the proof comment there)
+                "aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> "
+                "IF((acc = _a OR endswith(acc, concat(' ', _a))) AND x = _b, "
+                "concat(acc, _b), concat(acc, ' ', x))) AS seq",
+            )
+        )
+    return merges, s
+
+
 @query(
     "q_repetition_ratio",
     # The Gopher/MassiveText "repeated n-gram" quality rule (Rae et al.

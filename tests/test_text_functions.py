@@ -159,3 +159,55 @@ def test_bpe_merges_match_reference_trainer(spark):
         for r in all_queries()["q_bpe_merges_portable"].fn(spark, sf).orderBy("rnd").collect()
     ]
     assert got == expected
+
+
+def test_wordpiece_merges_match_reference_trainer(spark):
+    """q_wordpiece_merges_portable must agree with an in-memory WordPiece
+    trainer that scores with EXACT rationals (Fraction) — proving the
+    engine's double-based argmax picks the same pair the exact arithmetic
+    picks, and that the greedy rewrite conforms (the cross-engine hash
+    alone could not catch a flaw shared by both engines)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("text").collect()
+    freq = Counter(w for r in docs for w in r["text"].split(" ") if w)
+
+    seqs = {w: list(w) for w in freq}
+    expected = []
+    for _ in range(3):
+        uni = Counter()
+        pairs = Counter()
+        for w, syms in seqs.items():
+            for x in syms:
+                uni[x] += freq[w]
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += freq[w]
+        (a, b), cnt = min(
+            pairs.items(),
+            key=lambda kv: (-Fraction(kv[1], uni[kv[0][0]] * uni[kv[0][1]]), kv[0]),
+        )
+        expected.append((a, b, cnt, uni[a], uni[b]))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+
+    got = [
+        (r["a"], r["b"], r["cnt"], r["cnt_a"], r["cnt_b"])
+        for r in all_queries()["q_wordpiece_merges_portable"]
+        .fn(spark, sf)
+        .orderBy("rnd")
+        .collect()
+    ]
+    assert got == expected
