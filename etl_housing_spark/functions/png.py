@@ -69,19 +69,27 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
     pos, width = 8, 0
     height = depth = ctype = interlace = 0
     idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
+    try:
+        while pos < len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                if len(body) < 13:
+                    raise ValueError("PNG IHDR chunk is undersized")
+                width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body[:13]
+                )
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+    except struct.error as e:
+        # truncated chunk header: surface the documented ValueError so the
+        # mapInPandas stages' per-payload isolation catches it (the wav.py
+        # EOFError / avi.py struct.error lesson, applied to the third codec)
+        raise ValueError(f"truncated PNG chunk stream: {e}") from e
     if depth != 8 or ctype not in _CHANNELS or interlace != 0:
         raise NotImplementedError(
             f"pure-python PNG fixture decodes 8-bit grey/RGB/RGBA non-interlaced "
@@ -90,7 +98,10 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
         )
     ch = _CHANNELS[ctype]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline payload has the wrong length")
     out = bytearray(stride * height)

@@ -125,23 +125,41 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                decoded = None
                 if _is_real_image(b):
                     if not have_pil and b[:3] == _JPEG_MAGIC:
+                        # missing LIBRARY, not a bad payload: every JPEG in
+                        # the corpus would stub to garbage — fail loudly in
+                        # either mode (environment boundary, pinned by test)
                         raise NotImplementedError(
                             "payload is a JPEG but Pillow is not installed on "
                             "this worker — install PIL/libjpeg to decode it"
                         )
                     # PNG decodes with or without Pillow (pure-stdlib
                     # fallback in functions/png.py for greyscale)
-                    w, h, mean_luma = _decode_real(b)
+                    try:
+                        decoded = _decode_real(b)
+                    except (ValueError, NotImplementedError):
+                        # malformed/unsupported-subset payload: one bad row
+                        # must not kill the task — stub unless strict (the
+                        # decode_audio / decode_video family contract)
+                        if strict:
+                            raise
+                if decoded is not None:
+                    w, h, mean_luma = decoded
                 else:
                     if strict:
                         raise NotImplementedError(
                             "synthetic payload and strict=True: a real image decode "
                             "requires PIL/libjpeg — wire the codec here"
                         )
-                    w, h = _decode_header(b)
                     digest = hashlib.sha256(b).digest()
+                    if _is_real_image(b):
+                        # malformed real-magic payload: digest-derived stub
+                        # (the 8-byte header convention belongs to fake/v1)
+                        w, h = 16 + digest[1] % 64, 16 + digest[2] % 64
+                    else:
+                        w, h = _decode_header(b)
                     mean_luma = digest[0] / 255.0
                 rows.append((mid, w, h, mean_luma))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "mean_luma"])
@@ -368,9 +386,72 @@ def frame_sample(df: DataFrame, every_n: int = 2, strict: bool = False) -> DataF
     return sampled.mapInPandas(cut, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id BIGINT, payload BINARY, width INT, height INT"
+
+
+def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
+    """REAL nearest-neighbor resize for decodable payloads (the stage
+    resize_stub only sketched): greyscale PNGs are decoded with the
+    pure-stdlib codec (functions/png.py), resampled on the classic floor
+    mapping ``src_x = x*w // W, src_y = y*h // H`` (vectorized numpy
+    index-gather — no per-pixel Python), and re-encoded as PNG, so the
+    output payload is again a decodable image the rest of the multimodal
+    chain accepts. Color/JPEG payloads remain the declared Pillow boundary
+    (strict=True raises; non-strict passes the payload through untouched),
+    and malformed payloads are isolated per row exactly like
+    decode_media/decode_audio. The floor mapping is closed-form, which is
+    what lets q_image_resize hash-check the resampled pixels end to end.
+
+    Scale shape: mapInPandas iterator-of-batches, constant memory per
+    partition, embarrassingly parallel — no shuffle.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import png as _png
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] == _PNG_MAGIC:
+                    try:
+                        w, h, ch, samples = _png.decode(b)
+                        if ch != 1:
+                            raise NotImplementedError(
+                                "stdlib resize handles greyscale PNGs only — "
+                                "wire Pillow for color resampling"
+                            )
+                        arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w)
+                        rows_idx = (np.arange(height) * h) // height
+                        cols_idx = (np.arange(width) * w) // width
+                        out = arr[rows_idx][:, cols_idx]
+                        rows.append(
+                            (mid, _png.encode_gray(width, height, out.tobytes()), width, height)
+                        )
+                        continue
+                    except (ValueError, NotImplementedError):
+                        if strict:
+                            raise
+                        # malformed/unsupported: isolate the one payload
+                        rows.append((mid, b, width, height))
+                        continue
+                if strict:
+                    raise NotImplementedError(
+                        "real resize of non-PNG payloads requires Pillow — "
+                        "not available in this container"
+                    )
+                rows.append((mid, b, width, height))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+
+    return df.select("media_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage contract: same schema in/out, new meta dims. The pixel
-    resample is the stubbed codec call; the metadata/flow is real."""
+    resample is the stubbed codec call; the metadata/flow is real (the
+    REAL pixel path for decodable payloads is :func:`resize_media`)."""
     return df.withColumn(
         "meta",
         F.struct(

@@ -1189,6 +1189,76 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_image_resize",
+    # The REAL resize stage, hash-checked end to end: the q_image_decode
+    # fixture PNGs (width 16 + id % 16, height 16 + id % 8, pixel(i) =
+    # (id*31 + i*7) % 256) go through operators.multimodal.resize_media —
+    # stdlib PNG decode, vectorized nearest-neighbor resample on the classic
+    # floor mapping sy = y*h//H, sx = x*w//W, stdlib PNG re-encode — and the
+    # resampled payload is then decoded AGAIN by the production decode_media
+    # stage. The oracle never sees a byte: it recomputes every resampled
+    # pixel from the closed-form mapping in pure SQL and aggregates the same
+    # mean (identical operand order), so a hash match proves decode →
+    # resample → encode → decode round-trips bit-exactly. strict=True on
+    # both stages: nothing may silently stub. Map-only per stage, zero
+    # shuffle, constant memory per Arrow batch.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+      FROM documents),
+    px AS (
+      -- resized image is 12x9; j enumerates its pixels row-major:
+      -- y = j // 12, x = j % 12, source index = (y*h//9)*w + (x*w//12)
+      SELECT d.doc_id,
+             ((d.doc_id * 31
+               + (((j.j // 12) * d.h // 9) * d.w + ((j.j % 12) * d.w // 12)) * 7)
+              % 256) AS v
+      FROM dims d CROSS JOIN range(0, 108) j(j))
+    SELECT doc_id AS media_id,
+           CAST(12 AS INTEGER) AS width,
+           CAST(9 AS INTEGER) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 255.0, 6) AS mean_luma
+    FROM px GROUP BY doc_id
+    """,
+    description="real nearest-neighbor image resize, hash-checked: the "
+    "deterministic greyscale PNGs are resampled to 12x9 by the production "
+    "resize_media stage (stdlib decode, numpy index-gather on the floor "
+    "mapping sy=y*h//H sx=x*w//W, stdlib re-encode) and re-decoded by "
+    "decode_media; the oracle recomputes every resampled pixel from the "
+    "closed-form mapping in pure SQL — the full decode-resample-encode-"
+    "decode round trip must match bit-for-bit, strict mode on",
+    tags=("multimodal",),
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import decode_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as _png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 16, 16 + d % 8
+                pixels = bytes((d * 31 + i * 7) % 256 for i in range(w * h))
+                payloads.append(_png.encode_gray(w, h, pixels))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    resized = resize_media(media, 12, 9, strict=True)
+    out = decode_media(resized, strict=True)
+    return out.select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
+    )
+
+
+@query(
     "q_rolling_fingerprint_portable",
     # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's
     # crc32 base hash has no DuckDB twin, so this variant derives per-token

@@ -19,6 +19,7 @@ from etl_housing_spark.operators.encode import get_dummies, keyword_flags
 from etl_housing_spark.operators.multimodal import (
     decode_media,
     extract_features,
+    resize_media,
     resize_stub,
     synthesize_media,
 )
@@ -260,6 +261,81 @@ def test_resize_stub_rewrites_meta_only(media):
     r = out.first()
     assert r.meta.width == 64 and r.meta.height == 64 and r.meta.format == "fake/v1"
     assert out.count() == media.count()
+
+
+def _gray_png(width, height, fn):
+    from etl_housing_spark.functions import png as _png
+
+    return _png.encode_gray(
+        width, height, bytes(fn(i) % 256 for i in range(width * height))
+    )
+
+
+def test_resize_media_nearest_neighbor_pixels(spark):
+    # 4x2 gradient → 2x1: floor mapping picks src (y*2//1? no —) sy=y*h//H,
+    # sx=x*w//W, so out(0,0)=src(0,0), out(0,1)=src(0,2)
+    from etl_housing_spark.functions import png as _png
+
+    src = bytes([10, 20, 30, 40, 50, 60, 70, 80])  # rows: [10,20,30,40],[50,60,70,80]
+    df = spark.createDataFrame(
+        [(1, bytearray(_png.encode_gray(4, 2, src)))], "media_id long, payload binary"
+    )
+    out = resize_media(df, 2, 1, strict=True).first()
+    w, h, ch, samples = _png.decode(bytes(out.payload))
+    assert (w, h, ch) == (2, 1, 1)
+    assert list(samples) == [10, 30]
+    assert (out.width, out.height) == (2, 1)
+
+
+def test_resize_media_upscale_repeats_pixels(spark):
+    from etl_housing_spark.functions import png as _png
+
+    df = spark.createDataFrame(
+        [(7, bytearray(_png.encode_gray(1, 1, bytes([99]))))],
+        "media_id long, payload binary",
+    )
+    out = resize_media(df, 3, 2, strict=True).first()
+    w, h, ch, samples = _png.decode(bytes(out.payload))
+    assert (w, h) == (3, 2) and list(samples) == [99] * 6
+
+
+def test_resize_media_nonstrict_passes_through_unsupported(spark, media):
+    # fake/v1 payloads are not PNGs: non-strict passes bytes through
+    out = resize_media(media, 8, 8, strict=False)
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    got = {r.media_id: bytes(r.payload) for r in out.collect()}
+    assert got == orig
+
+
+def test_resize_media_strict_raises_on_unsupported(spark, media):
+    with pytest.raises(Exception, match="Pillow"):
+        resize_media(media, 8, 8, strict=True).collect()
+
+
+def test_decode_media_isolates_malformed_png_nonstrict(spark):
+    # PNG magic + garbage body: stub row in non-strict mode, raise in strict
+    bad = b"\x89PNG\r\n\x1a\n" + b"\x00\x00"
+    good = _gray_png(4, 4, lambda i: i)
+    df = spark.createDataFrame(
+        [(1, bytearray(bad)), (2, bytearray(good))], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in decode_media(df).collect()}
+    assert (rows[2].width, rows[2].height) == (4, 4)  # real decode
+    assert rows[1].width > 0  # stubbed, not dead
+    with pytest.raises(Exception, match="truncated"):
+        decode_media(df, strict=True).collect()
+
+
+def test_resize_media_isolates_malformed_payload_nonstrict(spark):
+    # a PNG magic with garbage body must not kill the task in non-strict mode
+    bad = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    good = _gray_png(4, 4, lambda i: i * 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(bad)), (2, bytearray(good))], "media_id long, payload binary"
+    )
+    rows = {r.media_id: bytes(r.payload) for r in resize_media(df, 2, 2).collect()}
+    assert rows[1] == bad  # isolated, passed through
+    assert rows[2] != good  # actually resized
 
 
 def test_minhash_mllib_agrees_with_handrolled(docs):

@@ -110,3 +110,25 @@ def test_matches_pillow_when_available():
     w, h, mean = png.decode_gray_stats(buf.getvalue())
     assert (w, h) == (10, 10)
     assert mean == sum(pixels) / 100 / 255.0
+
+
+def test_malformed_payloads_raise_the_documented_valueerror():
+    # truncated chunk header → struct.error internally, must surface as
+    # ValueError (the wav EOFError / avi struct.error lesson on codec #3)
+    with pytest.raises(ValueError, match="truncated"):
+        png.decode(b"\x89PNG\r\n\x1a\n" + b"\x00\x00")
+    # undersized IHDR body (declared length bigger than the bytes present)
+    with pytest.raises(ValueError, match="IHDR"):
+        png.decode(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + b"\x01" * 5)
+    with pytest.raises(ValueError, match="IHDR"):
+        png.decode(b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", b"\x01" * 5))
+    # garbage IDAT → zlib.error internally, must surface as ValueError
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    corrupt = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        png.decode(corrupt)
