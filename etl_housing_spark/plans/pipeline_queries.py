@@ -474,6 +474,136 @@ def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_eval_oracle() -> str:
+    from .dedup_queries import _mh_oracle
+
+    return f"""
+    WITH sh AS ({_SHINGLE_DUCK}),
+    sizes AS (SELECT doc_id AS id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT id_a, id_b,
+             CAST((10 * n_inter) // (sa.n_sh + sb.n_sh - n_inter) AS BIGINT) AS d
+      FROM inter JOIN sizes sa ON inter.id_a = sa.id
+                 JOIN sizes sb ON inter.id_b = sb.id),
+    sigs AS ({_mh_oracle()}),
+    bands AS (
+      {_BAND_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+    joined AS (
+      SELECT COALESCE(t.d, 0) AS j_decile,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT j_decile,
+           CAST(SUM(is_truth) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_truth * is_cand) AS BIGINT) AS n_detected,
+           CASE WHEN SUM(is_truth) > 0
+                THEN CAST(SUM(is_truth * is_cand) AS DOUBLE)
+                     / CAST(SUM(is_truth) AS BIGINT)
+           END AS recall
+    FROM joined GROUP BY j_decile
+    """
+
+
+@query(
+    "q_lsh_eval",
+    # The LSH quality harness: does the banded MinHash candidate set
+    # actually trace the S-curve theory promises (detection prob
+    # 1-(1-s^r)^b for r=4, b=4)? Ground truth = EXACT word-3-gram Jaccard
+    # over every pair sharing >= 1 shingle (an inverted-index join — a pair
+    # with J > 0 necessarily shares a shingle, so this misses nothing and
+    # is never all-pairs). Truth pairs are banded into Jaccard DECILES by
+    # pure integer arithmetic — (10*n_inter) DIV (union) — so the grouping
+    # key never touches floats and both engines bin identically. A full
+    # outer join against the LSH candidate set then yields per-decile
+    # n_pairs / n_candidates / n_detected / recall: high deciles should
+    # approach recall 1.0, low deciles ~0 (precision filtering), which is
+    # exactly what a pipeline owner tunes bands/rows against. recall is the
+    # single BIGINT/BIGINT double divide of the house style. Scale shape:
+    # the exact-truth join is the EVAL cost, run on a sample/SF slice to
+    # validate parameters before the LSH-only production pass; the
+    # candidate side is the same never-all-pairs band-bucket join as
+    # q_minhash_pairs_portable.
+    oracle=_lsh_eval_oracle(),
+    description="MinHash-LSH recall harness, hash-checked: exact trigram-Jaccard "
+    "ground truth (inverted-index join, integer-decile banding via (10*inter) DIV "
+    "union) full-outer-joined with the 4x4 banded candidate set; per-decile "
+    "n_pairs/n_candidates/n_detected/recall traces the empirical S-curve a "
+    "pipeline owner tunes bands and rows against before the production pass",
+    tags=("dedup", "pipeline"),
+)
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # bound-once token array (the q_minhash_portable Catalyst-lambda-CSE fix)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    shingles = F.when(
+        F.size(F.col("t")) >= 3,
+        F.expr(
+            "transform(sequence(0, size(t) - 3), "
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ),
+    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
+    sh = toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("id_a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST((10 * n_inter) DIV (na + nb - n_inter) AS BIGINT)").alias("d"),
+        )
+        .withColumn("tr", F.lit(1))
+    )
+    cand = (
+        q_minhash_pairs_portable(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("ca", F.lit(1))
+    )
+    both = truth.join(cand, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("d", F.lit(0)).alias("j_decile"),
+        F.coalesce("tr", F.lit(0)).alias("is_truth"),
+        F.coalesce("ca", F.lit(0)).alias("is_cand"),
+    )
+    return (
+        both.groupBy("j_decile")
+        .agg(
+            F.sum("is_truth").cast("bigint").alias("n_pairs"),
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.sum(F.col("is_truth") * F.col("is_cand")).cast("bigint").alias("n_detected"),
+        )
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("n_detected").cast("double") / F.col("n_pairs"),
+            ),
+        )
+    )
+
+
 @query(
     "q_winsorize",
     # Discrete type-1 quantile bounds via pure integer rank logic
@@ -1652,6 +1782,77 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("dup_rate"),
+    )
+
+
+def _takedown_oracle() -> str:
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, cluster_id FROM ({_dedup_pipeline_oracle()})),
+    rep AS (SELECT DISTINCT cluster_id FROM lab WHERE doc_id % 7 = 0),
+    rem AS (
+      SELECT l.doc_id,
+             CASE WHEN r.cluster_id IS NOT NULL THEN 1 ELSE 0 END AS removed
+      FROM lab l LEFT JOIN rep r ON l.cluster_id = r.cluster_id)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reported,
+           CAST(SUM(rem.removed) AS BIGINT) AS n_removed,
+           CAST(SUM(rem.removed)
+                - SUM(CASE WHEN d.doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cascade,
+           ROUND(CAST(SUM(rem.removed) AS DOUBLE) / COUNT(*), 6) AS removal_rate
+    FROM documents d JOIN rem ON d.doc_id = rem.doc_id
+    GROUP BY d.source
+    """
+
+
+@query(
+    "q_takedown_cascade",
+    # Deletion-request propagation (DMCA takedown / GDPR erasure): removing
+    # only the reported copy of a document leaves its near-identical twins
+    # in the corpus, so a compliant pipeline cascades the removal through
+    # the near-dup CLUSTER. Reported set = doc_id % 7 = 0 (the
+    # deterministic fixture convention standing in for the legal list);
+    # cluster labels come from the hash-checked q_dedup_pipeline_portable
+    # chain, so the verdicts here inherit its oracle proof. Scale shape:
+    # the takedown list and its tainted-cluster set are tiny vs the corpus
+    # — the cascade is one broadcastable semi-join on cluster_id, and the
+    # report is one grouped pass per source; nothing rescans text.
+    oracle=_takedown_oracle(),
+    description="takedown/erasure cascade through near-dup clusters, hash-checked: "
+    "reported docs (doc_id % 7 = 0) taint their MinHash-LSH cluster; per source "
+    "report n_docs, directly-reported, total removed, cascade extras (twins "
+    "caught only via the cluster) and removal rate — deletion compliance that "
+    "actually removes the copies, one broadcast semi-join + one grouped pass",
+    tags=("dedup", "pipeline"),
+)
+def q_takedown_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = q_dedup_pipeline_portable(spark, sf_dir).select("doc_id", "cluster_id")
+    rep = (
+        labels.filter(F.col("doc_id") % 7 == 0)
+        .select("cluster_id")
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    rem = labels.join(F.broadcast(rep), "cluster_id", "left").select(
+        "doc_id", F.when(F.col("m").isNotNull(), 1).otherwise(0).alias("removed")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    reported = F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)
+    return (
+        docs.join(rem, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(reported).cast("bigint").alias("n_reported"),
+            F.sum("removed").cast("bigint").alias("n_removed"),
+            (F.sum("removed") - F.sum(reported)).cast("bigint").alias("n_cascade"),
+            F.round(
+                F.sum("removed").cast("double") / F.count(F.lit(1)), 6
+            ).alias("removal_rate"),
+        )
     )
 
 

@@ -562,3 +562,35 @@ def test_lm_heldout_jm_smooths_unseen_events(spark, tmp_path):
     assert out[0].lm_score > out[14].lm_score > out[7].lm_score
     assert out[0].ppl < out[14].ppl < out[7].ppl
     assert out[7].n_bigrams == 2
+
+
+def test_takedown_cascade_removes_cluster_twins(spark, tmp_path):
+    # doc 7 is reported (7 % 7 == 0); doc 9 is its near-identical twin
+    # (same text → same MinHash cluster) and MUST be cascaded out; doc 11
+    # is unrelated and must survive. Long texts so trigram shingles overlap.
+    dup = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(7, dup, "sA"), (9, dup, "sA"), (11, other, "sB")],
+    )
+    rows = {r.source: r for r in SPECS["q_takedown_cascade"].fn(spark, sf).collect()}
+    assert rows["sA"].n_reported == 1
+    assert rows["sA"].n_removed == 2  # reported + cascaded twin
+    assert rows["sA"].n_cascade == 1
+    assert rows["sB"].n_removed == 0 and rows["sB"].n_cascade == 0
+
+
+def test_lsh_eval_detects_planted_dup_and_rejects_disjoint(spark, tmp_path):
+    dup = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    sf = _write_docs(
+        spark, tmp_path, [(0, dup, "s"), (1, dup, "s"), (2, other, "s")]
+    )
+    rows = {r.j_decile: r for r in SPECS["q_lsh_eval"].fn(spark, sf).collect()}
+    # identical pair → decile 10, detected with recall 1.0
+    assert rows[10].n_pairs == 1 and rows[10].n_detected == 1
+    assert rows[10].recall == 1.0
+    # disjoint docs share no shingle: no truth pair, no candidate
+    assert all(d in (10,) or rows[d].n_candidates == 0 for d in rows)
