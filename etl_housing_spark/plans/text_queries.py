@@ -1582,6 +1582,183 @@ def _wordpiece_chain(docs: DataFrame):
     return merges, s
 
 
+def _unigram_viterbi_oracle() -> str:
+    rounds = []
+    for j in range(1, 9):
+        p = j - 1
+        rounds.append(f"""
+    c{j} AS MATERIALIZED (
+      SELECT pc.w, {j} AS pos, b.sc * pc.p AS sc,
+             CASE WHEN b.path = '' THEN pc.piece
+                  ELSE b.path || ' ' || pc.piece END AS path
+      FROM pc JOIN bacc{p} b ON pc.w = b.w AND pc.s = b.pos
+      WHERE pc.e = {j}),
+    m{j} AS (SELECT w, MAX(sc) AS msc FROM c{j} GROUP BY w),
+    b{j} AS (
+      SELECT c.w, {j} AS pos, m{j}.msc AS sc, MIN(c.path) AS path
+      FROM c{j} c JOIN m{j} ON c.w = m{j}.w AND c.sc = m{j}.msc
+      GROUP BY c.w, m{j}.msc),
+    bacc{j} AS MATERIALIZED (SELECT * FROM bacc{p} UNION ALL SELECT * FROM b{j})""")
+    return (
+        """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    w AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM tok
+          WHERE w <> '' AND len(w) <= 8 GROUP BY w),
+    sub AS MATERIALIZED (
+      SELECT w.w, w.freq, i.i AS s, i.i + l.l AS e,
+             substr(w.w, i.i + 1, l.l) AS piece
+      FROM w CROSS JOIN range(0, 8) i(i) CROSS JOIN range(1, 5) l(l)
+      WHERE i.i + l.l <= len(w.w)),
+    vcnt AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+             FROM sub GROUP BY piece),
+    vocab AS MATERIALIZED (
+      SELECT piece, cnt FROM vcnt WHERE len(piece) = 1 OR cnt >= 2),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+    pp AS (SELECT piece, cnt, CAST(cnt AS DOUBLE) / t AS p
+           FROM vocab CROSS JOIN tot),
+    pc AS MATERIALIZED (
+      SELECT s.w, s.s, s.e, s.piece, pp.p
+      FROM sub s JOIN pp ON s.piece = pp.piece),
+    bacc0 AS (SELECT w, 0 AS pos, CAST(1.0 AS DOUBLE) AS sc, '' AS path FROM w),"""
+        + ",".join(rounds)
+        + """,
+    best AS (SELECT w, path FROM bacc8 WHERE pos = len(w)),
+    em AS (SELECT unnest(string_split(b.path, ' ')) AS piece, w.freq
+           FROM best b JOIN w ON b.w = w.w)
+    SELECT em.piece,
+           CAST(v.cnt AS BIGINT) AS cnt_seed,
+           CAST(SUM(em.freq) AS BIGINT) AS cnt_em
+    FROM em JOIN vocab v ON em.piece = v.piece
+    GROUP BY em.piece, v.cnt
+    """
+    )
+
+
+@query(
+    "q_unigram_viterbi_portable",
+    # Unigram-LM tokenizer training (Kudo 2018; the SentencePiece trainer)
+    # — the THIRD published tokenizer-learning family next to the BPE and
+    # WordPiece trainers, and the one real SentencePiece deployments run.
+    # Seed vocabulary = every substring of length <= 4 of the distinct-word
+    # table (single chars unconditionally, longer pieces at corpus count
+    # >= 2 — Kudo's seed heuristic), piece probability = count/total. The
+    # E-step segments every distinct word by VITERBI (max-product) dynamic
+    # programming — 8 unrolled position rounds, each one arc join + a
+    # per-word MAX + a deterministic MIN(path) tie-break among exact score
+    # achievers — and re-counts pieces under the 1-best segmentation
+    # (Viterbi-EM, the hard-EM variant of Kudo's algorithm). Cross-engine
+    # hashability: the DP only ever MULTIPLIES doubles (correctly rounded,
+    # order-fixed by the unrolled recurrence) and compares them with
+    # MAX/equality — never adds them in data-dependent order — so scores
+    # are bit-identical; the emitted table is strings + BIGINTs only.
+    # Scale shape: everything after the first explode is DISTINCT-WORD
+    # sized (the corpus weight rides as a frequency column); the 8 DP
+    # rounds are vocab-sized joins checkpointed per round (bounded lineage,
+    # operators/_ckpt.py session-release registry), and the arc table is
+    # built once and cached across rounds.
+    oracle=_unigram_viterbi_oracle(),
+    description="SentencePiece unigram-LM tokenizer training (Viterbi-EM "
+    "E-step), hash-checked: substring seed vocab (chars always, len 2-4 at "
+    "count >= 2), piece prob = count/total, 8 unrolled Viterbi rounds over "
+    "the distinct-word table (multiply-and-max only — no float sums — with "
+    "MIN(path) tie-break), then piece re-counts under the 1-best "
+    "segmentation; completes the BPE/WordPiece/Unigram trainer triad, "
+    "everything distinct-word sized with corpus weight as a freq column",
+    tags=("text", "pipeline"),
+)
+def q_unigram_viterbi_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._ckpt import (
+        register_tracked_ckpt_ids,
+        tracked_local_checkpoint,
+        tracked_persist,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= 8))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = tracked_persist(w)
+    # every (start, end, piece) arc of length 1..4 — one nested-transform
+    # expression, exploded once; distinct-word sized from here on
+    arcs = F.expr(
+        "filter(flatten(transform(sequence(0, 7), s -> "
+        "transform(sequence(1, 4), l -> "
+        "struct(s AS s, s + l AS e, substring(w, s + 1, l) AS piece)))), "
+        "a -> a.e <= length(w))"
+    )
+    sub = w.select("w", "freq", F.explode(arcs).alias("a")).select(
+        "w", "freq", "a.s", "a.e", "a.piece"
+    )
+    vcnt = sub.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    vocab = tracked_persist(
+        vcnt.filter((F.length("piece") == 1) | (F.col("cnt") >= 2))
+    )
+    tot = vocab.agg(F.sum("cnt").cast("bigint").alias("t"))
+    pp = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece", (F.col("cnt").cast("double") / F.col("t")).alias("p")
+    )
+    pc = tracked_persist(
+        sub.join(F.broadcast(pp), "piece").select("w", "s", "e", "piece", "p")
+    )
+    b = [
+        w.select(
+            "w",
+            F.lit(0).alias("pos"),
+            F.lit(1.0).alias("sc"),
+            F.lit("").alias("path"),
+        )
+    ]
+    all_ids: set[int] = set()
+    for j in range(1, 9):
+        # arcs ending at j start at j-4..j-1: union those b-frames only
+        prev = b[max(0, j - 4)]
+        for i in range(max(0, j - 4) + 1, j):
+            prev = prev.unionByName(b[i])
+        prev = prev.select("w", F.col("pos").alias("s"), "sc", "path")
+        cand = (
+            pc.filter(F.col("e") == j)
+            .join(prev, ["w", "s"])
+            .select(
+                "w",
+                F.lit(j).alias("pos"),
+                (F.col("sc") * F.col("p")).alias("sc"),
+                F.when(F.col("path") == "", F.col("piece"))
+                .otherwise(F.concat_ws(" ", "path", "piece"))
+                .alias("path"),
+            )
+        )
+        msc = cand.groupBy("w").agg(F.max("sc").alias("msc"))
+        bj = (
+            cand.join(msc, "w")
+            .filter(F.col("sc") == F.col("msc"))
+            .groupBy("w", "pos", "sc")
+            .agg(F.min("path").alias("path"))
+        )
+        # eager per-round checkpoint: bounded lineage (8 rounds, each
+        # referenced by up to 4 later rounds — unchecked the plan grows
+        # 4-ary-exponentially); ids released session-scope via the registry
+        bj, ids = tracked_local_checkpoint(bj)
+        all_ids |= ids
+        b.append(bj)
+    register_tracked_ckpt_ids(spark, all_ids)
+    best = b[1]
+    for i in range(2, 9):
+        best = best.unionByName(b[i])
+    best = best.filter(F.col("pos") == F.length("w")).select("w", "path")
+    em = best.select("w", F.explode(F.split("path", " ")).alias("piece")).join(
+        w, "w"
+    )
+    return (
+        em.groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt_em"))
+        .join(vocab, "piece")
+        .select("piece", F.col("cnt").alias("cnt_seed"), "cnt_em")
+    )
+
+
 @query(
     "q_repetition_ratio",
     # The Gopher/MassiveText "repeated n-gram" quality rule (Rae et al.

@@ -594,3 +594,18 @@ def test_lsh_eval_detects_planted_dup_and_rejects_disjoint(spark, tmp_path):
     assert rows[10].recall == 1.0
     # disjoint docs share no shingle: no truth pair, no candidate
     assert all(d in (10,) or rows[d].n_candidates == 0 for d in rows)
+
+
+def test_unigram_viterbi_prefers_whole_piece_over_composition(spark, tmp_path):
+    # corpus "abab abab cd": seed vocab counts — singles a:4 b:4 c:1 d:1,
+    # multi (cnt>=2) ab:4 ba:2 aba:2 bab:2 abab:2, total 22. Viterbi on
+    # 'abab': P(abab)=2/22 > P(ab)^2=(4/22)^2, so the whole word wins;
+    # 'cd' has no multi piece (cd count 1 < 2) → segments c d.
+    sf = _write_docs(spark, tmp_path, [(0, "abab abab cd", "s")])
+    rows = {
+        r.piece: r
+        for r in SPECS["q_unigram_viterbi_portable"].fn(spark, sf).collect()
+    }
+    assert set(rows) == {"abab", "c", "d"}
+    assert rows["abab"].cnt_seed == 2 and rows["abab"].cnt_em == 2
+    assert rows["c"].cnt_em == 1 and rows["d"].cnt_em == 1
