@@ -1582,7 +1582,7 @@ def _wordpiece_chain(docs: DataFrame):
     return merges, s
 
 
-def _unigram_viterbi_oracle() -> str:
+def _unigram_dp_sql() -> str:
     rounds = []
     for j in range(1, 9):
         p = j - 1
@@ -1622,7 +1622,14 @@ def _unigram_viterbi_oracle() -> str:
     bacc0 AS (SELECT w, 0 AS pos, CAST(1.0 AS DOUBLE) AS sc, '' AS path FROM w),"""
         + ",".join(rounds)
         + """,
-    best AS (SELECT w, path FROM bacc8 WHERE pos = len(w)),
+    best AS (SELECT w, path FROM bacc8 WHERE pos = len(w))"""
+    )
+
+
+def _unigram_viterbi_oracle() -> str:
+    return (
+        _unigram_dp_sql()
+        + """,
     em AS (SELECT unnest(string_split(b.path, ' ')) AS piece, w.freq
            FROM best b JOIN w ON b.w = w.w)
     SELECT em.piece,
@@ -1667,13 +1674,30 @@ def _unigram_viterbi_oracle() -> str:
     tags=("text", "pipeline"),
 )
 def q_unigram_viterbi_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w, vocab, best = _unigram_chain(spark, docs)
+    em = best.select("w", F.explode(F.split("path", " ")).alias("piece")).join(
+        w, "w"
+    )
+    return (
+        em.groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt_em"))
+        .join(vocab, "piece")
+        .select("piece", F.col("cnt").alias("cnt_seed"), "cnt_em")
+    )
+
+
+def _unigram_chain(spark: SparkSession, docs: DataFrame):
+    """The shared unigram-LM scaffolding: distinct-word table, seed vocab,
+    and the 8-round Viterbi 1-best segmentation. Returns (w, vocab, best)
+    — all distinct-word/vocab sized, ready for the trainer's E-step or the
+    encoder's broadcast-back-onto-the-corpus join."""
     from ..operators._ckpt import (
         register_tracked_ckpt_ids,
         tracked_local_checkpoint,
         tracked_persist,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter((F.col("w") != "") & (F.length("w") <= 8))
@@ -1748,14 +1772,60 @@ def q_unigram_viterbi_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(2, 9):
         best = best.unionByName(b[i])
     best = best.filter(F.col("pos") == F.length("w")).select("w", "path")
-    em = best.select("w", F.explode(F.split("path", " ")).alias("piece")).join(
-        w, "w"
-    )
+    return w, vocab, best
+
+
+@query(
+    "q_unigram_encode",
+    # Tokenizer APPLICATION for the unigram family — the train -> encode
+    # pairing q_bpe_encode provides for BPE: per-doc token counts under the
+    # Viterbi 1-best segmentation q_unigram_viterbi_portable just learned.
+    # The DP runs once per DISTINCT word; encoding the corpus is a
+    # vocab-sized broadcast join of (word -> piece count) back onto the
+    # exploded corpus plus one per-doc partial-agg groupBy — no per-
+    # occurrence segmentation anywhere. Same engine-parity argument as the
+    # trainer (multiply-and-max DP, integer outputs + one 6dp ratio).
+    oracle=_unigram_dp_sql()
+    + """,
+    v AS (SELECT w, len(string_split(path, ' ')) AS n_tok FROM best),
+    tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(tokd.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(v.n_tok) AS BIGINT) AS n_unigram_tokens,
+           ROUND(SUM(len(tokd.w)) / CAST(SUM(v.n_tok) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM tokd JOIN v USING (w)
+    WHERE tokd.w <> ''
+    GROUP BY doc_id
+    """,
+    description="unigram-LM tokenizer application: per-doc token counts under "
+    "the Viterbi 1-best segmentation the SentencePiece trainer learned — "
+    "completes train -> encode for the third tokenizer family. The DP runs "
+    "once per distinct word; corpus encoding is one broadcast hash join of "
+    "the vocab-sized (word, piece-count) table onto the exploded corpus plus "
+    "a per-doc partial-agg groupBy; words longer than the 8-char DP bound "
+    "are excluded identically on both engines",
+    tags=("text", "pipeline"),
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, best = _unigram_chain(spark, docs)
+    v = best.select("w", F.size(F.split("path", " ")).alias("n_tok"))
+    tokd = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
     return (
-        em.groupBy("piece")
-        .agg(F.sum("freq").cast("bigint").alias("cnt_em"))
-        .join(vocab, "piece")
-        .select("piece", F.col("cnt").alias("cnt_seed"), "cnt_em")
+        tokd.join(F.broadcast(v), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_unigram_tokens"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("n_tok").cast("double"), 6
+            ).alias("chars_per_token"),
+        )
     )
 
 

@@ -609,3 +609,12 @@ def test_unigram_viterbi_prefers_whole_piece_over_composition(spark, tmp_path):
     assert set(rows) == {"abab", "c", "d"}
     assert rows["abab"].cnt_seed == 2 and rows["abab"].cnt_em == 2
     assert rows["c"].cnt_em == 1 and rows["d"].cnt_em == 1
+
+
+def test_unigram_encode_counts_match_trained_segmentation(spark, tmp_path):
+    # same corpus as the trainer test: abab -> 1 piece, cd -> 2 pieces
+    sf = _write_docs(spark, tmp_path, [(0, "abab abab cd", "s")])
+    r = SPECS["q_unigram_encode"].fn(spark, sf).collect()[0]
+    assert r.n_words == 3 and r.n_chars == 10
+    assert r.n_unigram_tokens == 4  # 1 + 1 + 2
+    assert r.chars_per_token == 2.5
