@@ -1103,3 +1103,107 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(orr) - 1.96 * se), 6).alias("ci_low"),
         F.round(F.exp(F.log(orr) + 1.96 * se), 6).alias("ci_high"),
     )
+
+
+def _dsum12(col):
+    """Order-independent SUM at DECIMAL(38,12) — the embedding-domain twin
+    of _util.dsum: element magnitudes are ~1e-1 (products ~1e-2), so the
+    house (18,6) scale would quantize away most of the signal; 12 fractional
+    digits keep relative error ~1e-10 while staying order-free and
+    bit-identical cross-engine. Honors EHS_FAST_SUMS like dsum."""
+    from ._util import fast_sums
+
+    c = F.col(col) if isinstance(col, str) else col
+    if fast_sums():
+        return F.sum(c.cast("double"))
+    return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+
+_D = 64  # embedding dimensionality (TESTDATA.md)
+
+
+@query(
+    "q_corr_matrix",
+    # The feature-correlation matrix — the multivariate screen a feature
+    # pipeline runs before training (drop near-duplicate dimensions, spot
+    # leaky features): Pearson r for every dimension pair of the embedding
+    # table, from one pass of sufficient statistics. Engine parity: per-ROW
+    # products are computed float->double then summed ORDER-FREE via
+    # DECIMAL(38,12) (the dsum discipline at embedding magnitudes), and the
+    # closing r = (n*Sxy - Sx*Sy)/sqrt((n*Sxx - Sx^2)*(n*Syy - Sy^2)) is a
+    # fixed sequence of correctly-rounded double ops, so the 6dp result is
+    # bit-identical. Scale shape: the d*(d-1)/2 pair products are generated
+    # INSIDE the row (nested array transform, no self-join), so the only
+    # shuffle is the grouped agg on (i, j) — map-side combinable, carrying
+    # exactly 2016 + 64 partial rows per partition regardless of row count;
+    # the classic partial-Gram-matrix reduction expressed declaratively.
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(1, {_D + 1}) i(i)),
+    marg AS (
+      SELECT i,
+             CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM x GROUP BY i),
+    prod AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i)
+    SELECT p.i, p.j,
+           ROUND((ma.n * p.sxy - ma.sx * mb.sx)
+                 / sqrt((ma.n * ma.sxx - ma.sx * ma.sx)
+                        * (ma.n * mb.sxx - mb.sx * mb.sx)), 6) AS corr
+    FROM prod p JOIN marg ma ON p.i = ma.i JOIN marg mb ON p.j = mb.i
+    """,
+    description="Pearson feature-correlation matrix over all 2016 embedding-"
+    "dimension pairs, hash-checked: order-free DECIMAL(38,12) sufficient "
+    "statistics (the dsum discipline at embedding magnitudes), closing "
+    "formula a fixed sequence of correctly-rounded double ops; pair products "
+    "generated inside the row (no self-join) so the only shuffle carries "
+    "2016+64 map-side-combined partial rows per partition — the partial-"
+    "Gram-matrix reduction, declaratively",
+    tags=("stats", "vector"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    # marginals: one posexplode, 64 groups
+    x = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    marg = x.groupBy("i").agg(
+        _dsum12("v").alias("sx"),
+        _dsum12(F.col("v") * F.col("v")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # upper-triangle products generated inside the row — no self-join
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {_D - 2}), a -> "
+        f"transform(sequence(a + 1, {_D - 1}), b -> "
+        "struct(CAST(a + 1 AS BIGINT) AS i, CAST(b + 1 AS BIGINT) AS j, "
+        "CAST(embedding[a] AS DOUBLE) * CAST(embedding[b] AS DOUBLE) AS xy))))"
+    )
+    prod = (
+        emb.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(_dsum12("xy").alias("sxy"))
+    )
+    ma = marg.select(
+        F.col("i"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a"), "n"
+    )
+    mb = marg.select(
+        F.col("i").alias("j"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx_a") * F.col("sx_b")) / F.sqrt(
+        (F.col("n") * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a"))
+        * (F.col("n") * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b"))
+    )
+    return (
+        prod.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select("i", "j", F.round(corr, 6).alias("corr"))
+    )

@@ -618,3 +618,16 @@ def test_unigram_encode_counts_match_trained_segmentation(spark, tmp_path):
     assert r.n_words == 3 and r.n_chars == 10
     assert r.n_unigram_tokens == 4  # 1 + 1 + 2
     assert r.chars_per_token == 2.5
+
+
+def test_corr_matrix_detects_perfect_correlation(spark, tmp_path):
+    # embedding[k] = ±t·(k+1): same-parity dims corr +1, opposite -1
+    rows = []
+    for vid, t in enumerate([0.1, 0.25, 0.4, 0.05]):
+        vec = [t * (k + 1) * (1 if k % 2 == 0 else -1) for k in range(64)]
+        rows.append((vid, vec, 0))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {(r.i, r.j): r.corr for r in SPECS["q_corr_matrix"].fn(spark, sf).collect()}
+    assert len(out) == 2016
+    assert out[(1, 3)] == 1.0 and out[(2, 4)] == 1.0
+    assert out[(1, 2)] == -1.0 and out[(3, 64)] == -1.0
