@@ -1207,3 +1207,154 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mb), "j")
         .select("i", "j", F.round(corr, 6).alias("corr"))
     )
+
+
+# shared embedding sufficient statistics (q_corr_matrix, q_pca_power_portable)
+_MOM_SQL = f"""x AS (
+      SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings CROSS JOIN range(1, {_D + 1}) i(i)),
+    marg AS MATERIALIZED (
+      SELECT i,
+             CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             COUNT(*) AS n
+      FROM x GROUP BY i),
+    prod AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i)"""
+
+
+def _embed_moments(emb: DataFrame):
+    """(marg, prod) sufficient statistics of the embedding table — the
+    Spark twin of _MOM_SQL: order-free DECIMAL(38,12) sums; pair products
+    generated inside the row (no self-join), map-side combinable."""
+    x = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    marg = x.groupBy("i").agg(
+        _dsum12("v").alias("sx"),
+        _dsum12(F.col("v") * F.col("v")).alias("sxx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {_D - 2}), a -> "
+        f"transform(sequence(a + 1, {_D - 1}), b -> "
+        "struct(CAST(a + 1 AS BIGINT) AS i, CAST(b + 1 AS BIGINT) AS j, "
+        "CAST(embedding[a] AS DOUBLE) * CAST(embedding[b] AS DOUBLE) AS xy))))"
+    )
+    prod = (
+        emb.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xy")
+        .groupBy("i", "j")
+        .agg(_dsum12("xy").alias("sxy"))
+    )
+    return marg, prod
+
+
+def _pca_power_oracle() -> str:
+    steps = []
+    for k in (1, 2):
+        p = k - 1
+        steps.append(f"""
+    w{k} AS (
+      SELECT a.i,
+             CAST(SUM(CAST(a.aij * v{p}.v AS DECIMAL(38,12))) AS DOUBLE) AS wv
+      FROM a JOIN v{p} ON a.j = v{p}.i GROUP BY a.i),
+    n{k} AS (SELECT sqrt(CAST(SUM(CAST(wv * wv AS DECIMAL(38,12))) AS DOUBLE))
+             AS nrm FROM w{k}),
+    v{k} AS (SELECT i, wv / nrm AS v FROM w{k} CROSS JOIN n{k})""")
+    return (
+        f"""
+    WITH {_MOM_SQL},
+    a AS MATERIALIZED (
+      SELECT p.i, p.j,
+             (ma.n * p.sxy - ma.sx * mb.sx) / CAST(ma.n * ma.n AS DOUBLE) AS aij
+      FROM prod p JOIN marg ma ON p.i = ma.i JOIN marg mb ON p.j = mb.i
+      UNION ALL
+      SELECT p.j AS i, p.i AS j,
+             (ma.n * p.sxy - ma.sx * mb.sx) / CAST(ma.n * ma.n AS DOUBLE) AS aij
+      FROM prod p JOIN marg ma ON p.i = ma.i JOIN marg mb ON p.j = mb.i
+      UNION ALL
+      SELECT i, i, (n * sxx - sx * sx) / CAST(n * n AS DOUBLE) AS aij FROM marg),
+    v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM marg),"""
+        + ",".join(steps)
+        + """
+    SELECT v2.i, ROUND(v2.v, 6) AS loading,
+           ROUND(n2.nrm, 6) AS eigval_est
+    FROM v2 CROSS JOIN n2
+    """
+    )
+
+
+@query(
+    "q_pca_power_portable",
+    # Distributed PCA, first principal component by POWER ITERATION — the
+    # dimensionality-reduction / drift-detection primitive an embedding
+    # pipeline runs (which direction carries the variance; project or whiten
+    # against it). The covariance matrix comes from the same one-pass
+    # sufficient statistics as q_corr_matrix (in-row pair products, no
+    # self-join); two unrolled power steps v <- Av/||Av|| then run as
+    # matrix-sized joins — A is d^2 rows regardless of corpus size, so each
+    # matvec shuffles 64 partials and NOTHING corpus-sized moves after the
+    # first agg. Engine parity: every cross-row sum (the matvec and the
+    # norm) is an order-free DECIMAL(38,12) fold; v0 = 0.125 is exact
+    # dyadic; the remaining ops (divide, sqrt) are correctly-rounded
+    # scalars in a fixed sequence — so loadings AND the eigenvalue estimate
+    # (||Av|| at the last step) hash-match bit-for-bit.
+    oracle=_pca_power_oracle(),
+    description="first principal component of the embedding covariance by two "
+    "unrolled power-iteration steps, hash-checked: one-pass decimal-exact "
+    "sufficient statistics (shared with q_corr_matrix), matrix-sized matvec "
+    "joins (d^2 rows independent of corpus size), order-free decimal matvec "
+    "and norm folds, exact-dyadic start vector — per-dimension loadings plus "
+    "the ||Av|| eigenvalue estimate, bit-identical cross-engine",
+    tags=("stats", "vector"),
+)
+def q_pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    marg, prod = _embed_moments(emb)
+    ma = marg.select("i", F.col("sx").alias("sx_a"), "n")
+    mb = marg.select(F.col("i").alias("j"), F.col("sx").alias("sx_b"))
+    upper = (
+        prod.join(ma, "i")
+        .join(mb, "j")
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx_a") * F.col("sx_b"))
+                / (F.col("n") * F.col("n")).cast("double")
+            ).alias("aij"),
+        )
+    )
+    diag = marg.select(
+        "i",
+        F.col("i").alias("j"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("aij"),
+    )
+    a = upper.unionByName(
+        upper.select(F.col("j").alias("i"), F.col("i").alias("j"), "aij")
+    ).unionByName(diag)
+    v = marg.select("i", F.lit(0.125).alias("v"))
+    nrm = None
+    for _ in (1, 2):
+        w = (
+            a.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(_dsum12(F.col("aij") * F.col("v")).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(_dsum12(F.col("wv") * F.col("wv"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("wv") / F.col("nrm")).alias("v")
+        )
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "i",
+        F.round("v", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigval_est"),
+    )

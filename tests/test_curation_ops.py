@@ -631,3 +631,21 @@ def test_corr_matrix_detects_perfect_correlation(spark, tmp_path):
     assert len(out) == 2016
     assert out[(1, 3)] == 1.0 and out[(2, 4)] == 1.0
     assert out[(1, 2)] == -1.0 and out[(3, 64)] == -1.0
+
+
+def test_pca_power_recovers_rank1_direction(spark, tmp_path):
+    # rank-1 data embedding[k] = ±t·(k+1): the top PC is the generating
+    # direction (up to sign); power iteration converges in one step
+    rows = []
+    for vid, t in enumerate([0.1, 0.25, 0.4, 0.05]):
+        vec = [t * (k + 1) * (1 if k % 2 == 0 else -1) for k in range(64)]
+        rows.append((vid, vec, 0))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r.i: r for r in SPECS["q_pca_power_portable"].fn(spark, sf).collect()}
+    assert len(out) == 64
+    # proportional to u_k = ±(k+1): |loading| grows linearly, signs alternate
+    l1, l2, l64 = out[1].loading, out[2].loading, out[64].loading
+    assert abs(abs(l64) - 64 * abs(l1)) < 1e-3
+    assert l1 * l2 < 0 and l1 * out[3].loading > 0
+    assert abs(sum(r.loading ** 2 for r in out.values()) - 1.0) < 1e-4
+    assert out[1].eigval_est > 0
