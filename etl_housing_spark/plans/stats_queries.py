@@ -1254,7 +1254,7 @@ def _embed_moments(emb: DataFrame):
     return marg, prod
 
 
-def _pca_power_oracle() -> str:
+def _pca_ctes_sql() -> str:
     steps = []
     for k in (1, 2):
         p = k - 1
@@ -1281,6 +1281,12 @@ def _pca_power_oracle() -> str:
       SELECT i, i, (n * sxx - sx * sx) / CAST(n * n AS DOUBLE) AS aij FROM marg),
     v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM marg),"""
         + ",".join(steps)
+    )
+
+
+def _pca_power_oracle() -> str:
+    return (
+        _pca_ctes_sql()
         + """
     SELECT v2.i, ROUND(v2.v, 6) AS loading,
            ROUND(n2.nrm, 6) AS eigval_est
@@ -1315,6 +1321,16 @@ def _pca_power_oracle() -> str:
 )
 def q_pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    v, nrm = _pca_top_component(emb)
+    return v.crossJoin(F.broadcast(nrm)).select(
+        "i",
+        F.round("v", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigval_est"),
+    )
+
+
+def _pca_top_component(emb: DataFrame):
+    """(v, nrm) after two power steps — the Spark twin of _pca_ctes_sql."""
     marg, prod = _embed_moments(emb)
     ma = marg.select("i", F.col("sx").alias("sx_a"), "n")
     mb = marg.select(F.col("i").alias("j"), F.col("sx").alias("sx_b"))
@@ -1353,8 +1369,44 @@ def q_pca_power_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = w.crossJoin(F.broadcast(nrm)).select(
             "i", (F.col("wv") / F.col("nrm")).alias("v")
         )
-    return v.crossJoin(F.broadcast(nrm)).select(
-        "i",
-        F.round("v", 6).alias("loading"),
-        F.round("nrm", 6).alias("eigval_est"),
+    return v, nrm
+
+
+@query(
+    "q_pca_project",
+    # PCA APPLICATION — project every embedding onto the first principal
+    # component the power iteration just learned: the score an embedding
+    # pipeline uses for drift monitoring, coarse bucketing, or whitening
+    # (subtract score·v to deflate). train -> apply symmetry like the
+    # tokenizer family. The component is 64 broadcastable rows; the
+    # projection is one explode + broadcast join + per-vector order-free
+    # DECIMAL(38,12) dot fold — corpus-sized rows move exactly once.
+    oracle=_pca_ctes_sql()
+    + """
+    SELECT x.vec_id,
+           ROUND(CAST(SUM(CAST(x.v * v2.v AS DECIMAL(38,12))) AS DOUBLE), 6)
+             AS pc1
+    FROM x JOIN v2 ON x.i = v2.i
+    GROUP BY x.vec_id
+    """,
+    description="projection of every embedding onto the learned first "
+    "principal component (train -> apply for the PCA family): 64-row "
+    "broadcast component, one explode + per-vector order-free decimal dot "
+    "fold, hash-checked end to end including the power-iteration training",
+    tags=("stats", "vector"),
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v, _ = _pca_top_component(emb.select("embedding"))
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.col("vf").cast("double").alias("xv"),
+    )
+    return (
+        x.join(F.broadcast(v), "i")
+        .groupBy("vec_id")
+        .agg(F.round(_dsum12(F.col("xv") * F.col("v")), 6).alias("pc1"))
     )
