@@ -96,6 +96,12 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
             f"only (got depth={depth} color_type={ctype} interlace={interlace}) "
             f"— install Pillow for full coverage"
         )
+    if width == 0 or height == 0:
+        # a zero-dimension image is consistent with an empty IDAT and would
+        # pass the scanline-length check, then crash consumers downstream
+        # (mean of 0 samples, 0-size numpy gather) outside their documented
+        # ValueError isolation — reject it at the codec boundary
+        raise ValueError(f"PNG declares zero dimension ({width}x{height})")
     ch = _CHANNELS[ctype]
     stride = width * ch
     try:

@@ -136,10 +136,12 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                             "this worker — install PIL/libjpeg to decode it"
                         )
                     # PNG decodes with or without Pillow (pure-stdlib
-                    # fallback in functions/png.py for greyscale)
+                    # fallback in functions/png.py for greyscale). OSError
+                    # covers Pillow's failure surface (UnidentifiedImageError,
+                    # truncated-file OSError) on workers that have it.
                     try:
                         decoded = _decode_real(b)
-                    except (ValueError, NotImplementedError):
+                    except (ValueError, NotImplementedError, OSError):
                         # malformed/unsupported-subset payload: one bad row
                         # must not kill the task — stub unless strict (the
                         # decode_audio / decode_video family contract)
@@ -154,9 +156,10 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                             "requires PIL/libjpeg — wire the codec here"
                         )
                     digest = hashlib.sha256(b).digest()
-                    if _is_real_image(b):
-                        # malformed real-magic payload: digest-derived stub
-                        # (the 8-byte header convention belongs to fake/v1)
+                    if _is_real_image(b) or len(b) < 8:
+                        # malformed real-magic or too-short payload:
+                        # digest-derived stub (the 8-byte header convention
+                        # belongs to well-formed fake/v1 payloads only)
                         w, h = 16 + digest[1] % 64, 16 + digest[2] % 64
                     else:
                         w, h = _decode_header(b)
@@ -397,9 +400,10 @@ def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -
     index-gather — no per-pixel Python), and re-encoded as PNG, so the
     output payload is again a decodable image the rest of the multimodal
     chain accepts. Color/JPEG payloads remain the declared Pillow boundary
-    (strict=True raises; non-strict passes the payload through untouched),
-    and malformed payloads are isolated per row exactly like
-    decode_media/decode_audio. The floor mapping is closed-form, which is
+    (strict=True raises; non-strict passes the payload through untouched
+    with NULL width/height — the bytes were not resized, so reporting the
+    target dims would misdescribe them), and malformed payloads are
+    isolated per row exactly like decode_media/decode_audio. The floor mapping is closed-form, which is
     what lets q_image_resize hash-check the resampled pixels end to end.
 
     Scale shape: mapInPandas iterator-of-batches, constant memory per
@@ -434,16 +438,23 @@ def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -
                     except (ValueError, NotImplementedError):
                         if strict:
                             raise
-                        # malformed/unsupported: isolate the one payload
-                        rows.append((mid, b, width, height))
+                        # malformed/unsupported: isolate the one payload.
+                        # Dims are NULL — the bytes were NOT resized, and
+                        # reporting the target dims would misdescribe them.
+                        rows.append((mid, b, None, None))
                         continue
                 if strict:
                     raise NotImplementedError(
                         "real resize of non-PNG payloads requires Pillow — "
                         "not available in this container"
                     )
-                rows.append((mid, b, width, height))
-            yield pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+                rows.append((mid, b, None, None))
+            out_pdf = pd.DataFrame(rows, columns=["media_id", "payload", "width", "height"])
+            # pass-through rows carry NULL dims: use pandas nullable Int32 so
+            # Arrow ships them as INT + null, not a float column
+            out_pdf["width"] = out_pdf["width"].astype("Int32")
+            out_pdf["height"] = out_pdf["height"].astype("Int32")
+            yield out_pdf
 
     return df.select("media_id", "payload").mapInPandas(resize, RESIZED_SCHEMA)
 

@@ -1122,93 +1122,6 @@ def _dsum12(col):
 _D = 64  # embedding dimensionality (TESTDATA.md)
 
 
-@query(
-    "q_corr_matrix",
-    # The feature-correlation matrix — the multivariate screen a feature
-    # pipeline runs before training (drop near-duplicate dimensions, spot
-    # leaky features): Pearson r for every dimension pair of the embedding
-    # table, from one pass of sufficient statistics. Engine parity: per-ROW
-    # products are computed float->double then summed ORDER-FREE via
-    # DECIMAL(38,12) (the dsum discipline at embedding magnitudes), and the
-    # closing r = (n*Sxy - Sx*Sy)/sqrt((n*Sxx - Sx^2)*(n*Syy - Sy^2)) is a
-    # fixed sequence of correctly-rounded double ops, so the 6dp result is
-    # bit-identical. Scale shape: the d*(d-1)/2 pair products are generated
-    # INSIDE the row (nested array transform, no self-join), so the only
-    # shuffle is the grouped agg on (i, j) — map-side combinable, carrying
-    # exactly 2016 + 64 partial rows per partition regardless of row count;
-    # the classic partial-Gram-matrix reduction expressed declaratively.
-    oracle=f"""
-    WITH x AS (
-      SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
-      FROM embeddings CROSS JOIN range(1, {_D + 1}) i(i)),
-    marg AS (
-      SELECT i,
-             CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-             COUNT(*) AS n
-      FROM x GROUP BY i),
-    prod AS (
-      SELECT a.i AS i, b.i AS j,
-             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS sxy
-      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
-      GROUP BY a.i, b.i)
-    SELECT p.i, p.j,
-           ROUND((ma.n * p.sxy - ma.sx * mb.sx)
-                 / sqrt((ma.n * ma.sxx - ma.sx * ma.sx)
-                        * (ma.n * mb.sxx - mb.sx * mb.sx)), 6) AS corr
-    FROM prod p JOIN marg ma ON p.i = ma.i JOIN marg mb ON p.j = mb.i
-    """,
-    description="Pearson feature-correlation matrix over all 2016 embedding-"
-    "dimension pairs, hash-checked: order-free DECIMAL(38,12) sufficient "
-    "statistics (the dsum discipline at embedding magnitudes), closing "
-    "formula a fixed sequence of correctly-rounded double ops; pair products "
-    "generated inside the row (no self-join) so the only shuffle carries "
-    "2016+64 map-side-combined partial rows per partition — the partial-"
-    "Gram-matrix reduction, declaratively",
-    tags=("stats", "vector"),
-)
-def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
-    # marginals: one posexplode, 64 groups
-    x = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
-        (F.col("pos") + 1).cast("bigint").alias("i"),
-        F.col("vf").cast("double").alias("v"),
-    )
-    marg = x.groupBy("i").agg(
-        _dsum12("v").alias("sx"),
-        _dsum12(F.col("v") * F.col("v")).alias("sxx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    # upper-triangle products generated inside the row — no self-join
-    pairs = F.expr(
-        f"flatten(transform(sequence(0, {_D - 2}), a -> "
-        f"transform(sequence(a + 1, {_D - 1}), b -> "
-        "struct(CAST(a + 1 AS BIGINT) AS i, CAST(b + 1 AS BIGINT) AS j, "
-        "CAST(embedding[a] AS DOUBLE) * CAST(embedding[b] AS DOUBLE) AS xy))))"
-    )
-    prod = (
-        emb.select(F.explode(pairs).alias("p"))
-        .select("p.i", "p.j", "p.xy")
-        .groupBy("i", "j")
-        .agg(_dsum12("xy").alias("sxy"))
-    )
-    ma = marg.select(
-        F.col("i"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a"), "n"
-    )
-    mb = marg.select(
-        F.col("i").alias("j"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
-    )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx_a") * F.col("sx_b")) / F.sqrt(
-        (F.col("n") * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a"))
-        * (F.col("n") * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b"))
-    )
-    return (
-        prod.join(F.broadcast(ma), "i")
-        .join(F.broadcast(mb), "j")
-        .select("i", "j", F.round(corr, 6).alias("corr"))
-    )
-
-
 # shared embedding sufficient statistics (q_corr_matrix, q_pca_power_portable)
 _MOM_SQL = f"""x AS (
       SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS v
@@ -1254,6 +1167,59 @@ def _embed_moments(emb: DataFrame):
     return marg, prod
 
 
+
+@query(
+    "q_corr_matrix",
+    # The feature-correlation matrix — the multivariate screen a feature
+    # pipeline runs before training (drop near-duplicate dimensions, spot
+    # leaky features): Pearson r for every dimension pair of the embedding
+    # table, from one pass of sufficient statistics. Engine parity: per-ROW
+    # products are computed float->double then summed ORDER-FREE via
+    # DECIMAL(38,12) (the dsum discipline at embedding magnitudes), and the
+    # closing r = (n*Sxy - Sx*Sy)/sqrt((n*Sxx - Sx^2)*(n*Syy - Sy^2)) is a
+    # fixed sequence of correctly-rounded double ops, so the 6dp result is
+    # bit-identical. Scale shape: the d*(d-1)/2 pair products are generated
+    # INSIDE the row (nested array transform, no self-join), so the only
+    # shuffle is the grouped agg on (i, j) — map-side combinable, carrying
+    # exactly 2016 + 64 partial rows per partition regardless of row count;
+    # the classic partial-Gram-matrix reduction expressed declaratively.
+    oracle=f"""
+    WITH {_MOM_SQL}
+    SELECT p.i, p.j,
+           ROUND((ma.n * p.sxy - ma.sx * mb.sx)
+                 / sqrt((ma.n * ma.sxx - ma.sx * ma.sx)
+                        * (ma.n * mb.sxx - mb.sx * mb.sx)), 6) AS corr
+    FROM prod p JOIN marg ma ON p.i = ma.i JOIN marg mb ON p.j = mb.i
+    """,
+    description="Pearson feature-correlation matrix over all 2016 embedding-"
+    "dimension pairs, hash-checked: order-free DECIMAL(38,12) sufficient "
+    "statistics (the dsum discipline at embedding magnitudes), closing "
+    "formula a fixed sequence of correctly-rounded double ops; pair products "
+    "generated inside the row (no self-join) so the only shuffle carries "
+    "2016+64 map-side-combined partial rows per partition — the partial-"
+    "Gram-matrix reduction, declaratively",
+    tags=("stats", "vector"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    marg, prod = _embed_moments(emb)
+    ma = marg.select(
+        F.col("i"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a"), "n"
+    )
+    mb = marg.select(
+        F.col("i").alias("j"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx_a") * F.col("sx_b")) / F.sqrt(
+        (F.col("n") * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a"))
+        * (F.col("n") * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b"))
+    )
+    return (
+        prod.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select("i", "j", F.round(corr, 6).alias("corr"))
+    )
+
+
 def _pca_ctes_sql() -> str:
     steps = []
     for k in (1, 2):
@@ -1271,14 +1237,17 @@ def _pca_ctes_sql() -> str:
     WITH {_MOM_SQL},
     a AS MATERIALIZED (
       SELECT p.i, p.j,
-             (ma.n * p.sxy - ma.sx * mb.sx) / CAST(ma.n * ma.n AS DOUBLE) AS aij
+             (ma.n * p.sxy - ma.sx * mb.sx)
+               / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE)) AS aij
       FROM prod p JOIN marg ma ON p.i = ma.i JOIN marg mb ON p.j = mb.i
       UNION ALL
       SELECT p.j AS i, p.i AS j,
-             (ma.n * p.sxy - ma.sx * mb.sx) / CAST(ma.n * ma.n AS DOUBLE) AS aij
+             (ma.n * p.sxy - ma.sx * mb.sx)
+               / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE)) AS aij
       FROM prod p JOIN marg ma ON p.i = ma.i JOIN marg mb ON p.j = mb.i
       UNION ALL
-      SELECT i, i, (n * sxx - sx * sx) / CAST(n * n AS DOUBLE) AS aij FROM marg),
+      SELECT i, i, (n * sxx - sx * sx)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS aij FROM marg),
     v0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS v FROM marg),"""
         + ",".join(steps)
     )
@@ -1342,7 +1311,9 @@ def _pca_top_component(emb: DataFrame):
             "j",
             (
                 (F.col("n") * F.col("sxy") - F.col("sx_a") * F.col("sx_b"))
-                / (F.col("n") * F.col("n")).cast("double")
+                # n cast to double BEFORE squaring: BIGINT n*n wraps
+                # silently past n ~ 3.04e9 rows (non-ANSI mode)
+                / (F.col("n").cast("double") * F.col("n").cast("double"))
             ).alias("aij"),
         )
     )
@@ -1351,7 +1322,7 @@ def _pca_top_component(emb: DataFrame):
         F.col("i").alias("j"),
         (
             (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            / (F.col("n") * F.col("n")).cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("aij"),
     )
     a = upper.unionByName(

@@ -955,6 +955,30 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _png_fixture_media(docs):
+    """Deterministic greyscale-PNG fixture shared by q_image_decode and
+    q_image_resize (and hard-coded in BOTH oracles' closed-form pixel
+    recomputation — keep all four in sync): width 16 + id % 16, height
+    16 + id % 8, pixel(i) = (id*31 + i*7) % 256, stdlib-encoded."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as _png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 16, 16 + d % 8
+                pixels = bytes((d * 31 + i * 7) % 256 for i in range(w * h))
+                payloads.append(_png.encode_gray(w, h, pixels))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, "media_id bigint, payload binary")
+
+
 @query(
     "q_image_decode",
     # The first ORACLE-CHECKED real-codec multimodal query. Each document id
@@ -994,27 +1018,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal",),
 )
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     from ..operators.multimodal import decode_media
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import png as _png
-
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 16 + d % 16, 16 + d % 8
-                pixels = bytes((d * 31 + i * 7) % 256 for i in range(w * h))
-                payloads.append(_png.encode_gray(w, h, pixels))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
-
-    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    media = _png_fixture_media(docs)
     out = decode_media(media)
     return out.select(
         "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma")
@@ -1230,27 +1237,10 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal",),
 )
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     from ..operators.multimodal import decode_media, resize_media
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import png as _png
-
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h = 16 + d % 16, 16 + d % 8
-                pixels = bytes((d * 31 + i * 7) % 256 for i in range(w * h))
-                payloads.append(_png.encode_gray(w, h, pixels))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
-
-    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    media = _png_fixture_media(docs)
     resized = resize_media(media, 12, 9, strict=True)
     out = decode_media(resized, strict=True)
     return out.select(

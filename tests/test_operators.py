@@ -300,11 +300,13 @@ def test_resize_media_upscale_repeats_pixels(spark):
 
 
 def test_resize_media_nonstrict_passes_through_unsupported(spark, media):
-    # fake/v1 payloads are not PNGs: non-strict passes bytes through
+    # fake/v1 payloads are not PNGs: non-strict passes bytes through with
+    # NULL dims (the bytes were not resized — target dims would lie)
     out = resize_media(media, 8, 8, strict=False)
     orig = {r.media_id: bytes(r.payload) for r in media.collect()}
-    got = {r.media_id: bytes(r.payload) for r in out.collect()}
-    assert got == orig
+    rows = out.collect()
+    assert {r.media_id: bytes(r.payload) for r in rows} == orig
+    assert all(r.width is None and r.height is None for r in rows)
 
 
 def test_resize_media_strict_raises_on_unsupported(spark, media):
@@ -333,9 +335,40 @@ def test_resize_media_isolates_malformed_payload_nonstrict(spark):
     df = spark.createDataFrame(
         [(1, bytearray(bad)), (2, bytearray(good))], "media_id long, payload binary"
     )
-    rows = {r.media_id: bytes(r.payload) for r in resize_media(df, 2, 2).collect()}
-    assert rows[1] == bad  # isolated, passed through
-    assert rows[2] != good  # actually resized
+    rows = {r.media_id: r for r in resize_media(df, 2, 2).collect()}
+    assert bytes(rows[1].payload) == bad  # isolated, passed through
+    assert rows[1].width is None  # unresized bytes: dims must not lie
+    assert bytes(rows[2].payload) != good  # actually resized
+    assert (rows[2].width, rows[2].height) == (2, 2)
+
+
+def test_decode_media_isolates_short_and_pil_style_failures(spark):
+    # <8-byte garbage without magic: digest stub, not struct.error death
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xyz"))], "media_id long, payload binary"
+    )
+    r = decode_media(df).collect()[0]
+    assert r.width > 0 and 0.0 <= r.mean_luma <= 1.0
+    # zero-dimension PNG (consistent empty IDAT): codec rejects with
+    # ValueError -> stub row in non-strict, raise in strict
+    from etl_housing_spark.functions import png as _png
+    import struct as _struct, zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0)
+    zdim = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png._chunk(b"IHDR", ihdr)
+        + _png._chunk(b"IDAT", _zlib.compress(b""))
+        + _png._chunk(b"IEND", b"")
+    )
+    df2 = spark.createDataFrame(
+        [(1, bytearray(zdim))], "media_id long, payload binary"
+    )
+    assert decode_media(df2).count() == 1  # stubbed, task alive
+    with pytest.raises(Exception, match="zero dimension"):
+        decode_media(df2, strict=True).collect()
+    out = resize_media(df2, 2, 2).collect()[0]  # resize isolates it too
+    assert out.width is None
 
 
 def test_minhash_mllib_agrees_with_handrolled(docs):
