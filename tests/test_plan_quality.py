@@ -701,3 +701,56 @@ def test_pack_sequences_shardwise_no_global_sort(spark):
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
     assert "Python" not in plan
+
+
+def test_corr_matrix_prunes_to_embedding_column_no_self_join(spark):
+    """The Gram reduction reads ONLY the embedding column and never
+    self-joins: pair products are generated inside the row."""
+    plan = _plan(_q(spark, "q_corr_matrix"))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("embedding" in r for r in reads)
+    assert all("vec_id" not in r and "label" not in r for r in reads)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # matrix-sized sides broadcast
+
+
+def test_pca_power_no_cartesian_no_corpus_join(spark):
+    """Power iteration runs on the d^2-row matrix; the corpus appears only
+    in the sufficient-statistics aggregates, never in a join."""
+    plan = _plan(_q(spark, "q_pca_power_portable"))
+    assert "CartesianProduct" not in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("embedding" in r for r in reads)
+
+
+def test_takedown_cascade_broadcasts_tainted_clusters(spark):
+    """The takedown list is tiny: the cluster-taint join must broadcast,
+    and nothing may cartesian."""
+    plan = _plan(_q(spark, "q_takedown_cascade"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_eval_never_all_pairs(spark):
+    """Both the exact-truth side (inverted-index equi-join on the shingle)
+    and the candidate side (band-bucket equi-join) must be hash/sort joins
+    — a cartesian would mean an all-pairs comparison snuck in."""
+    plan = _plan(_q(spark, "q_lsh_eval"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_image_resize_is_python_stage_only_map(spark):
+    """decode -> resample -> encode -> decode is map-only: no exchange may
+    appear between the scan and the final Arrow stages."""
+    plan = _plan(_q(spark, "q_image_resize"))
+    assert "Exchange" not in plan  # embarrassingly parallel end to end
+
+
+def test_unigram_encode_vocab_join_broadcasts(spark):
+    """Corpus encoding is a broadcast of the vocab-sized (word, n_tok)
+    table onto the exploded corpus — the corpus must never shuffle into a
+    sort-merge join."""
+    plan = _plan(_q(spark, "q_unigram_encode"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
