@@ -72,6 +72,14 @@ def decode_pcm16(data: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError(
             "truncated WAV: chunk header ends before its declared length"
         ) from None
+    except RuntimeError:
+        # chunk.py's skip()/seek() raises bare RuntimeError when a chunk's
+        # declared size sends the read position outside the stream (found
+        # by the hypothesis fuzz in tests/test_codec_props.py) — the same
+        # per-payload boundary as EOFError above.
+        raise ValueError(
+            "malformed WAV: chunk size points outside the byte stream"
+        ) from None
     if sampwidth != 2:
         raise NotImplementedError(
             f"pure-stdlib WAV fixture decodes 16-bit PCM only (got "
