@@ -474,21 +474,62 @@ def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_eval_oracle() -> str:
-    from .dedup_queries import _mh_oracle
-
-    return f"""
-    WITH sh AS ({_SHINGLE_DUCK}),
+_TRUTH_SQL = f"""sh AS ({_SHINGLE_DUCK}),
     sizes AS (SELECT doc_id AS id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
-    truth AS (
+    truth AS MATERIALIZED (
       SELECT id_a, id_b,
              CAST((10 * n_inter) // (sa.n_sh + sb.n_sh - n_inter) AS BIGINT) AS d
       FROM inter JOIN sizes sa ON inter.id_a = sa.id
-                 JOIN sizes sb ON inter.id_b = sb.id),
+                 JOIN sizes sb ON inter.id_b = sb.id)"""
+
+
+def _jaccard_decile_truth(docs: DataFrame) -> DataFrame:
+    """Exact trigram-Jaccard ground truth binned into integer deciles —
+    the Spark twin of _TRUTH_SQL (inverted-index join, never all-pairs;
+    (10*inter) DIV union so the bin key never touches floats)."""
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    shingles = F.when(
+        F.size(F.col("t")) >= 3,
+        F.expr(
+            "transform(sequence(0, size(t) - 3), "
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ),
+    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
+    sh = toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("id_a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST((10 * n_inter) DIV (na + nb - n_inter) AS BIGINT)").alias("d"),
+        )
+    )
+
+
+def _lsh_eval_oracle() -> str:
+    from .dedup_queries import _mh_oracle
+
+    return f"""
+    WITH {_TRUTH_SQL},
     sigs AS ({_mh_oracle()}),
     bands AS (
       {_BAND_UNION}),
@@ -543,40 +584,7 @@ def _lsh_eval_oracle() -> str:
 )
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # bound-once token array (the q_minhash_portable Catalyst-lambda-CSE fix)
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    shingles = F.when(
-        F.size(F.col("t")) >= 3,
-        F.expr(
-            "transform(sequence(0, size(t) - 3), "
-            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-        ),
-    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
-    sh = toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.select(F.col("doc_id").alias("id_a"), "sh")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    truth = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("CAST((10 * n_inter) DIV (na + nb - n_inter) AS BIGINT)").alias("d"),
-        )
-        .withColumn("tr", F.lit(1))
-    )
+    truth = _jaccard_decile_truth(docs).withColumn("tr", F.lit(1))
     cand = (
         q_minhash_pairs_portable(spark, sf_dir)
         .select("id_a", "id_b")
@@ -589,6 +597,140 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         both.groupBy("j_decile")
+        .agg(
+            F.sum("is_truth").cast("bigint").alias("n_pairs"),
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.sum(F.col("is_truth") * F.col("is_cand")).cast("bigint").alias("n_detected"),
+        )
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("n_detected").cast("double") / F.col("n_pairs"),
+            ),
+        )
+    )
+
+
+_SWEEP_LAYOUTS = [(2, 8), (4, 4), (8, 2)]  # (bands, rows) over the 16 sigs
+
+
+def _band_union_sql(b: int, r: int) -> str:
+    return "\n      UNION ALL ".join(
+        f"SELECT doc_id, {k} AS bd, concat_ws(',', "
+        + ", ".join(f"sig_{k * r + j}" for j in range(r))
+        + ") AS bkey FROM sigs"
+        for k in range(b)
+    )
+
+
+def _lsh_band_sweep_oracle() -> str:
+    from .dedup_queries import _mh_oracle
+
+    cands = []
+    for b, r in _SWEEP_LAYOUTS:
+        cands.append(f"""
+    bands_{b} AS (
+      {_band_union_sql(b, r)}),
+    cand_{b} AS (
+      SELECT DISTINCT 'b{b}r{r}' AS layout, a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands_{b} a JOIN bands_{b} b2
+        ON a.bd = b2.bd AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT * FROM cand_{b}" for b, _ in _SWEEP_LAYOUTS
+    )
+    layouts = ", ".join(f"('b{b}r{r}')" for b, r in _SWEEP_LAYOUTS)
+    return f"""
+    WITH {_TRUTH_SQL},
+    sigs AS MATERIALIZED ({_mh_oracle()}),{",".join(cands)},
+    cands AS (
+      {unions}),
+    truthx AS (
+      SELECT l.layout, t.id_a, t.id_b, t.d
+      FROM truth t CROSS JOIN (VALUES {layouts}) l(layout)),
+    joined AS (
+      SELECT COALESCE(t.layout, c.layout) AS layout,
+             COALESCE(t.d, 0) AS j_decile,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM truthx t FULL OUTER JOIN cands c
+        ON t.layout = c.layout AND t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT layout, j_decile,
+           CAST(SUM(is_truth) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_truth * is_cand) AS BIGINT) AS n_detected,
+           CASE WHEN SUM(is_truth) > 0
+                THEN CAST(SUM(is_truth * is_cand) AS DOUBLE)
+                     / CAST(SUM(is_truth) AS BIGINT)
+           END AS recall
+    FROM joined GROUP BY layout, j_decile
+    """
+
+
+@query(
+    "q_lsh_band_sweep",
+    # The LSH tuning TABLE: one signature pass, three band layouts (2x8,
+    # 4x4, 8x2 over the same 16 minhashes), per-layout per-decile recall —
+    # the artifact an operator actually reads to pick bands/rows (more
+    # bands = higher recall and more junk candidates; the sweep shows all
+    # three S-curves side by side, sharing both the signatures and the
+    # exact ground truth so the comparison is apples-to-apples). Scale
+    # shape: signatures and truth are computed ONCE; each layout adds only
+    # its band-bucket equi-join (never all-pairs), and the tiny layout
+    # dimension rides as a literal column through one shared full-outer
+    # join + grouped count.
+    oracle=_lsh_band_sweep_oracle(),
+    description="LSH band/row tuning sweep, hash-checked: three band layouts "
+    "(2x8, 4x4, 8x2) over one shared 16-hash signature pass, each evaluated "
+    "against the same exact trigram-Jaccard decile ground truth — per-layout "
+    "S-curves (n_pairs/n_candidates/n_detected/recall per decile) for the "
+    "bands-vs-precision trade; candidates from band-bucket equi-joins only",
+    tags=("dedup", "pipeline"),
+)
+def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import q_minhash_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = tracked_persist(q_minhash_portable(spark, sf_dir))
+    cands = None
+    for b, r in _SWEEP_LAYOUTS:
+        stack = f"stack({b}, " + ", ".join(
+            f"{k}, concat_ws(',', "
+            + ", ".join(f"sig_{k * r + j}" for j in range(r))
+            + ")"
+            for k in range(b)
+        ) + ") AS (bd, bkey)"
+        bands = sigs.selectExpr("doc_id", stack)
+        c = (
+            bands.select(F.col("doc_id").alias("id_a"), "bd", "bkey")
+            .join(
+                bands.select(F.col("doc_id").alias("id_b"), "bd", "bkey"),
+                ["bd", "bkey"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                F.lit(f"b{b}r{r}").alias("layout"), "id_a", "id_b"
+            )
+            .distinct()
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.withColumn("ca", F.lit(1))
+    layouts = spark.createDataFrame(
+        [(f"b{b}r{r}",) for b, r in _SWEEP_LAYOUTS], "layout string"
+    )
+    truth = (
+        _jaccard_decile_truth(docs)
+        .crossJoin(F.broadcast(layouts))
+        .withColumn("tr", F.lit(1))
+    )
+    joined = truth.join(cands, ["layout", "id_a", "id_b"], "full_outer").select(
+        "layout",
+        F.coalesce("d", F.lit(0)).alias("j_decile"),
+        F.coalesce("tr", F.lit(0)).alias("is_truth"),
+        F.coalesce("ca", F.lit(0)).alias("is_cand"),
+    )
+    return (
+        joined.groupBy("layout", "j_decile")
         .agg(
             F.sum("is_truth").cast("bigint").alias("n_pairs"),
             F.sum("is_cand").cast("bigint").alias("n_candidates"),

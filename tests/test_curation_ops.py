@@ -649,3 +649,13 @@ def test_pca_power_recovers_rank1_direction(spark, tmp_path):
     assert l1 * l2 < 0 and l1 * out[3].loading > 0
     assert abs(sum(r.loading ** 2 for r in out.values()) - 1.0) < 1e-4
     assert out[1].eigval_est > 0
+
+
+def test_lsh_band_sweep_all_layouts_catch_identical_pair(spark, tmp_path):
+    dup = " ".join(f"w{i}" for i in range(30))
+    sf = _write_docs(spark, tmp_path, [(0, dup, "s"), (1, dup, "s")])
+    out = SPECS["q_lsh_band_sweep"].fn(spark, sf).collect()
+    by_layout = {r.layout: r for r in out if r.j_decile == 10}
+    assert set(by_layout) == {"b2r8", "b4r4", "b8r2"}
+    # identical docs agree on every signature: every layout must detect
+    assert all(r.n_detected == 1 and r.recall == 1.0 for r in by_layout.values())
