@@ -472,3 +472,68 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.n_frames").alias("n_frames"),
         ),
     )
+
+
+PHASH_SCHEMA = "media_id BIGINT, phash_hi BIGINT, phash_lo BIGINT, n_set_bits INT"
+
+
+def phash_media(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Perceptual difference-hash (dHash) over decodable greyscale PNGs —
+    the published image near-dup primitive (resize to 9x8, compare each
+    pixel to its right neighbor, pack the 64 booleans into a hash; images
+    whose dHashes are within a few Hamming bits are near-duplicates).
+
+    This stage expects payloads ALREADY resized to 9x8 (chain resize_media
+    (9, 8) before it — same decode->gather->compare arithmetic a fused
+    stage would run, kept separate so each stage stays hash-checkable).
+    Bit k (k = row*8 + col, row-major over the 8x8 comparison grid) is 1
+    iff pixel(row, col) > pixel(row, col+1); the hash is emitted as two
+    BIGINT halves (hi = bits 32..63, lo = bits 0..31) because bit 63 of a
+    single signed 64-bit value would overflow identically-but-fragilely on
+    both engines. Malformed/unsupported payloads stub to NULL halves in
+    non-strict mode (the family isolation contract); strict raises.
+
+    Scale shape: map-only mapInPandas, no shuffle; the hash is 12 bytes a
+    row — the downstream Hamming-band join (group by hi, compare lo) is
+    the image twin of the MinHash band-bucket join.
+    """
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions import png as _png
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    if b[:8] != _PNG_MAGIC:
+                        raise NotImplementedError(
+                            "dHash needs a decodable PNG — wire Pillow for "
+                            "other formats"
+                        )
+                    w, h, ch, samples = _png.decode(b)
+                    if ch != 1 or (w, h) != (9, 8):
+                        raise ValueError(
+                            f"dHash stage expects 9x8 greyscale input "
+                            f"(got {w}x{h}x{ch}) — chain resize_media(9, 8)"
+                        )
+                    arr = np.frombuffer(samples, dtype=np.uint8).reshape(8, 9)
+                    bits = (arr[:, :-1] > arr[:, 1:]).astype(np.uint64)
+                    weights = np.uint64(1) << np.arange(64, dtype=np.uint64).reshape(8, 8)
+                    val = int((bits * weights).sum())
+                    rows.append((mid, val >> 32, val & 0xFFFFFFFF, int(bits.sum())))
+                except (ValueError, NotImplementedError):
+                    if strict:
+                        raise
+                    rows.append((mid, None, None, None))
+            out = pd.DataFrame(
+                rows, columns=["media_id", "phash_hi", "phash_lo", "n_set_bits"]
+            )
+            out["phash_hi"] = out["phash_hi"].astype("Int64")
+            out["phash_lo"] = out["phash_lo"].astype("Int64")
+            out["n_set_bits"] = out["n_set_bits"].astype("Int32")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(hsh, PHASH_SCHEMA)

@@ -1249,6 +1249,63 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_image_phash",
+    # Perceptual image hashing (dHash — the published image near-dup
+    # primitive): fixture PNGs go through the REAL resize stage to the
+    # canonical 9x8 thumbnail, then the phash stage compares each pixel to
+    # its right neighbor and packs the 64 booleans into two BIGINT halves
+    # (bit 63 in one signed value would overflow). Images whose dHashes
+    # sit within a few Hamming bits are near-duplicates — the image twin
+    # of MinHash, and the downstream candidate join (group by hi half,
+    # compare lo) is the same band-bucket shape. The oracle recomputes
+    # every comparison from the closed-form pixel + floor-mapping
+    # arithmetic in pure SQL, so decode -> resample -> encode -> decode ->
+    # compare -> pack hash-matches end to end. Map-only, zero shuffle.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+      FROM documents),
+    g AS (
+      -- 8x8 comparison grid over the 9x8 thumbnail, k = row*8 + col;
+      -- left pixel (row, col), right pixel (row, col+1), both via the
+      -- resize floor mapping sy = y*h//8, sx = x*w//9
+      SELECT d.doc_id, k.k,
+             ((d.doc_id * 31
+               + (((k.k // 8) * d.h // 8) * d.w + ((k.k % 8) * d.w // 9)) * 7)
+              % 256) AS v_l,
+             ((d.doc_id * 31
+               + (((k.k // 8) * d.h // 8) * d.w + (((k.k % 8) + 1) * d.w // 9)) * 7)
+              % 256) AS v_r
+      FROM dims d CROSS JOIN range(0, 64) k(k))
+    SELECT doc_id AS media_id,
+           CAST(SUM(CASE WHEN v_l > v_r AND k >= 32
+                         THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+                AS BIGINT) AS phash_hi,
+           CAST(SUM(CASE WHEN v_l > v_r AND k < 32
+                         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                AS BIGINT) AS phash_lo,
+           CAST(SUM(CASE WHEN v_l > v_r THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_set_bits
+    FROM g GROUP BY doc_id
+    """,
+    description="perceptual image dHash, hash-checked end to end: the real "
+    "resize stage produces the canonical 9x8 thumbnail, the phash stage "
+    "packs the 64 right-neighbor comparisons into two BIGINT halves, and "
+    "the oracle recomputes every comparison from the closed-form pixel + "
+    "floor-mapping arithmetic — the image twin of MinHash for near-dup "
+    "detection; map-only, zero shuffle, 12 bytes per image downstream",
+    tags=("multimodal", "dedup"),
+)
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _png_fixture_media(docs)
+    thumbs = resize_media(media, 9, 8, strict=True)
+    return phash_media(thumbs, strict=True)
+
+
+@query(
     "q_rolling_fingerprint_portable",
     # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's
     # crc32 base hash has no DuckDB twin, so this variant derives per-token

@@ -729,3 +729,35 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
     deg = {r_.node: (r_.out_deg, r_.in_deg) for r_ in degree_stats(df).collect()}
     assert deg[3] == (2, 3) and deg[4] == (1, 0) and deg[5] == (0, 1)
+
+
+def test_phash_media_known_patterns(spark):
+    from etl_housing_spark.operators.multimodal import phash_media
+
+    # flat image: no pixel exceeds its neighbor -> all 64 bits zero
+    flat = _gray_png(9, 8, lambda i: 100)
+    # strictly decreasing rows: every left pixel > right pixel -> all bits set
+    desc = _gray_png(9, 8, lambda i: 255 - (i % 9) * 20)
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(desc)), (3, bytearray(flat))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in phash_media(df, strict=True).collect()}
+    assert rows[1].n_set_bits == 0 and rows[1].phash_hi == 0 and rows[1].phash_lo == 0
+    assert rows[2].n_set_bits == 64
+    assert rows[2].phash_hi == 0xFFFFFFFF and rows[2].phash_lo == 0xFFFFFFFF
+    # identical payloads -> identical hash (the dedup property)
+    assert (rows[1].phash_hi, rows[1].phash_lo) == (rows[3].phash_hi, rows[3].phash_lo)
+
+
+def test_phash_media_isolation_and_size_contract(spark):
+    from etl_housing_spark.operators.multimodal import phash_media
+
+    wrong_size = _gray_png(4, 4, lambda i: i)
+    df = spark.createDataFrame(
+        [(1, bytearray(wrong_size))], "media_id long, payload binary"
+    )
+    r = phash_media(df).collect()[0]  # non-strict: NULL row, task alive
+    assert r.phash_hi is None and r.n_set_bits is None
+    with pytest.raises(Exception, match="9x8"):
+        phash_media(df, strict=True).collect()
