@@ -1305,6 +1305,96 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_media(thumbs, strict=True)
 
 
+_PHASH_SQL = """
+    dims AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+      FROM documents),
+    g AS (
+      SELECT d.doc_id, k.k,
+             ((d.doc_id * 31
+               + (((k.k // 8) * d.h // 8) * d.w + ((k.k % 8) * d.w // 9)) * 7)
+              % 256) AS v_l,
+             ((d.doc_id * 31
+               + (((k.k // 8) * d.h // 8) * d.w + (((k.k % 8) + 1) * d.w // 9)) * 7)
+              % 256) AS v_r
+      FROM dims d CROSS JOIN range(0, 64) k(k)),
+    ph AS MATERIALIZED (
+      SELECT doc_id AS media_id,
+             CAST(SUM(CASE WHEN v_l > v_r AND k >= 32
+                           THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN v_l > v_r AND k < 32
+                           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                  AS BIGINT) AS phash_lo
+      FROM g GROUP BY doc_id)"""
+
+
+@query(
+    "q_image_neardup_phash",
+    # The dHash CONSUMER — image near-duplicate pairs by Hamming-banded
+    # join, the image twin of MinHash-LSH banding: the two 32-bit hash
+    # halves act as 2 bands (a pair within Hamming distance <= 6 of 64
+    # bits has a fair chance one half matches exactly; at production
+    # scale use 4x16-bit bands for distance guarantees — same shape),
+    # candidates from the per-band equi-joins only, then the EXACT
+    # distance check bit_count(xor(hi)) + bit_count(xor(lo)) — integer
+    # ops both engines compute identically. The fixture corpus plants
+    # real duplicates: doc ids 256 apart have identical dims and pixels
+    # ((id*31) mod 256 period), so the join must surface them at
+    # distance 0. Never all-pairs; the hash side is 12 bytes per image.
+    oracle=f"""
+    WITH {_PHASH_SQL},
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.phash_hi AS ha, a.phash_lo AS la,
+             b.phash_hi AS hb, b.phash_lo AS lb
+      FROM ph a JOIN ph b
+        ON a.media_id < b.media_id
+       AND (a.phash_hi = b.phash_hi OR a.phash_lo = b.phash_lo))
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+    """,
+    description="image near-dup pairs via Hamming-banded dHash join: the two "
+    "32-bit halves are the bands (equi-join candidates only, never "
+    "all-pairs), exact distance by bit_count(xor) on both halves, pairs at "
+    "Hamming <= 6 kept — the image twin of MinHash-LSH; the fixture plants "
+    "identical images 256 ids apart which must surface at distance 0",
+    tags=("multimodal", "dedup"),
+)
+def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _png_fixture_media(docs)
+    ph = phash_media(resize_media(media, 9, 8, strict=True), strict=True).select(
+        "media_id", "phash_hi", "phash_lo"
+    )
+    a = ph.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash_hi").alias("ha"),
+        F.col("phash_lo").alias("la"),
+    )
+    b = ph.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash_hi").alias("hb"),
+        F.col("phash_lo").alias("lb"),
+    )
+    hi_band = a.join(b, a["ha"] == b["hb"]).filter(F.col("id_a") < F.col("id_b"))
+    lo_band = a.join(b, a["la"] == b["lb"]).filter(F.col("id_a") < F.col("id_b"))
+    cand = hi_band.unionByName(lo_band).distinct()
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @query(
     "q_rolling_fingerprint_portable",
     # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's

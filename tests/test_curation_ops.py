@@ -659,3 +659,14 @@ def test_lsh_band_sweep_all_layouts_catch_identical_pair(spark, tmp_path):
     assert set(by_layout) == {"b2r8", "b4r4", "b8r2"}
     # identical docs agree on every signature: every layout must detect
     assert all(r.n_detected == 1 and r.recall == 1.0 for r in by_layout.values())
+
+
+def test_image_neardup_phash_surfaces_planted_identical_images(spark, tmp_path):
+    # the image fixture is a pure function of doc_id with period 256 in the
+    # pixel formula and dims: ids 1 and 257 produce IDENTICAL images
+    sf = _write_docs(
+        spark, tmp_path, [(1, "a", "s"), (257, "b", "s"), (9000, "c", "s")]
+    )
+    rows = {(r.id_a, r.id_b): r.hamming
+            for r in SPECS["q_image_neardup_phash"].fn(spark, sf).collect()}
+    assert rows.get((1, 257)) == 0
