@@ -1396,6 +1396,70 @@ def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_fingerprint",
+    # Energy-contour audio fingerprinting through the REAL codec chain:
+    # the q_audio_decode fixture waveforms (sample(i) = ((id*37 + i*101)
+    # % 4001) - 2000, n = 64 + id % 64) are encoded to real RIFF/WAV,
+    # decoded by the stdlib PCM parser, split into 8 windows (sample i ->
+    # window 8*i//n), per-window energy Σv² as exact integers, and bit w
+    # of the fingerprint set iff E_{w+1} > E_w — the contour hash real
+    # audio fingerprinting builds on (contours survive volume changes).
+    # The oracle recomputes every energy from the closed-form sample
+    # formula in pure SQL; everything is integer arithmetic, so the hash
+    # check is exact. Group-by-fp downstream is the audio near-dup
+    # candidate join (the MinHash/dHash band shape). Map-only.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    sm AS (
+      SELECT d.doc_id, d.n, (8 * i.i) // d.n AS w,
+             ((d.doc_id * 37 + i.i * 101) % 4001) - 2000 AS v
+      FROM dims d JOIN range(0, 128) i(i) ON i.i < d.n),
+    e AS (
+      SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS e
+      FROM sm GROUP BY doc_id, w)
+    SELECT a.doc_id AS media_id,
+           CAST(SUM(CASE WHEN b.e > a.e THEN (CAST(1 AS BIGINT) << a.w)
+                         ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(a.e) + MAX(CASE WHEN a.w = 6 THEN b.e END) AS BIGINT)
+             AS e_total
+    FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+    GROUP BY a.doc_id
+    """,
+    description="energy-contour audio fingerprint through the real WAV codec "
+    "chain, hash-checked: 8 integer window energies per clip, bit w set iff "
+    "the energy rises into window w+1 — the contour hash published audio "
+    "fingerprinting builds on; oracle recomputes every energy from the "
+    "closed-form sample formula, all integer arithmetic; group-by-fp is the "
+    "audio near-dup candidate join (the MinHash/dHash band shape)",
+    tags=("multimodal", "dedup"),
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import audio_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import wav as _wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 64
+                samples = [((d * 37 + i * 101) % 4001) - 2000 for i in range(n)]
+                payloads.append(_wav.encode_pcm16(8000, samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    return audio_fingerprint(media, n_windows=8, strict=True)
+
+
+@query(
     "q_rolling_fingerprint_portable",
     # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's
     # crc32 base hash has no DuckDB twin, so this variant derives per-token

@@ -761,3 +761,28 @@ def test_phash_media_isolation_and_size_contract(spark):
     assert r.phash_hi is None and r.n_set_bits is None
     with pytest.raises(Exception, match="9x8"):
         phash_media(df, strict=True).collect()
+
+
+def test_audio_fingerprint_contour_and_isolation(spark):
+    from etl_housing_spark.functions.wav import encode_pcm16
+    from etl_housing_spark.operators.multimodal import audio_fingerprint
+
+    # rising energy staircase: |v| grows by window -> every contour bit set
+    rising = [((i // 10) + 1) * 100 for i in range(80)]  # 8 windows of 10
+    flat = [50] * 80  # equal energies -> strict > never fires -> fp 0
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_pcm16(8000, rising))),
+            (2, bytearray(encode_pcm16(8000, flat))),
+            (3, bytearray(encode_pcm16(8000, rising))),
+            (4, bytearray(b"RIFF\x00\x00\x00\x00WAVE")),  # malformed
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_fingerprint(df).collect()}
+    assert rows[1].fp == 0b1111111
+    assert rows[2].fp == 0
+    assert rows[1].fp == rows[3].fp  # identical clips -> identical fp
+    assert rows[4].fp is None  # malformed isolated, task alive
+    with pytest.raises(Exception):
+        audio_fingerprint(df, strict=True).collect()
