@@ -1197,8 +1197,10 @@ def _embed_moments(emb: DataFrame):
     "formula a fixed sequence of correctly-rounded double ops; pair products "
     "generated inside the row (no self-join) so the only shuffle carries "
     "2016+64 map-side-combined partial rows per partition — the partial-"
-    "Gram-matrix reduction, declaratively",
-    tags=("stats", "vector"),
+    "Gram-matrix reduction, declaratively; bench-tagged as the round-9 "
+    "embedding-linear-algebra representative (decimal-tax story: "
+    "EHS_FAST_SUMS erases the DECIMAL(38,12) fold cost)",
+    tags=("stats", "vector", "bench"),
 )
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")

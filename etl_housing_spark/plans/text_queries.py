@@ -1293,8 +1293,9 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "packs the 64 right-neighbor comparisons into two BIGINT halves, and "
     "the oracle recomputes every comparison from the closed-form pixel + "
     "floor-mapping arithmetic — the image twin of MinHash for near-dup "
-    "detection; map-only, zero shuffle, 12 bytes per image downstream",
-    tags=("multimodal", "dedup"),
+    "detection; map-only, zero shuffle, 12 bytes per image downstream; "
+    "bench-tagged as the round-9 media-fingerprint representative",
+    tags=("multimodal", "dedup", "bench"),
 )
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import phash_media, resize_media
