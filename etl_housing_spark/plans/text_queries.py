@@ -1677,9 +1677,12 @@ def _wp_round_sql(i: int) -> str:
     # (the pointwise "glue" of the pair under a unigram LM over the current
     # segmentation). 3 unrolled rounds; symbol unigram counts and pair
     # counts both corpus-weighted over the DISTINCT-WORD table; the argmax
-    # compares scores as IEEE doubles — cnt/(cnt_a*cnt_b) where every
-    # operand is an exact integer ≤ 2^40, so the divide and multiply are
-    # correctly rounded and BIT-IDENTICAL on Spark and DuckDB — ties broken
+    # compares scores as IEEE doubles — cnt/(cnt_a*cnt_b), two correctly-
+    # rounded ops every engine evaluates BIT-IDENTICALLY, so cross-engine
+    # parity is unconditional. (The composite is not the exact rational:
+    # past cnt_a*cnt_b > 2^53 a near-tie can collapse — then broken (a, b)
+    # asc — matching float-scoring production trainers; the reference test
+    # pins the double-evaluated objective.) Ties broken
     # (a, b) asc; the rewrite is the same exact canonical greedy
     # left-to-right fold the BPE trainer proved. The emitted table is ALL
     # INTEGERS AND STRINGS (rnd, a, b, cnt, cnt_a, cnt_b — the score is the
