@@ -1507,8 +1507,10 @@ def q_rolling_fingerprint_portable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _bpe_round_sql(i: int) -> str:
-    p = i - 1
+def _pair_cte_sql(i: int, p: int) -> str:
+    """Corpus-weighted adjacent-pair counts over round p's sequences —
+    shared by the BPE and WordPiece round builders (single source for the
+    pair-extraction semantics)."""
     return f"""
     p{i} AS (
       SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -1516,8 +1518,15 @@ def _bpe_round_sql(i: int) -> str:
                list_filter(list_zip(l, l[2:]), q -> q[2] IS NOT NULL),
                q -> [q[1], q[2]])) AS pr
             FROM (SELECT freq, string_split(seq, ' ') AS l FROM s{p}))
-      GROUP BY pr[1], pr[2]),
-    m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+      GROUP BY pr[1], pr[2])"""
+
+
+def _rewrite_cte_sql(i: int, p: int) -> str:
+    """The exact canonical greedy left-to-right merge fold (the proven
+    list_reduce twin of the Spark aggregate() fold) — single-sourced so a
+    future fix cannot be applied to one trainer and silently missed by the
+    other."""
+    return f"""
     s{i} AS (
       SELECT w, freq,
              list_reduce(string_split(seq, ' '),
@@ -1525,6 +1534,16 @@ def _bpe_round_sql(i: int) -> str:
                                      AND x = m{i}.b
                            THEN acc || m{i}.b ELSE acc || ' ' || x END) AS seq
       FROM s{p} CROSS JOIN m{i})"""
+
+
+def _bpe_round_sql(i: int) -> str:
+    p = i - 1
+    return (
+        _pair_cte_sql(i, p)
+        + f""",
+    m{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),"""
+        + _rewrite_cte_sql(i, p)
+    )
 
 
 @query(
@@ -1573,13 +1592,29 @@ def q_bpe_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges[0].unionByName(merges[1]).unionByName(merges[2])
 
 
-def _bpe_chain(docs: DataFrame):
-    """Three unrolled BPE training rounds over the distinct-word table.
+# The exact canonical greedy left-to-right merge: fold the symbol stream
+# into a space-joined string, appending _b WITHOUT a delimiter when the
+# accumulated string's last TOKEN is _a (boundary = the ' '||_a suffix
+# check; a merge product _a||_b can never string-equal _a, so a token just
+# created by this round's merge never re-merges as left).
+# 'a a a a a'/(a,a) -> 'aa aa a', 'a b a b'/(a,b) -> 'ab ab' —
+# bitwise-matched by DuckDB's list_reduce twin (_rewrite_cte_sql).
+# SINGLE-SOURCED: both trainers fold with this exact expression.
+_GREEDY_FOLD_EXPR = (
+    "aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> "
+    "IF((acc = _a OR endswith(acc, concat(' ', _a))) AND x = _b, "
+    "concat(acc, _b), concat(acc, ' ', x))) AS seq"
+)
 
-    Returns (per-round 1-row merge frames, the final rewritten sequence
-    frame) — the latter IS the learned tokenizer applied to the vocabulary,
-    which q_bpe_encode joins back onto the corpus.
-    """
+
+def _merge_trainer_chain(docs: DataFrame, best_for_round):
+    """Shared scaffolding for the merge-table trainers (BPE, WordPiece):
+    distinct-word base with corpus frequency, char-level sequence init,
+    per-round corpus-weighted adjacent-pair counts, and the proven greedy
+    rewrite fold. ``best_for_round(s, pairs, rnd)`` supplies the one thing
+    the families disagree on — the argmax objective — and must return a
+    1-row frame whose first three columns are (rnd, a, b).
+    Returns (per-round merge frames, final rewritten sequences)."""
     w = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -1604,50 +1639,48 @@ def _bpe_chain(docs: DataFrame):
             .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = (
-            pairs.orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .select(F.lit(rnd).alias("rnd"), "a", "b", "cnt")
-        )
+        best = best_for_round(s, pairs, rnd)
         merges.append(best)
         bj = best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
         s = (
             s.crossJoin(F.broadcast(bj))
             # bind the symbol array once (Catalyst does not CSE in lambdas)
             .select("w", "freq", "_a", "_b", F.split("seq", " ").alias("l"))
-            .selectExpr(
-                "w",
-                "freq",
-                # exact canonical greedy left-to-right merge: fold the
-                # symbol stream into a space-joined string, appending _b
-                # WITHOUT a delimiter when the accumulated string's last
-                # TOKEN is _a (boundary = the ' '||_a suffix check; a merge
-                # product _a||_b can never string-equal _a, so a token just
-                # created by this round's merge never re-merges as left).
-                # 'a a a a a'/(a,a) -> 'aa aa a', 'a b a b'/(a,b) ->
-                # 'ab ab' — bitwise-matched by DuckDB's list_reduce twin.
-                "aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> "
-                "IF((acc = _a OR endswith(acc, concat(' ', _a))) AND x = _b, "
-                "concat(acc, _b), concat(acc, ' ', x))) AS seq",
-            )
+            .selectExpr("w", "freq", _GREEDY_FOLD_EXPR)
         )
     return merges, s
 
 
+def _bpe_chain(docs: DataFrame):
+    """Three unrolled BPE training rounds over the distinct-word table.
+
+    Returns (per-round 1-row merge frames, the final rewritten sequence
+    frame) — the latter IS the learned tokenizer applied to the vocabulary,
+    which q_bpe_encode joins back onto the corpus. Scaffolding shared with
+    the WordPiece trainer via :func:`_merge_trainer_chain`; BPE's argmax is
+    the raw pair count under the total (count desc, a, b) order.
+    """
+
+    def best(s, pairs, rnd):
+        return (
+            pairs.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(F.lit(rnd).alias("rnd"), "a", "b", "cnt")
+        )
+
+    return _merge_trainer_chain(docs, best)
+
+
 def _wp_round_sql(i: int) -> str:
     p = i - 1
-    return f"""
+    return (
+        f"""
     u{i} AS (
       SELECT sym, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym FROM s{p})
-      GROUP BY sym),
-    p{i} AS (
-      SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
-      FROM (SELECT freq, unnest(list_transform(
-               list_filter(list_zip(l, l[2:]), q -> q[2] IS NOT NULL),
-               q -> [q[1], q[2]])) AS pr
-            FROM (SELECT freq, string_split(seq, ' ') AS l FROM s{p}))
-      GROUP BY pr[1], pr[2]),
+      GROUP BY sym),"""
+        + _pair_cte_sql(i, p)
+        + f""",
     m{i} AS (
       SELECT p{i}.a AS a, p{i}.b AS b, p{i}.cnt AS cnt,
              ua.cnt AS cnt_a, ub.cnt AS cnt_b
@@ -1657,14 +1690,9 @@ def _wp_round_sql(i: int) -> str:
       ORDER BY CAST(p{i}.cnt AS DOUBLE)
                  / (CAST(ua.cnt AS DOUBLE) * CAST(ub.cnt AS DOUBLE)) DESC,
                a, b
-      LIMIT 1),
-    s{i} AS (
-      SELECT w, freq,
-             list_reduce(string_split(seq, ' '),
-               (acc, x) -> CASE WHEN (acc = m{i}.a OR ends_with(acc, ' ' || m{i}.a))
-                                     AND x = m{i}.b
-                           THEN acc || m{i}.b ELSE acc || ' ' || x END) AS seq
-      FROM s{p} CROSS JOIN m{i})"""
+      LIMIT 1),"""
+        + _rewrite_cte_sql(i, p)
+    )
 
 
 @query(
@@ -1717,40 +1745,19 @@ def q_wordpiece_merges_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wordpiece_chain(docs: DataFrame):
-    """Three unrolled WordPiece training rounds over the distinct-word table.
+    """Three unrolled WordPiece training rounds over the distinct-word
+    table — :func:`_merge_trainer_chain` scaffolding; the argmax is the
+    likelihood score cnt(ab)/(cnt(a)·cnt(b)) instead of the raw count.
+    Returns (per-round 1-row merge frames, final rewritten sequences)."""
 
-    Identical scaffolding to :func:`_bpe_chain` (same distinct-word base,
-    same canonical greedy rewrite fold); only the per-round argmax differs —
-    likelihood score cnt(ab)/(cnt(a)·cnt(b)) instead of raw pair count.
-    Returns (per-round 1-row merge frames, final rewritten sequences).
-    """
-    w = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    w = tracked_persist(w)
-    s = w.select("w", "freq", F.concat_ws(" ", F.split("w", "")).alias("seq"))
-    merges = []
-    for rnd in (1, 2, 3):
-        symbols = F.split(F.col("seq"), " ")
-        prs = F.zip_with(
-            F.slice(symbols, 1, F.size(symbols) - 1),
-            F.slice(symbols, 2, F.size(symbols) - 1),
-            lambda x, y: F.array(x, y),
-        )
-        # corpus-weighted unigram symbol counts over the CURRENT segmentation
-        # — the denominator of the WordPiece score; vocab-sized, one agg
+    def best(s, pairs, rnd):
+        # corpus-weighted unigram symbol counts over the CURRENT
+        # segmentation — the denominator of the WordPiece score;
+        # vocab-sized, one agg
         uni = (
-            s.select("freq", F.explode(symbols).alias("sym"))
+            s.select("freq", F.explode(F.split(F.col("seq"), " ")).alias("sym"))
             .groupBy("sym")
             .agg(F.sum("freq").alias("ucnt"))
-        )
-        pairs = (
-            s.select("freq", F.explode(prs).alias("pr"))
-            .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
         )
         scored = pairs.join(
             F.broadcast(uni.select(F.col("sym").alias("a"), F.col("ucnt").alias("cnt_a"))),
@@ -1759,32 +1766,18 @@ def _wordpiece_chain(docs: DataFrame):
             F.broadcast(uni.select(F.col("sym").alias("b"), F.col("ucnt").alias("cnt_b"))),
             "b",
         )
-        # exact-integer operands through correctly-rounded IEEE divide —
+        # the IEEE-double composite objective (see the @query comment) —
         # bit-identical to the DuckDB oracle's ORDER BY expression
         score = F.col("cnt").cast("double") / (
             F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")
         )
-        best = (
+        return (
             scored.orderBy(F.desc(score), "a", "b")
             .limit(1)
             .select(F.lit(rnd).alias("rnd"), "a", "b", "cnt", "cnt_a", "cnt_b")
         )
-        merges.append(best)
-        bj = best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
-        s = (
-            s.crossJoin(F.broadcast(bj))
-            .select("w", "freq", "_a", "_b", F.split("seq", " ").alias("l"))
-            .selectExpr(
-                "w",
-                "freq",
-                # same exact canonical greedy left-to-right fold as
-                # _bpe_chain (see the proof comment there)
-                "aggregate(slice(l, 2, size(l) - 1), l[0], (acc, x) -> "
-                "IF((acc = _a OR endswith(acc, concat(' ', _a))) AND x = _b, "
-                "concat(acc, _b), concat(acc, ' ', x))) AS seq",
-            )
-        )
-    return merges, s
+
+    return _merge_trainer_chain(docs, best)
 
 
 def _unigram_dp_sql() -> str:
