@@ -267,7 +267,12 @@ def test_dedup_pipeline_cache_is_bounded_across_invocations(spark):
     first = n_persistent()
     run()
     run()
-    assert n_persistent() == first, (
+    # <= not ==: the session is shared across the test module and Spark's
+    # ContextCleaner releases GC'd checkpoint RDDs from UNRELATED earlier
+    # tests asynchronously, so the absolute count can shrink between
+    # snapshots (observed 46 -> 44). The leak invariant is strictly about
+    # GROWTH per invocation.
+    assert n_persistent() <= first, (
         f"persistent RDDs grew {first} -> {n_persistent()} across invocations"
     )
 
