@@ -1383,3 +1383,30 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(_dsum12(F.col("xv") * F.col("v")), 6).alias("pc1"))
     )
+
+
+@query(
+    "q_corr_matrix_fast",
+    # The PRODUCTION twin of q_corr_matrix (⊘ rows-only by contract, like
+    # the murmur3 MinHash fast path): per-partition numpy Gram reduction —
+    # one X^T·X matmul per Arrow batch, the shuffle carries d(d+1)/2 + d + 1
+    # float64 partials per partition, no per-pair explode, no decimal
+    # arithmetic. Float64 accumulation order depends on partitioning, so
+    # values are reproducible only to ~1e-12 relative (no SQL twin can
+    # bit-match); equivalence to the hash-checked exact twin is pinned by
+    # tests/test_operators.py::test_corr_fast_matches_portable_within_fp.
+    # Bench evidence: the exploded-decimal exact form pays ~19x DuckDB at
+    # sf0.1; this path is the answer a deployment runs.
+    oracle=None,
+    description="production correlation matrix via per-partition numpy Gram "
+    "reduction (MLlib RowMatrix shape, Arrow-side): one matmul per batch, "
+    "d(d+1)/2 partials on the wire, no explode, no decimal tax — rows-only "
+    "(float accumulation order is partitioning-dependent); tolerance-pinned "
+    "against the hash-checked exact twin",
+    tags=("stats", "vector"),
+)
+def q_corr_matrix_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import corr_from_gram, gram_moments
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return corr_from_gram(gram_moments(emb, "embedding", _D))

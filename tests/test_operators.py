@@ -786,3 +786,22 @@ def test_audio_fingerprint_contour_and_isolation(spark):
     assert rows[4].fp is None  # malformed isolated, task alive
     with pytest.raises(Exception):
         audio_fingerprint(df, strict=True).collect()
+
+
+def test_corr_fast_matches_portable_within_fp(spark):
+    """The production Gram path must agree with the hash-checked exact twin
+    to float rounding: at 6dp output precision, at most a last-digit flip
+    from the partitioning-dependent float64 accumulation."""
+    from etl_housing_spark.plans import all_queries
+
+    SP = all_queries()
+    sf = "/root/testdata/sf0.001"
+    fast = {
+        (r.i, r.j): r.corr for r in SP["q_corr_matrix_fast"].fn(spark, sf).collect()
+    }
+    exact = {
+        (r.i, r.j): r.corr for r in SP["q_corr_matrix"].fn(spark, sf).collect()
+    }
+    assert fast.keys() == exact.keys() and len(fast) == 2016
+    worst = max(abs(fast[k] - exact[k]) for k in fast)
+    assert worst <= 1.1e-6, f"fast/exact corr diverged by {worst}"
