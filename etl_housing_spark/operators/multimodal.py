@@ -599,3 +599,55 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 8, strict: bool = False) -
             yield out
 
     return df.select("media_id", "payload").mapInPandas(fp, AUDIO_FP_SCHEMA)
+
+
+VIDEO_FP_SCHEMA = "media_id BIGINT, fp BIGINT, e_total BIGINT"
+
+
+def video_fingerprint(df: DataFrame, strict: bool = False) -> DataFrame:
+    """Temporal energy-contour video fingerprint — the video member of the
+    fingerprint family (dHash for images, energy contour for audio): per
+    FRAME, the exact-integer sum of every channel byte; bit f of the
+    fingerprint is 1 iff frame f+1 is brighter than frame f. Scene cuts
+    and fades survive re-encoding brightness shifts the same way audio
+    contours survive volume changes — this is the shape real video
+    near-dup fingerprints (e.g. TMK-style temporal signatures) build on.
+
+    BI_RGB AVI payloads decode through the stdlib demuxer; malformed /
+    compressed payloads stub to NULL per row (strict raises) — the family
+    isolation contract. Map-only, zero shuffle; one BIGINT per clip whose
+    group-by is the candidate join.
+    """
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import avi as _avi
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                try:
+                    if not _avi.is_avi(b):
+                        raise NotImplementedError(
+                            "video fingerprint needs a BI_RGB AVI payload"
+                        )
+                    _w, _h, _us, frames = _avi.decode_rgb24(b)
+                    if len(frames) < 2:
+                        raise ValueError(
+                            "video fingerprint needs >= 2 frames for a contour"
+                        )
+                    e = [sum(f) for f in frames]  # exact ints
+                    bits = sum(
+                        (1 << f) for f in range(len(e) - 1) if e[f + 1] > e[f]
+                    )
+                    rows.append((mid, int(bits), int(sum(e))))
+                except (ValueError, NotImplementedError):
+                    if strict:
+                        raise
+                    rows.append((mid, None, None))
+            out = pd.DataFrame(rows, columns=["media_id", "fp", "e_total"])
+            out["fp"] = out["fp"].astype("Int64")
+            out["e_total"] = out["e_total"].astype("Int64")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(fp, VIDEO_FP_SCHEMA)

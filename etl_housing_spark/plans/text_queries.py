@@ -1461,6 +1461,80 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_video_fingerprint",
+    # The video member of the fingerprint trilogy (image dHash, audio
+    # energy contour, video TEMPORAL contour): the q_video_decode fixture
+    # AVIs (frame pixel channel = (id*13 + f*17 + i*7) % 256, w = 8+id%8,
+    # h = 6+id%6, nf = 2+id%3) decode through the stdlib BI_RGB demuxer;
+    # per-frame exact-integer byte sums; bit f set iff frame f+1 is
+    # brighter than frame f — the temporal-signature shape real video
+    # near-dup systems build on. All integers; the oracle recomputes every
+    # frame sum closed-form. Map-only, zero shuffle.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, f.f,
+             CAST(3 AS BIGINT)
+               * SUM((d.doc_id * 13 + f.f * 17 + i.i * 7) % 256) AS e
+      FROM dims d
+      JOIN range(0, 4) f(f) ON f.f < d.nf
+      JOIN range(0, 168) i(i) ON i.i < d.w * d.h
+      GROUP BY d.doc_id, f.f),
+    et AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS e_total
+           FROM px GROUP BY doc_id),
+    ctr AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.e > a.e THEN (CAST(1 AS BIGINT) << a.f)
+                           ELSE 0 END) AS BIGINT) AS fp
+      FROM px a JOIN px b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      GROUP BY a.doc_id)
+    SELECT ctr.doc_id AS media_id, ctr.fp, et.e_total
+    FROM ctr JOIN et USING (doc_id)
+    """,
+    description="temporal energy-contour video fingerprint through the real "
+    "AVI demuxer, hash-checked: per-frame exact-integer byte sums, bit f "
+    "set iff frame f+1 is brighter — the temporal-signature shape video "
+    "near-dup systems build on; completes the media fingerprint trilogy "
+    "(image dHash, audio contour, video contour); all integer arithmetic, "
+    "oracle recomputes every frame sum closed-form; map-only",
+    tags=("multimodal", "dedup"),
+)
+def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import video_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import avi as _avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 8 + d % 8, 6 + d % 6, 2 + d % 3
+                frames = [
+                    bytes(
+                        (d * 13 + f * 17 + i * 7) % 256
+                        for i in range(w * h)
+                        for _ in range(3)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(_avi.encode_rgb24(w, h, frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    return video_fingerprint(media, strict=True)
+
+
+@query(
     "q_rolling_fingerprint_portable",
     # The order-sensitive fingerprint, hash-checked: q_rolling_fingerprint's
     # crc32 base hash has no DuckDB twin, so this variant derives per-token

@@ -805,3 +805,38 @@ def test_corr_fast_matches_portable_within_fp(spark):
     assert fast.keys() == exact.keys() and len(fast) == 2016
     worst = max(abs(fast[k] - exact[k]) for k in fast)
     assert worst <= 1.1e-6, f"fast/exact corr diverged by {worst}"
+
+
+def test_video_fingerprint_contour_and_isolation(spark):
+    from etl_housing_spark.functions.avi import encode_rgb24
+    from etl_housing_spark.operators.multimodal import video_fingerprint
+
+    dim = 4 * 3 * 3  # w*h*3 channel bytes per frame
+    dark = bytes([10] * dim)
+    bright = bytes([200] * dim)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_rgb24(4, 3, [dark, bright, dark]))),   # up, down
+            (2, bytearray(encode_rgb24(4, 3, [bright, bright]))),       # flat
+            (3, bytearray(encode_rgb24(4, 3, [dark, bright, dark]))),
+            (4, bytearray(b"RIFF\x00\x00\x00\x00AVI junk")),            # malformed
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in video_fingerprint(df).collect()}
+    assert rows[1].fp == 0b01  # bit 0 set (rise), bit 1 clear (fall)
+    assert rows[2].fp == 0  # equal frames: strict > never fires
+    assert rows[1].fp == rows[3].fp and rows[1].e_total == rows[3].e_total
+    assert rows[4].fp is None  # malformed isolated
+    with pytest.raises(Exception):
+        video_fingerprint(df, strict=True).collect()
+
+
+def test_corr_matrix_fast_plan_has_no_explode(spark):
+    """The production Gram path's whole point: no per-pair explode —
+    the plan must contain no Generate node and no decimal arithmetic."""
+    from etl_housing_spark.plans import all_queries
+
+    df = all_queries()["q_corr_matrix_fast"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # explode-free
