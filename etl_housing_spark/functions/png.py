@@ -49,6 +49,53 @@ def encode_gray(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+def encode_rgb(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit RGB (color type 2), non-interlaced, filter 0 on every
+    scanline — ``pixels`` is row-major interleaved RGB triplets."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(f"need {3 * width * height} bytes, got {len(pixels)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = 3 * width
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_samples(width: int, height: int, channels: int, samples: bytes) -> bytes:
+    """Encode interleaved 8-bit samples at the given channel count — the
+    inverse of :func:`decode` for every flavor it reads (1 = grey,
+    3 = RGB, 4 = RGBA), so decode→transform→encode round-trips any
+    supported payload."""
+    if channels == 1:
+        return encode_gray(width, height, samples)
+    if channels == 3:
+        return encode_rgb(width, height, samples)
+    if channels == 4:
+        if len(samples) != 4 * width * height:
+            raise ValueError(
+                f"need {4 * width * height} bytes, got {len(samples)}"
+            )
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+        stride = 4 * width
+        raw = b"".join(
+            b"\x00" + samples[y * stride : (y + 1) * stride]
+            for y in range(height)
+        )
+        return (
+            _SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+    raise NotImplementedError(f"unsupported channel count {channels}")
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)

@@ -399,11 +399,12 @@ def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -
     mapping ``src_x = x*w // W, src_y = y*h // H`` (vectorized numpy
     index-gather — no per-pixel Python), and re-encoded as PNG, so the
     output payload is again a decodable image the rest of the multimodal
-    chain accepts. Color/JPEG payloads remain the declared Pillow boundary
-    (strict=True raises; non-strict passes the payload through untouched
-    with NULL width/height — the bytes were not resized, so reporting the
-    target dims would misdescribe them), and malformed payloads are
-    isolated per row exactly like decode_media/decode_audio. The floor mapping is closed-form, which is
+    chain accepts. Grey, RGB and RGBA PNGs all resample (the channel axis
+    rides along the same index gather); JPEG payloads remain the declared
+    Pillow boundary (strict=True raises; non-strict passes the payload
+    through untouched with NULL width/height — the bytes were not resized,
+    so reporting the target dims would misdescribe them), and malformed
+    payloads are isolated per row exactly like decode_media/decode_audio. The floor mapping is closed-form, which is
     what lets q_image_resize hash-check the resampled pixels end to end.
 
     Scale shape: mapInPandas iterator-of-batches, constant memory per
@@ -422,17 +423,20 @@ def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -
                 if b[:8] == _PNG_MAGIC:
                     try:
                         w, h, ch, samples = _png.decode(b)
-                        if ch != 1:
-                            raise NotImplementedError(
-                                "stdlib resize handles greyscale PNGs only — "
-                                "wire Pillow for color resampling"
-                            )
-                        arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w)
+                        # grey, RGB and RGBA all resample with the same
+                        # (h, w, ch) index gather; the channel axis rides
+                        # along untouched
+                        arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
                         rows_idx = (np.arange(height) * h) // height
                         cols_idx = (np.arange(width) * w) // width
                         out = arr[rows_idx][:, cols_idx]
                         rows.append(
-                            (mid, _png.encode_gray(width, height, out.tobytes()), width, height)
+                            (
+                                mid,
+                                _png.encode_samples(width, height, ch, out.tobytes()),
+                                width,
+                                height,
+                            )
                         )
                         continue
                     except (ValueError, NotImplementedError):

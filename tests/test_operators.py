@@ -840,3 +840,16 @@ def test_corr_matrix_fast_plan_has_no_explode(spark):
     df = all_queries()["q_corr_matrix_fast"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan  # explode-free
+
+
+def test_resize_media_resamples_color_pngs(spark):
+    from etl_housing_spark.functions import png as _png
+
+    # 2x1 RGB: left red, right blue -> resize to 1x1 keeps the left pixel
+    rgb = bytes([255, 0, 0, 0, 0, 255])
+    df = spark.createDataFrame(
+        [(1, bytearray(_png.encode_rgb(2, 1, rgb)))], "media_id long, payload binary"
+    )
+    out = resize_media(df, 1, 1, strict=True).first()
+    w, h, ch, samples = _png.decode(bytes(out.payload))
+    assert (w, h, ch) == (1, 1, 3) and list(samples) == [255, 0, 0]

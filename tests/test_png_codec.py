@@ -132,3 +132,13 @@ def test_malformed_payloads_raise_the_documented_valueerror():
     )
     with pytest.raises(ValueError, match="IDAT"):
         png.decode(corrupt)
+
+
+def test_encode_samples_roundtrips_all_channel_counts():
+    for ch in (1, 3, 4):
+        samples = bytes((i * 7 + ch) % 256 for i in range(5 * 4 * ch))
+        data = png.encode_samples(5, 4, ch, samples)
+        w, h, rch, out = png.decode(data)
+        assert (w, h, rch) == (5, 4, ch) and out == samples
+    with pytest.raises(NotImplementedError):
+        png.encode_samples(2, 2, 2, bytes(8))
