@@ -1410,3 +1410,71 @@ def q_corr_matrix_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     return corr_from_gram(gram_moments(emb, "embedding", _D))
+
+
+@query(
+    "q_pca_whiten",
+    # PCA DEFLATION — the whitening step after q_pca_project: per vector,
+    # the first-component score s = x·v and the residual norm
+    # |x - s·v| = sqrt(|x|^2 - 2s^2 + s^2|v|^2) — the "how much of this
+    # vector is NOT the dominant direction" quantity drift monitors and
+    # decorrelation pipelines act on. Every sum (|x|^2, s, |v|^2) is an
+    # order-free DECIMAL(38,12) fold; the closing expression is a fixed
+    # left-associated sequence of correctly-rounded double ops with a
+    # GREATEST(.., 0) guard (a vector exactly on the component can round
+    # the radicand epsilon-negative). Corpus-sized rows move once.
+    oracle=_pca_ctes_sql()
+    + """,
+    xs AS (SELECT vec_id,
+                  CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS xx
+           FROM x GROUP BY vec_id),
+    sc AS (SELECT x.vec_id,
+                  CAST(SUM(CAST(x.v * v2.v AS DECIMAL(38,12))) AS DOUBLE) AS s
+           FROM x JOIN v2 ON x.i = v2.i GROUP BY x.vec_id),
+    vv AS (SELECT CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS vv
+           FROM v2)
+    SELECT sc.vec_id,
+           ROUND(sc.s, 6) AS pc1,
+           ROUND(sqrt(GREATEST(
+             xs.xx - 2 * sc.s * sc.s + sc.s * sc.s * vv.vv, 0)), 6)
+             AS resid_norm
+    FROM sc JOIN xs USING (vec_id) CROSS JOIN vv
+    """,
+    description="PCA whitening: per-vector first-component score and residual "
+    "norm after deflation (|x - s v|) — order-free decimal folds for every "
+    "sum, fixed-order closing arithmetic with an epsilon guard, hash-checked "
+    "through the power-iteration training; the drift/decorrelation quantity "
+    "a feature pipeline monitors",
+    tags=("stats", "vector"),
+)
+def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v, _ = _pca_top_component(emb.select("embedding"))
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("i"),
+        F.col("vf").cast("double").alias("xv"),
+    )
+    xs = x.groupBy("vec_id").agg(_dsum12(F.col("xv") * F.col("xv")).alias("xx"))
+    sc = (
+        x.join(F.broadcast(v), "i")
+        .groupBy("vec_id")
+        .agg(_dsum12(F.col("xv") * F.col("v")).alias("s"))
+    )
+    vv = v.agg(_dsum12(F.col("v") * F.col("v")).alias("vv"))
+    radicand = (
+        F.col("xx")
+        - F.lit(2) * F.col("s") * F.col("s")
+        + F.col("s") * F.col("s") * F.col("vv")
+    )
+    return (
+        sc.join(xs, "vec_id")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "vec_id",
+            F.round("s", 6).alias("pc1"),
+            F.round(F.sqrt(F.greatest(radicand, F.lit(0.0))), 6).alias("resid_norm"),
+        )
+    )

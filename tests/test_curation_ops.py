@@ -670,3 +670,20 @@ def test_image_neardup_phash_surfaces_planted_identical_images(spark, tmp_path):
     rows = {(r.id_a, r.id_b): r.hamming
             for r in SPECS["q_image_neardup_phash"].fn(spark, sf).collect()}
     assert rows.get((1, 257)) == 0
+
+
+def test_pca_whiten_rank1_residual_is_zero(spark, tmp_path):
+    # rank-1 data: every vector IS the component direction, so the
+    # residual after deflation must round to 0 and |pc1| must equal |x|
+    import math
+
+    rows = []
+    for vid, t in enumerate([0.1, 0.25, 0.4, 0.05]):
+        vec = [t * (k + 1) * (1 if k % 2 == 0 else -1) for k in range(64)]
+        rows.append((vid, vec, 0))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r.vec_id: r for r in SPECS["q_pca_whiten"].fn(spark, sf).collect()}
+    norm_u = math.sqrt(sum(((k + 1)) ** 2 for k in range(64)))
+    for vid, t in enumerate([0.1, 0.25, 0.4, 0.05]):
+        assert out[vid].resid_norm < 1e-4
+        assert abs(abs(out[vid].pc1) - t * norm_u) < 1e-2
