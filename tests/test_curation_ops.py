@@ -685,5 +685,8 @@ def test_pca_whiten_rank1_residual_is_zero(spark, tmp_path):
     out = {r.vec_id: r for r in SPECS["q_pca_whiten"].fn(spark, sf).collect()}
     norm_u = math.sqrt(sum(((k + 1)) ** 2 for k in range(64)))
     for vid, t in enumerate([0.1, 0.25, 0.4, 0.05]):
-        assert out[vid].resid_norm < 1e-4
+        # embeddings are stored float32: the vectors are only rank-1 up to
+        # float32 quantization (~1.2e-7 relative), so residuals land at
+        # ~1e-4 of the ~75-100 norms, not exactly zero
+        assert out[vid].resid_norm < 1e-3
         assert abs(abs(out[vid].pc1) - t * norm_u) < 1e-2
