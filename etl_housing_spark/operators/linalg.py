@@ -85,3 +85,55 @@ def corr_from_gram(moments: DataFrame) -> DataFrame:
         F.col("j").cast("bigint").alias("j"),
         F.round(corr, 6).alias("corr"),
     )
+
+
+def cov_from_gram(moments: DataFrame) -> DataFrame:
+    """Full symmetric covariance matrix (i, j, aij) from
+    :func:`gram_moments` output — the power-iteration input."""
+    n = moments.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("v").alias("n")
+    )
+    sx = moments.filter((F.col("i") > 0) & (F.col("j") == 0)).select(
+        "i", F.col("v").alias("sx")
+    )
+    upper = moments.filter((F.col("j") > 0) & (F.col("i") <= F.col("j"))).select(
+        "i", "j", F.col("v").alias("sxy")
+    )
+    ma = sx.select("i", F.col("sx").alias("sx_a"))
+    mb = sx.select(F.col("i").alias("j"), F.col("sx").alias("sx_b"))
+    joined = (
+        upper.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .crossJoin(F.broadcast(n))
+    )
+    aij = (F.col("n") * F.col("sxy") - F.col("sx_a") * F.col("sx_b")) / (
+        F.col("n") * F.col("n")
+    )
+    half = joined.select("i", "j", aij.alias("aij"))
+    mirrored = half.filter(F.col("i") < F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "aij"
+    )
+    return half.unionByName(mirrored)
+
+
+def pca_power_from_gram(moments: DataFrame, dim: int = 64, iters: int = 2):
+    """(v, nrm) after ``iters`` power steps over :func:`cov_from_gram` —
+    the production twin of the portable power iteration (plain double
+    sums; rows-only by contract)."""
+    a = cov_from_gram(moments)
+    spark = moments.sparkSession
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("i"), F.lit(1.0 / (dim ** 0.5)).alias("v")
+    )
+    nrm = None
+    for _ in range(iters):
+        w = (
+            a.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("aij") * F.col("v")).alias("wv"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("wv") * F.col("wv"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("wv") / F.col("nrm")).alias("v")
+        )
+    return v, nrm

@@ -1478,3 +1478,30 @@ def q_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(F.greatest(radicand, F.lit(0.0))), 6).alias("resid_norm"),
         )
     )
+
+
+@query(
+    "q_pca_power_fast",
+    # Production twin of q_pca_power_portable (⊘ rows-only, the
+    # q_corr_matrix_fast pattern): sufficient statistics from the
+    # per-partition numpy Gram reduction, power steps over the d^2-row
+    # covariance with plain double sums. Tolerance-pinned against the
+    # hash-checked portable twin in tests/test_operators.py (loadings
+    # agree to float rounding; sign is fixed by the shared positive start
+    # vector).
+    oracle=None,
+    description="production PCA: power iteration over the numpy partial-Gram "
+    "covariance (no explode, no decimal arithmetic) — rows-only twin of the "
+    "hash-checked q_pca_power_portable, tolerance-pinned against it",
+    tags=("stats", "vector"),
+)
+def q_pca_power_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.linalg import gram_moments, pca_power_from_gram
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    v, nrm = pca_power_from_gram(gram_moments(emb, "embedding", _D), _D, 2)
+    return v.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.round("v", 6).alias("loading"),
+        F.round("nrm", 6).alias("eigval_est"),
+    )

@@ -853,3 +853,16 @@ def test_resize_media_resamples_color_pngs(spark):
     out = resize_media(df, 1, 1, strict=True).first()
     w, h, ch, samples = _png.decode(bytes(out.payload))
     assert (w, h, ch) == (1, 1, 3) and list(samples) == [255, 0, 0]
+
+
+def test_pca_fast_matches_portable_within_fp(spark):
+    from etl_housing_spark.plans import all_queries
+
+    SP = all_queries()
+    sf = "/root/testdata/sf0.001"
+    fast = {r.i: r for r in SP["q_pca_power_fast"].fn(spark, sf).collect()}
+    exact = {r.i: r for r in SP["q_pca_power_portable"].fn(spark, sf).collect()}
+    assert len(fast) == 64
+    worst = max(abs(fast[i].loading - exact[i].loading) for i in fast)
+    assert worst <= 1.1e-6, f"fast/portable loadings diverged by {worst}"
+    assert abs(fast[1].eigval_est - exact[1].eigval_est) <= 1.1e-6
