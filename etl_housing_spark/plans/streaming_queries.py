@@ -374,3 +374,70 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_match",
         )
     )
+
+
+def _dedup_pipeline_oracle_sql() -> str:
+    from .pipeline_queries import _dedup_pipeline_oracle
+
+    return _dedup_pipeline_oracle()
+
+
+@query(
+    "q_stream_takedown",
+    # The STREAMING half of q_takedown_cascade: erasure/abuse requests
+    # arrive as a stream (the 'error' events stand in as the report feed;
+    # the reported document is event_id % corpus-size — deterministic on
+    # both engines) and each request must resolve IN FLIGHT to its full
+    # removal set — the near-dup cluster of the reported doc, sized. A
+    # row-level stream-static join to the hash-checked dedup-pipeline
+    # labels is batch-deterministic (no watermark, no state), so like
+    # q_stream_enrich it gets the full hash check; the static side is
+    # recomputed per micro-batch by the planner and would be a broadcast
+    # snapshot on a cluster. One output row per request: the cluster id
+    # and how many documents the erasure actually removes.
+    oracle=f"""
+    WITH lab AS (
+      SELECT doc_id, cluster_id FROM ({_dedup_pipeline_oracle_sql()})),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+           FROM lab GROUP BY cluster_id),
+    nd AS (SELECT COUNT(*) AS n FROM lab),
+    req AS (
+      SELECT event_id, event_id % nd.n AS doc_id
+      FROM events CROSS JOIN nd WHERE event_type = 'error')
+    SELECT r.event_id, r.doc_id, l.cluster_id, sz.n_removed
+    FROM req r
+    JOIN lab l ON r.doc_id = l.doc_id
+    JOIN sz ON l.cluster_id = sz.cluster_id
+    """,
+    description="streaming erasure gate, hash-checked: the error-event stream "
+    "stands in as the takedown feed (reported doc = event_id % corpus size), "
+    "each request stream-static joins to the hash-checked dedup-pipeline "
+    "cluster labels and resolves in flight to its cluster id and full removal "
+    "count — row-deterministic (no state), so fully value-checked like "
+    "q_stream_enrich; the static side is the broadcastable label snapshot",
+    tags=("streaming", "dedup", "pipeline"),
+)
+def q_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_queries import q_dedup_pipeline_portable
+
+    from ..operators._ckpt import single_shot_checkpoint
+
+    labels = q_dedup_pipeline_portable(spark, sf_dir).select("doc_id", "cluster_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed")
+    )
+    # materialize the label snapshot ONCE (tracked single-shot checkpoint):
+    # this is what a deployment broadcasts per micro-batch anyway, and the
+    # truncated lineage keeps the streaming plan free of the static side's
+    # Aggregate (a row-level stream-static join runs in append mode)
+    static = single_shot_checkpoint(labels.join(sizes, "cluster_id"))
+    n_docs = labels.count()  # static snapshot cardinality (driver-side int)
+    events = jobs.read_events_stream(spark, sf_dir)
+    req = events.filter(F.col("event_type") == "error").select(
+        "event_id", (F.col("event_id") % F.lit(n_docs)).alias("doc_id")
+    )
+    resolved = req.join(static, "doc_id").select(
+        "event_id", "doc_id", "cluster_id", "n_removed"
+    )
+    return jobs.run_available_now(resolved)
+
