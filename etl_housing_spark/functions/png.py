@@ -33,13 +33,24 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_gray(width: int, height: int, pixels: bytes) -> bytes:
-    """8-bit greyscale, non-interlaced, filter 0 on every scanline."""
-    if len(pixels) != width * height:
-        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
+
+
+def _encode(width: int, height: int, channels: int, samples: bytes) -> bytes:
+    """The one encoder body: 8-bit, non-interlaced, filter 0 on every
+    scanline — parametrized by channel count so grey/RGB/RGBA share it."""
+    if channels not in _COLOR_TYPE:
+        raise NotImplementedError(f"unsupported channel count {channels}")
+    if len(samples) != channels * width * height:
+        raise ValueError(
+            f"need {channels * width * height} bytes, got {len(samples)}"
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
+    )
+    stride = channels * width
     raw = b"".join(
-        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+        b"\x00" + samples[y * stride : (y + 1) * stride] for y in range(height)
     )
     return (
         _SIGNATURE
@@ -47,24 +58,17 @@ def encode_gray(width: int, height: int, pixels: bytes) -> bytes:
         + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
+
+
+def encode_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit greyscale, non-interlaced, filter 0 on every scanline."""
+    return _encode(width, height, 1, pixels)
 
 
 def encode_rgb(width: int, height: int, pixels: bytes) -> bytes:
     """8-bit RGB (color type 2), non-interlaced, filter 0 on every
     scanline — ``pixels`` is row-major interleaved RGB triplets."""
-    if len(pixels) != 3 * width * height:
-        raise ValueError(f"need {3 * width * height} bytes, got {len(pixels)}")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    stride = 3 * width
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
-    )
-    return (
-        _SIGNATURE
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw))
-        + _chunk(b"IEND", b"")
-    )
+    return _encode(width, height, 3, pixels)
 
 
 def encode_samples(width: int, height: int, channels: int, samples: bytes) -> bytes:
@@ -72,28 +76,7 @@ def encode_samples(width: int, height: int, channels: int, samples: bytes) -> by
     inverse of :func:`decode` for every flavor it reads (1 = grey,
     3 = RGB, 4 = RGBA), so decode→transform→encode round-trips any
     supported payload."""
-    if channels == 1:
-        return encode_gray(width, height, samples)
-    if channels == 3:
-        return encode_rgb(width, height, samples)
-    if channels == 4:
-        if len(samples) != 4 * width * height:
-            raise ValueError(
-                f"need {4 * width * height} bytes, got {len(samples)}"
-            )
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
-        stride = 4 * width
-        raw = b"".join(
-            b"\x00" + samples[y * stride : (y + 1) * stride]
-            for y in range(height)
-        )
-        return (
-            _SIGNATURE
-            + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(raw))
-            + _chunk(b"IEND", b"")
-        )
-    raise NotImplementedError(f"unsupported channel count {channels}")
+    return _encode(width, height, channels, samples)
 
 
 def _paeth(a: int, b: int, c: int) -> int:

@@ -35,16 +35,26 @@ def gram_moments(df: DataFrame, col: str = "embedding", dim: int = 64) -> DataFr
         import numpy as np
 
         iu = np.triu_indices(dim)
+        # accumulate across the WHOLE partition and emit once — per-batch
+        # partials would grow the shuffle linearly with corpus size (10k-row
+        # Arrow batches -> 100 frames per 1M-row partition) and break the
+        # d(d+1)/2-rows-per-partition contract this operator exists for
+        g = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf[col].to_numpy()).astype(np.float64)
-            g = x.T @ x
-            s = x.sum(axis=0)
-            rows_i = np.concatenate([iu[0] + 1, np.arange(1, dim + 1), [0]])
-            rows_j = np.concatenate([iu[1] + 1, np.zeros(dim, dtype=int), [0]])
-            vals = np.concatenate([g[iu], s, [float(len(x))]])
-            yield pd.DataFrame({"i": rows_i, "j": rows_j, "v": vals})
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n == 0:
+            return
+        rows_i = np.concatenate([iu[0] + 1, np.arange(1, dim + 1), [0]])
+        rows_j = np.concatenate([iu[1] + 1, np.zeros(dim, dtype=int), [0]])
+        vals = np.concatenate([g[iu], s, [float(n)]])
+        yield pd.DataFrame({"i": rows_i, "j": rows_j, "v": vals})
 
     partials = df.select(col).mapInPandas(gram, GRAM_SCHEMA)
     return partials.groupBy("i", "j").agg(F.sum("v").alias("v"))

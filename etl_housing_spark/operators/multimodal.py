@@ -641,8 +641,15 @@ def video_fingerprint(df: DataFrame, strict: bool = False) -> DataFrame:
                             "video fingerprint needs >= 2 frames for a contour"
                         )
                     e = [sum(f) for f in frames]  # exact ints
+                    # contour bits are capped at the first 63 transitions:
+                    # bit 63 of a signed BIGINT would overflow (the reason
+                    # phash_media splits into hi/lo halves); long clips
+                    # keep a valid 63-bit prefix signature, and e_total
+                    # still covers every frame
                     bits = sum(
-                        (1 << f) for f in range(len(e) - 1) if e[f + 1] > e[f]
+                        (1 << f)
+                        for f in range(min(len(e) - 1, 63))
+                        if e[f + 1] > e[f]
                     )
                     rows.append((mid, int(bits), int(sum(e))))
                 except (ValueError, NotImplementedError):

@@ -431,7 +431,9 @@ def q_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncated lineage keeps the streaming plan free of the static side's
     # Aggregate (a row-level stream-static join runs in append mode)
     static = single_shot_checkpoint(labels.join(sizes, "cluster_id"))
-    n_docs = labels.count()  # static snapshot cardinality (driver-side int)
+    # cardinality from the already-materialized checkpoint (one row per
+    # document) — counting `labels` would re-run the pipeline lineage
+    n_docs = static.count()
     events = jobs.read_events_stream(spark, sf_dir)
     req = events.filter(F.col("event_type") == "error").select(
         "event_id", (F.col("event_id") % F.lit(n_docs)).alias("doc_id")

@@ -1105,6 +1105,37 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _avi_fixture_media(docs):
+    """Deterministic BI_RGB AVI fixture shared by q_video_decode and
+    q_video_fingerprint (and hard-coded in BOTH oracles' closed-form frame
+    recomputation — keep all four in sync): w = 8 + id % 8, h = 6 + id % 6,
+    nf = 2 + id % 3, channel byte = (id*13 + f*17 + i*7) % 256."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import avi as _avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, nf = 8 + d % 8, 6 + d % 6, 2 + d % 3
+                frames = [
+                    bytes(
+                        (d * 13 + f * 17 + i * 7) % 256
+                        for i in range(w * h)
+                        for _ in range(3)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(_avi.encode_rgb24(w, h, frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(encode, "media_id bigint, payload binary")
+
+
 @query(
     "q_video_decode",
     # The video member of the real-codec multimodal family (image r05,
@@ -1164,26 +1195,7 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import avi as _avi
-
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h, nf = 8 + d % 8, 6 + d % 6, 2 + d % 3
-                frames = [
-                    bytes(
-                        (d * 13 + f * 17 + i * 7) % 256
-                        for i in range(w * h)
-                        for _ in range(3)
-                    )
-                    for f in range(nf)
-                ]
-                payloads.append(_avi.encode_rgb24(w, h, frames))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
-
-    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    media = _avi_fixture_media(docs)
     out = decode_video(media)
     return out.select(
         "media_id",
@@ -1511,26 +1523,7 @@ def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import avi as _avi
-
-        for pdf in batches:
-            payloads = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                w, h, nf = 8 + d % 8, 6 + d % 6, 2 + d % 3
-                frames = [
-                    bytes(
-                        (d * 13 + f * 17 + i * 7) % 256
-                        for i in range(w * h)
-                        for _ in range(3)
-                    )
-                    for f in range(nf)
-                ]
-                payloads.append(_avi.encode_rgb24(w, h, frames))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
-
-    media = docs.mapInPandas(encode, "media_id bigint, payload binary")
+    media = _avi_fixture_media(docs)
     return video_fingerprint(media, strict=True)
 
 
