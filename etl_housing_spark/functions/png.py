@@ -41,6 +41,10 @@ def _encode(width: int, height: int, channels: int, samples: bytes) -> bytes:
     scanline — parametrized by channel count so grey/RGB/RGBA share it."""
     if channels not in _COLOR_TYPE:
         raise NotImplementedError(f"unsupported channel count {channels}")
+    if width < 1 or height < 1:
+        # decode() rejects zero-dimension images; refusing to emit them
+        # keeps the encode->decode round-trip symmetric
+        raise ValueError(f"invalid dimensions {width}x{height}")
     if len(samples) != channels * width * height:
         raise ValueError(
             f"need {channels * width * height} bytes, got {len(samples)}"

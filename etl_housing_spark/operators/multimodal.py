@@ -419,6 +419,13 @@ def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    # NULL payload: isolate like any malformed row (the
+                    # one-bad-row contract) — nothing to resize or pass on
+                    if strict:
+                        raise ValueError(f"NULL payload for media_id={mid}")
+                    rows.append((mid, None, None, None))
+                    continue
                 b = bytes(payload)
                 if b[:8] == _PNG_MAGIC:
                     try:
@@ -510,6 +517,11 @@ def phash_media(df: DataFrame, strict: bool = False) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    if strict:
+                        raise ValueError(f"NULL payload for media_id={mid}")
+                    rows.append((mid, None, None, None))
+                    continue
                 b = bytes(payload)
                 try:
                     if b[:8] != _PNG_MAGIC:
@@ -571,6 +583,11 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 8, strict: bool = False) -
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    if strict:
+                        raise ValueError(f"NULL payload for media_id={mid}")
+                    rows.append((mid, None, None))
+                    continue
                 b = bytes(payload)
                 try:
                     if not _wav.is_wav(b):
@@ -589,8 +606,14 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 8, strict: bool = False) -
                     # accumulate exactly via add.at on an int64 buffer
                     e = np.zeros(n_windows, dtype=np.int64)
                     np.add.at(e, w_idx, v * v)
+                    # contour bits capped at 63: bit 63 of a signed BIGINT
+                    # would overflow at Arrow conversion (same guard as the
+                    # video path); clips with n_windows > 64 keep a valid
+                    # 63-bit prefix signature and e_total still covers all
                     bits = sum(
-                        (1 << w) for w in range(n_windows - 1) if e[w + 1] > e[w]
+                        (1 << w)
+                        for w in range(min(n_windows - 1, 63))
+                        if e[w + 1] > e[w]
                     )
                     rows.append((mid, int(bits), int(e.sum())))
                 except (ValueError, NotImplementedError):
@@ -629,6 +652,11 @@ def video_fingerprint(df: DataFrame, strict: bool = False) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    if strict:
+                        raise ValueError(f"NULL payload for media_id={mid}")
+                    rows.append((mid, None, None))
+                    continue
                 b = bytes(payload)
                 try:
                     if not _avi.is_avi(b):

@@ -1371,9 +1371,11 @@ _PHASH_SQL = """
     WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
     """,
     description="image near-dup pairs via Hamming-banded dHash join: the two "
-    "32-bit halves are the bands (equi-join candidates only, never "
-    "all-pairs), exact distance by bit_count(xor) on both halves, pairs at "
-    "Hamming <= 6 kept — the image twin of MinHash-LSH; the fixture plants "
+    "32-bit halves are the bands (candidates require an EXACT half match — "
+    "a pair whose <= 6 differing bits split across both halves is missed, "
+    "the standard LSH banding recall trade; never all-pairs), then the "
+    "exact bit_count(xor) distance filter keeps surviving pairs at "
+    "Hamming <= 6 — the image twin of MinHash-LSH; the fixture plants "
     "identical images 256 ids apart which must surface at distance 0",
     tags=("multimodal", "dedup"),
 )

@@ -866,3 +866,57 @@ def test_pca_fast_matches_portable_within_fp(spark):
     worst = max(abs(fast[i].loading - exact[i].loading) for i in fast)
     assert worst <= 1.1e-6, f"fast/portable loadings diverged by {worst}"
     assert abs(fast[1].eigval_est - exact[1].eigval_est) <= 1.1e-6
+
+
+def test_null_payload_isolated_in_every_fingerprint_stage(spark):
+    """A NULL payload must stub to a NULL output row (not TypeError the
+    whole task) in non-strict mode, in all four round-9 media stages —
+    the same one-bad-row contract as malformed bytes (ADVICE r10)."""
+    from etl_housing_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_media,
+        resize_media,
+        video_fingerprint,
+    )
+
+    good = _gray_png(9, 8, lambda i: i)
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(good))], "media_id long, payload binary"
+    )
+    r = {x.media_id: x for x in resize_media(df, 2, 2).collect()}
+    assert r[1].payload is None and r[1].width is None
+    assert (r[2].width, r[2].height) == (2, 2)
+    p = {x.media_id: x for x in phash_media(df).collect()}
+    assert p[1].phash_hi is None and p[2].n_set_bits is not None
+    a = {x.media_id: x for x in audio_fingerprint(df).collect()}
+    assert a[1].fp is None
+    v = {x.media_id: x for x in video_fingerprint(df).collect()}
+    assert v[1].fp is None
+    # strict mode: the NULL row itself is the error (NULL-only frame so a
+    # format mismatch on the good row can't mask it)
+    nulls = spark.createDataFrame([(1, None)], "media_id long, payload binary")
+    for stage in (
+        lambda d: resize_media(d, 2, 2, strict=True),
+        lambda d: phash_media(d, strict=True),
+        lambda d: audio_fingerprint(d, strict=True),
+        lambda d: video_fingerprint(d, strict=True),
+    ):
+        with pytest.raises(Exception, match="NULL payload"):
+            stage(nulls).collect()
+
+
+def test_audio_fingerprint_contour_bits_capped_at_63(spark):
+    """n_windows > 64 must clamp contour bits to positions 0..62 so the
+    signed Int64 fp column never overflows at Arrow conversion — the
+    video path's guard, mirrored (ADVICE r10)."""
+    from etl_housing_spark.functions.wav import encode_pcm16
+    from etl_housing_spark.operators.multimodal import audio_fingerprint
+
+    # 70 windows of 2 samples each, strictly rising |v| -> every contour
+    # comparison fires; uncapped that would set bit 63+ and overflow
+    rising = [(i // 2 + 1) * 10 for i in range(140)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_pcm16(8000, rising)))], "media_id long, payload binary"
+    )
+    r = audio_fingerprint(df, n_windows=70, strict=True).collect()[0]
+    assert r.fp == (1 << 63) - 1  # bits 0..62 set, bit 63 never

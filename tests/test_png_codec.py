@@ -142,3 +142,15 @@ def test_encode_samples_roundtrips_all_channel_counts():
         assert (w, h, rch) == (5, 4, ch) and out == samples
     with pytest.raises(NotImplementedError):
         png.encode_samples(2, 2, 2, bytes(8))
+
+
+def test_encode_rejects_zero_dimensions():
+    """decode() rejects zero-dimension PNGs, so encode must refuse to emit
+    them — round-trip symmetry (ADVICE r10)."""
+    import pytest
+
+    from etl_housing_spark.functions import png
+
+    for w, h in [(0, 4), (4, 0), (0, 0)]:
+        with pytest.raises(ValueError, match="dimensions"):
+            png._encode(w, h, 1, b"")
