@@ -138,6 +138,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # import for side-effect registration of every plan module
     from . import (  # noqa: F401
         behavior_queries,
+        bloom_queries,
         cleaning_queries,
         dedup_queries,
         eval_queries,

@@ -690,3 +690,35 @@ def test_pca_whiten_rank1_residual_is_zero(spark, tmp_path):
         # ~1e-4 of the ~75-100 norms, not exactly zero
         assert out[vid].resid_norm < 1e-3
         assert abs(abs(out[vid].pc1) - t * norm_u) < 1e-2
+
+
+def test_bloom_filter_laws(spark):
+    """Bloom invariants on a planted set: no false negatives ever; bitmap
+    row count bounded by M/32; probe verdicts deterministic."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.operators.bloom import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "key string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(500)], "key string"
+    )
+    m, k = 4096, 4
+    bits = bloom_build(members, "key", m, k)
+    assert bits.count() <= m // 32
+    # every word is a valid non-negative 32-bit value
+    bad = bits.filter((F.col("word") < 0) | (F.col("word") > (1 << 32) - 1))
+    assert bad.count() == 0
+    # zero false negatives: all members probe positive
+    mem_verdict = bloom_probe(members, "key", bits, m, k)
+    assert mem_verdict.filter(F.col("bloom_hit") == 0).count() == 0
+    # non-members: mostly negative at this fill (fpr bound ~ (fill)^k),
+    # and the verdict is deterministic across invocations
+    neg1 = {r.key for r in bloom_probe(others, "key", bits, m, k)
+            .filter(F.col("bloom_hit") == 1).collect()}
+    neg2 = {r.key for r in bloom_probe(others, "key", bits, m, k)
+            .filter(F.col("bloom_hit") == 1).collect()}
+    assert neg1 == neg2
+    assert len(neg1) < 100  # fill ~0.18 -> fpr ~0.1%; 100/500 is 200x margin

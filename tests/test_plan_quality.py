@@ -754,3 +754,13 @@ def test_unigram_encode_vocab_join_broadcasts(spark):
     plan = _plan(_q(spark, "q_unigram_encode"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_bitmap_no_sortmerge(spark):
+    """The Bloom membership test must be a broadcast equi-join on the word
+    index — the bitmap relation is bounded at M/32 rows by construction, so
+    a SortMergeJoin against it means the broadcast was lost and the corpus
+    side would shuffle on the probe key at scale."""
+    plan = _plan(_q(spark, "q_bloom_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
