@@ -387,3 +387,109 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# One-permutation hashing (OPH) MinHash — Li/Owen/Zhang's "One Permutation
+# Hashing" with Shrivastava & Li's densification by rotation. The k-wise
+# scheme above (q_minhash_portable) updates k running MINs per shingle —
+# O(k) aggregation work per input row. OPH hashes each shingle ONCE, routes
+# it to bin h % k, and takes one MIN per bin — O(1) per shingle, the same
+# k-long signature on the wire. Empty bins (short docs) borrow the nearest
+# non-empty bin clockwise, offset by C·distance (C = 2^33 > max hash value,
+# so a borrowed value can only collide with the same borrow in another doc
+# — the paper's distinctness requirement). Max signature value is
+# 2^32 + 15·2^33 ≈ 1.4e11, safely inside BIGINT on both engines.
+#
+# The whole densification is a COALESCE chain over the k conditional MINs,
+# i.e. one grouped aggregate + one projection — no second shuffle, no k×k
+# join. At 100 TB the saving is map-side CPU: one modulo + one MIN update
+# per shingle instead of 16 multiply-mod-min chains.
+# --------------------------------------------------------------------------
+
+_OPH_K = 16
+_OPH_C = 8589934592  # 2^33: strictly greater than any raw 32-bit hash value
+
+
+def _oph_oracle() -> str:
+    bins = ",\n           ".join(
+        f"MIN(CASE WHEN h % {_OPH_K} = {b} THEN h END) AS m_{b}"
+        for b in range(_OPH_K)
+    )
+    sigs = ",\n           ".join(
+        "COALESCE("
+        + ", ".join(
+            f"m_{(i + d) % _OPH_K}" + (f" + {d * _OPH_C}" if d else "")
+            for d in range(_OPH_K)
+        )
+        + f") AS sig_{i}"
+        for i in range(_OPH_K)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(t) >= 3 THEN
+                 list_transform(
+                   list_filter(list_zip(t, t[2:], t[3:]), p -> p[3] IS NOT NULL),
+                   p -> concat_ws(' ', p[1], p[2], p[3]))
+               ELSE [array_to_string(t, ' ')] END)) AS sh
+      FROM t),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h
+      FROM sh),
+    binned AS (
+      SELECT doc_id,
+           {bins}
+      FROM hashed GROUP BY doc_id)
+    SELECT doc_id,
+           {sigs}
+    FROM binned
+    """
+
+
+@query(
+    "q_minhash_oph_portable",
+    oracle=_oph_oracle(),
+    description="one-permutation MinHash signatures (OPH, densification by "
+    "rotation): each shingle hashed ONCE and routed to bin h % 16, one MIN "
+    "per bin, empty bins borrow clockwise with a 2^33-per-step offset — "
+    "O(1) map-side work per shingle vs the k-wise twin's O(k), same 16-long "
+    "signature on the wire; densification is a COALESCE chain, no extra "
+    "shuffle. Bit-reproduced by the oracle",
+    tags=("dedup", "bench"),
+)
+def q_minhash_oph_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    # bind the token array once (Catalyst doesn't CSE inside lambdas — the
+    # q_minhash_portable lesson)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    shingles = F.when(
+        F.size(F.col("t")) >= 3,
+        F.expr("transform(sequence(0, size(t) - 3), "
+               "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
+    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
+    sh = toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h.alias("h"))
+    binned = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.when(F.col("h") % _OPH_K == b, F.col("h"))).alias(f"m_{b}")
+            for b in range(_OPH_K)
+        ]
+    )
+    sig_cols = [
+        F.coalesce(
+            *[
+                (F.col(f"m_{(i + d) % _OPH_K}") + F.lit(d * _OPH_C)) if d
+                else F.col(f"m_{i}")
+                for d in range(_OPH_K)
+            ]
+        ).alias(f"sig_{i}")
+        for i in range(_OPH_K)
+    ]
+    return binned.select("doc_id", *sig_cols)

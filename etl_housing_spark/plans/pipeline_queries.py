@@ -3035,3 +3035,126 @@ def q_lm_heldout_jm(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(lp).alias("lm_score"),
         F.round(F.exp(-davg(lp)), 6).alias("ppl"),
     )
+
+
+def _oph_pairs_oracle() -> str:
+    from .dedup_queries import _oph_oracle
+
+    return f"""
+    WITH sigs AS ({_oph_oracle()}),
+    bands AS (
+      {_BAND_UNION}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+    SELECT p.id_a, p.id_b,
+           CAST({_MATCH_DUCK} AS BIGINT) AS n_match,
+           ({_MATCH_DUCK}) / CAST(16 AS DOUBLE) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON p.id_a = sa.doc_id
+    JOIN sigs sb ON p.id_b = sb.doc_id
+    """
+
+
+@query(
+    "q_oph_pairs",
+    oracle=_oph_pairs_oracle(),
+    description="the MinHash→LSH candidate pipeline on ONE-PERMUTATION "
+    "signatures (q_minhash_oph_portable): identical 4-band × 4-row banding, "
+    "candidate equi-joins and agreement estimate as q_minhash_pairs_portable "
+    "— only the signature scheme changes, so the two queries are directly "
+    "comparable on both answer quality (q_oph_vs_kwise) and cost (bench: "
+    "O(1) vs O(k) map-side work per shingle)",
+    tags=("dedup", "pipeline", "bench"),
+)
+def q_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import q_minhash_oph_portable
+
+    sigs = q_minhash_oph_portable(spark, sf_dir)
+    bands = sigs.selectExpr("doc_id", _BAND_STACK)
+    a = bands.select(F.col("doc_id").alias("id_a"), "b", "bkey")
+    b2 = bands.select(F.col("doc_id").alias("id_b"), "b", "bkey")
+    pairs = (
+        a.join(b2, ["b", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(16)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(16)]
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(f"CAST({_MATCH_SPARK} AS BIGINT)").alias("n_match"),
+            F.expr(f"({_MATCH_SPARK}) / CAST(16 AS DOUBLE)").alias("est_jaccard"),
+        )
+    )
+
+
+def _oph_vs_kwise_oracle() -> str:
+    from .dedup_queries import _mh_oracle, _oph_oracle
+
+    return f"""
+    WITH {_TRUTH_SQL},
+    ksigs AS ({_mh_oracle()}),
+    osigs AS ({_oph_oracle()}),
+    km AS (
+      SELECT t.id_a, t.id_b, t.d,
+             CAST({" + ".join(f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)" for i in range(16))}
+                  AS BIGINT) AS n_match_kwise
+      FROM truth t JOIN ksigs sa ON t.id_a = sa.doc_id
+                   JOIN ksigs sb ON t.id_b = sb.doc_id
+      WHERE t.d >= 5)
+    SELECT km.id_a, km.id_b, km.d, km.n_match_kwise,
+           CAST({" + ".join(f"(CASE WHEN oa.sig_{i} = ob.sig_{i} THEN 1 ELSE 0 END)" for i in range(16))}
+                AS BIGINT) AS n_match_oph
+    FROM km JOIN osigs oa ON km.id_a = oa.doc_id
+            JOIN osigs ob ON km.id_b = ob.doc_id
+    """
+
+
+@query(
+    "q_oph_vs_kwise",
+    oracle=_oph_vs_kwise_oracle(),
+    description="estimator-quality comparison on exact ground truth: for every "
+    "pair with true trigram-Jaccard decile >= 5, the 16-slot agreement count "
+    "under the k-wise scheme and under OPH side by side — the evidence that "
+    "one hash per shingle buys the same estimate quality (OPH variance only "
+    "rises for docs with empty bins, i.e. fewer shingles than bins). All "
+    "integer columns, hash-checked",
+    tags=("dedup", "pipeline"),
+)
+def q_oph_vs_kwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import q_minhash_oph_portable, q_minhash_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _jaccard_decile_truth(docs).filter(F.col("d") >= 5)
+    k_match = " + ".join(f"(CASE WHEN ka_{i} = kb_{i} THEN 1 ELSE 0 END)" for i in range(16))
+    o_match = " + ".join(f"(CASE WHEN oa_{i} = ob_{i} THEN 1 ELSE 0 END)" for i in range(16))
+    ks = q_minhash_portable(spark, sf_dir)
+    os_ = q_minhash_oph_portable(spark, sf_dir)
+    ka = ks.select(F.col("doc_id").alias("id_a"), *[F.col(f"sig_{i}").alias(f"ka_{i}") for i in range(16)])
+    kb = ks.select(F.col("doc_id").alias("id_b"), *[F.col(f"sig_{i}").alias(f"kb_{i}") for i in range(16)])
+    oa = os_.select(F.col("doc_id").alias("id_a"), *[F.col(f"sig_{i}").alias(f"oa_{i}") for i in range(16)])
+    ob = os_.select(F.col("doc_id").alias("id_b"), *[F.col(f"sig_{i}").alias(f"ob_{i}") for i in range(16)])
+    return (
+        truth.join(ka, "id_a")
+        .join(kb, "id_b")
+        .join(oa, "id_a")
+        .join(ob, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "d",
+            F.expr(f"CAST({k_match} AS BIGINT)").alias("n_match_kwise"),
+            F.expr(f"CAST({o_match} AS BIGINT)").alias("n_match_oph"),
+        )
+    )
