@@ -157,3 +157,59 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("weight"))
         .select("doc_id", "n_chars", F.round("weight", 6).alias("weight"))
     )
+
+
+@query(
+    "q_epoch_shuffle",
+    # Deterministic multi-epoch training-order shuffle — the data-ordering
+    # stage between curation and the trainer. Each epoch reshuffles with a
+    # different seed (epoch number folded into the hash), and the order is
+    # SHARDED: shard = hash % 8, rank within (epoch, shard) — a
+    # partition-parallel window, never a global single-partition sort (the
+    # trainer reads shards concurrently anyway; a global row_number would
+    # serialize the entire corpus through one task at 100 TB). Everything
+    # is md5-derived integer arithmetic: stable across runs, engines and
+    # partitionings, and therefore hash-checked.
+    oracle="""
+    WITH e AS (SELECT unnest(range(3)) AS epoch),
+    k AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS key
+      FROM documents d CROSS JOIN e),
+    s AS (
+      SELECT epoch, doc_id, key,
+             CAST('0x' || substr(key, 1, 8) AS BIGINT) % 8 AS shard
+      FROM k)
+    SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                                   ORDER BY key, doc_id) AS BIGINT) AS rk,
+           doc_id
+    FROM s
+    """,
+    description="deterministic epoch-seeded training-order shuffle: 3 epochs, "
+    "each re-ordering the corpus by md5(epoch:doc_id), sharded into 8 reader "
+    "shards with rank-within-shard — a partition-parallel window per (epoch, "
+    "shard), never a global single-partition sort; seed-stable across runs, "
+    "engines and partitionings (no rand()), bit-checked by the oracle",
+    tags=("sampling", "pipeline"),
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = (
+        docs.select(F.explode(F.sequence(F.lit(0), F.lit(2))).alias("e"), "doc_id")
+        .select(F.col("e").cast("long").alias("epoch"), "doc_id")
+        .withColumn("key", F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))))
+    )
+    sharded = keyed.withColumn(
+        "shard", F.conv(F.substring("key", 1, 8), 16, 10).cast("long") % 8
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")
+    return sharded.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("rk"),
+        "doc_id",
+    )

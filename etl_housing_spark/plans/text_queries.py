@@ -2700,3 +2700,72 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n_docs").cast("bigint").alias("max_docs_per_chunk"),
     )
+
+
+# DuckDB twin of the audio fingerprint chain (q_audio_fingerprint's oracle
+# body, reused by the near-dup consumer below): closed-form sample formula
+# -> 8 integer window energies -> contour bits + total energy per clip.
+_AUDIO_FP_SQL = """
+    dims AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    sm AS (
+      SELECT d.doc_id, d.n, (8 * i.i) // d.n AS w,
+             ((d.doc_id * 37 + i.i * 101) % 4001) - 2000 AS v
+      FROM dims d JOIN range(0, 128) i(i) ON i.i < d.n),
+    e AS (
+      SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS e
+      FROM sm GROUP BY doc_id, w),
+    fp AS (
+      SELECT a.doc_id AS media_id,
+             CAST(SUM(CASE WHEN b.e > a.e THEN (CAST(1 AS BIGINT) << a.w)
+                           ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(a.e) + MAX(CASE WHEN a.w = 6 THEN b.e END) AS BIGINT)
+               AS e_total
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+      GROUP BY a.doc_id)
+"""
+
+
+@query(
+    "q_audio_neardup",
+    # The audio fingerprint CONSUMER — near-dup clip pairs, completing the
+    # media near-dup pattern for a second modality (q_image_neardup_phash
+    # is the image twin): candidates ONLY from the equal-contour equi-join
+    # (group-by-fp banding — a 7-bit contour is the whole band key), then
+    # an exact integer energy-ratio verification: keep pairs whose total
+    # energies agree within 5% (20*|ea-eb| <= max(ea,eb)). Same
+    # never-all-pairs discipline as MinHash banding; the fingerprint side
+    # is one BIGINT per clip. Everything integer -> hash-checked.
+    oracle=f"""
+    WITH {_AUDIO_FP_SQL}
+    SELECT a.media_id AS id_a, b.media_id AS id_b, a.fp,
+           a.e_total AS e_a, b.e_total AS e_b
+    FROM fp a JOIN fp b
+      ON a.fp = b.fp AND a.media_id < b.media_id
+    WHERE 20 * abs(a.e_total - b.e_total) <= greatest(a.e_total, b.e_total)
+    """,
+    description="audio near-dup pairs through the real WAV codec chain: "
+    "candidates only from the equal-energy-contour equi-join (the 7-bit "
+    "fingerprint is the band key, never all-pairs), verified by an exact "
+    "integer energy-ratio gate (totals within 5%) — the audio twin of "
+    "q_image_neardup_phash; fingerprint side is one BIGINT per clip",
+    tags=("multimodal", "dedup"),
+)
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = q_audio_fingerprint(spark, sf_dir)
+    a = fps.select(
+        F.col("media_id").alias("id_a"), "fp", F.col("e_total").alias("e_a")
+    )
+    b = fps.select(
+        F.col("media_id").alias("id_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("e_total").alias("e_b"),
+    )
+    return (
+        a.join(b, (a["fp"] == b["fp_b"]) & (a["id_a"] < b["id_b"]))
+        .filter(
+            20 * F.abs(F.col("e_a") - F.col("e_b"))
+            <= F.greatest(F.col("e_a"), F.col("e_b"))
+        )
+        .select("id_a", "id_b", "fp", "e_a", "e_b")
+    )

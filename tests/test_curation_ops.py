@@ -722,3 +722,36 @@ def test_bloom_filter_laws(spark):
             .filter(F.col("bloom_hit") == 1).collect()}
     assert neg1 == neg2
     assert len(neg1) < 100  # fill ~0.18 -> fpr ~0.1%; 100/500 is 200x margin
+
+
+def test_epoch_shuffle_laws(spark):
+    """Epoch shuffle: 3 epochs x full corpus, ranks contiguous per (epoch,
+    shard), different epochs genuinely re-order, and the assignment is
+    deterministic across invocations (no rand() anywhere)."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.plans import all_queries
+
+    fn = all_queries()["q_epoch_shuffle"].fn
+    sf = "/root/testdata/sf0.001"
+    out = fn(spark, sf)
+    n_docs = out.select("doc_id").distinct().count()
+    assert out.count() == 3 * n_docs
+    # ranks are 1..n within each (epoch, shard)
+    bad = (
+        out.groupBy("epoch", "shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("rk").alias("mx"), F.min("rk").alias("mn"))
+        .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+    )
+    assert bad.count() == 0
+    # epochs re-order: the doc at (epoch 0, shard s, rk 1) is generally not
+    # the doc at (epoch 1, shard s, rk 1)
+    firsts = {(r.epoch, r.shard): r.doc_id for r in out.filter(F.col("rk") == 1).collect()}
+    by_shard = {}
+    for (e, s), d in firsts.items():
+        by_shard.setdefault(s, set()).add(d)
+    assert any(len(v) > 1 for v in by_shard.values())
+    # deterministic: a second invocation is row-identical
+    again = {(r.epoch, r.shard, r.rk): r.doc_id for r in fn(spark, sf).collect()}
+    first = {(r.epoch, r.shard, r.rk): r.doc_id for r in out.collect()}
+    assert first == again
