@@ -86,7 +86,7 @@ def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the word index + shift-and-mask, no shuffle ever lands on the corpus "
     "side beyond its own per-doc distinct. Supersets the exact answer by "
     "construction (no false negatives); the FPR twin measures the overshoot",
-    tags=("pipeline", "bloom"),
+    tags=("pipeline", "bloom", "bench"),
 )
 def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _corpus_shingles(spark, sf_dir)

@@ -391,20 +391,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # One-permutation hashing (OPH) MinHash — Li/Owen/Zhang's "One Permutation
-# Hashing" with Shrivastava & Li's densification by rotation. The k-wise
-# scheme above (q_minhash_portable) updates k running MINs per shingle —
-# O(k) aggregation work per input row. OPH hashes each shingle ONCE, routes
-# it to bin h % k, and takes one MIN per bin — O(1) per shingle, the same
-# k-long signature on the wire. Empty bins (short docs) borrow the nearest
-# non-empty bin clockwise, offset by C·distance (C = 2^33 > max hash value,
-# so a borrowed value can only collide with the same borrow in another doc
-# — the paper's distinctness requirement). Max signature value is
-# 2^32 + 15·2^33 ≈ 1.4e11, safely inside BIGINT on both engines.
+# Hashing" with Shrivastava & Li's densification by rotation. The published
+# cost claim — one hash per shingle instead of k — targets pipelines that
+# compute k INDEPENDENT hashes per element (e.g. a literal k-permutation
+# MinHash). This engine's k-wise twin (q_minhash_portable) already
+# amortizes to one md5 + k affine transforms, so the honest measured
+# picture at sf0.1 is: both signature formulations sit within noise of the
+# shared md5+explode floor (0.58 s k-wise vs 0.60 s OPH over a 0.45 s
+# floor, min-of-3 warm) — the hash dominates, as it should. What OPH
+# contributes to the catalog is algorithmic parity with the published
+# scheme and the variance trade it implies (empty bins on short docs),
+# which q_oph_vs_kwise measures against exact ground truth.
 #
-# The whole densification is a COALESCE chain over the k conditional MINs,
-# i.e. one grouped aggregate + one projection — no second shuffle, no k×k
-# join. At 100 TB the saving is map-side CPU: one modulo + one MIN update
-# per shingle instead of 16 multiply-mod-min chains.
+# Mechanics: each shingle's single hash routes to bin h % k, one MIN per
+# bin; empty bins borrow the nearest non-empty bin clockwise, offset by
+# C·distance (C = 2^33 > max hash value, so a borrowed value can only
+# collide with the same borrow in another doc — the paper's distinctness
+# requirement). Max signature value is 2^32 + 15·2^33 ≈ 1.4e11, safely
+# inside BIGINT on both engines. The whole densification is a COALESCE
+# chain over the k conditional MINs — one grouped aggregate + one
+# projection, no second shuffle, no k×k join.
 # --------------------------------------------------------------------------
 
 _OPH_K = 16
@@ -455,11 +461,13 @@ def _oph_oracle() -> str:
     oracle=_oph_oracle(),
     description="one-permutation MinHash signatures (OPH, densification by "
     "rotation): each shingle hashed ONCE and routed to bin h % 16, one MIN "
-    "per bin, empty bins borrow clockwise with a 2^33-per-step offset — "
-    "O(1) map-side work per shingle vs the k-wise twin's O(k), same 16-long "
-    "signature on the wire; densification is a COALESCE chain, no extra "
-    "shuffle. Bit-reproduced by the oracle",
-    tags=("dedup", "bench"),
+    "per bin, empty bins borrow clockwise with a 2^33-per-step offset; "
+    "densification is a COALESCE chain, no extra shuffle. Measured at sf0.1 "
+    "both schemes sit within noise of the shared md5+explode floor (the "
+    "k-wise twin already amortizes to one hash + k affine transforms) — "
+    "the OPH exhibit is the published scheme + its variance trade "
+    "(q_oph_vs_kwise), bit-reproduced by the oracle",
+    tags=("dedup",),
 )
 def q_minhash_oph_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F

@@ -3064,8 +3064,8 @@ def _oph_pairs_oracle() -> str:
     "signatures (q_minhash_oph_portable): identical 4-band × 4-row banding, "
     "candidate equi-joins and agreement estimate as q_minhash_pairs_portable "
     "— only the signature scheme changes, so the two queries are directly "
-    "comparable on both answer quality (q_oph_vs_kwise) and cost (bench: "
-    "O(1) vs O(k) map-side work per shingle)",
+    "comparable on answer quality (q_oph_vs_kwise) and cost (bench: both "
+    "within noise of the shared hash+explode floor at sf0.1)",
     tags=("dedup", "pipeline", "bench"),
 )
 def q_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
