@@ -26,10 +26,13 @@ Spark-first formulation — everything stays JVM-side and declarative:
   is Bloom-positive iff ALL K probed bits are set (``min(hit) = 1``).
   No shuffle lands on the corpus side beyond its own per-key distinct.
 
-The hash is the repo's portable idiom — ``conv(substring(md5(salt:key),
-1, 8), 16, 10)`` — so DuckDB reproduces every bit exactly
-(``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)``); the plan queries
-(plans/bloom_queries.py) hash-check build + probe end to end.
+Hashing is Kirsch-Mitzenmacher double hashing over the repo's portable
+md5 idiom: one digest per key yields h1 (hex 1-8) and h2 (hex 9-16), and
+bit position i = (h1 + i*h2) mod m — the published result that two hash
+functions preserve Bloom FPR asymptotics at 1/k the digest cost. DuckDB
+reproduces every bit exactly (``CAST('0x' || substr(md5(k), ...) AS
+BIGINT)``); the plan queries (plans/bloom_queries.py) hash-check build +
+probe end to end.
 
 Reference parity: the reference pipeline has no blocklist-membership
 operator (its dedup is pandas ``drop_duplicates``, advanced.ipynb); this
@@ -48,22 +51,25 @@ _WORD_BITS = 32  # 32-bit words: 1 << 31 stays positive in a signed BIGINT
 
 
 def _positions(df: DataFrame, key: str, m_bits: int, k_hashes: int) -> DataFrame:
-    """Explode each key row into its K salted bit positions.
-
-    h_k(s) = first 8 md5 hex digits of "k:s" as an integer, mod m_bits —
-    non-negative by construction, bit-reproducible in DuckDB.
+    """Explode each key row into its K bit positions via Kirsch-Mitzenmacher
+    double hashing: ONE md5 per key yields two independent 32-bit values
+    (hex digits 1-8 and 9-16), and position i = (h1 + i*h2) mod m — the
+    published result that two hash functions preserve the Bloom FPR
+    asymptotics, at 1/k the hash cost of k salted digests. Everything is
+    non-negative BIGINT arithmetic (h1 + 63*h2 < 2^38), bit-reproducible
+    in DuckDB.
     """
-    return df.select(
-        "*",
-        F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("salt"),
-    ).withColumn(
-        "pos",
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("salt"), F.col(key))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % m_bits,
+    h1 = F.conv(F.substring(F.md5(F.col(key)), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col(key)), 9, 8), 16, 10).cast("long")
+    return (
+        df.withColumn("h1", h1)
+        .withColumn("h2", h2)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("salt"),
+        )
+        .withColumn("pos", (F.col("h1") + F.col("salt") * F.col("h2")) % m_bits)
+        .drop("h1", "h2")
     )
 
 
@@ -86,25 +92,43 @@ def bloom_probe(
     probes: DataFrame, key: str, bits: DataFrame, m_bits: int, k_hashes: int
 ) -> DataFrame:
     """Append ``bloom_hit`` (1 = maybe-member, 0 = definitely not) to every
-    probe row. All K probed bits must be set; a word index absent from the
-    bitmap is an all-zero word (left join + coalesce). The bitmap side is
-    broadcast — the probe side is never shuffled for membership."""
+    probe row — one output row per input row. All K probed bits must be
+    set; a word index absent from the bitmap is an all-zero word (left
+    join + coalesce).
+
+    Plan shape: K successive BROADCAST left joins against the ≤ M/32-row
+    bitmap, then one conjunction — no explode, no aggregation, ZERO shuffle
+    on the probe side (an earlier explode-salts + regroup formulation spent
+    its time shuffling the string key back together; K broadcast lookups
+    pipeline inside one codegen stage instead)."""
     probe_cols = probes.columns
-    hit = F.when(
-        F.expr(
-            f"(shiftright(coalesce(word, CAST(0 AS BIGINT)), "
-            f"CAST(pos % {_WORD_BITS} AS INT)) % 2) = 1"
-        ),
-        1,
-    ).otherwise(0)
-    return (
-        _positions(probes, key, m_bits, k_hashes)
-        .join(
-            F.broadcast(bits),
-            F.expr(f"pos div {_WORD_BITS}") == bits["word_idx"],
+    df = probes.withColumn(
+        "_h1", F.conv(F.substring(F.md5(F.col(key)), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "_h2", F.conv(F.substring(F.md5(F.col(key)), 9, 8), 16, 10).cast("long")
+    )
+    hits = []
+    for i in range(k_hashes):
+        df = df.withColumn(f"_p{i}", (F.col("_h1") + i * F.col("_h2")) % m_bits)
+        # alias, DON'T re-project: every join must broadcast the SAME
+        # canonical bitmap plan so Spark reuses one exchange (a per-join
+        # projection made K distinct exchanges, each recomputing the whole
+        # eval-side bitmap build)
+        bi = bits.alias(f"_bloom_b{i}")
+        df = df.join(
+            F.broadcast(bi),
+            F.expr(f"_p{i} div {_WORD_BITS}") == F.col(f"_bloom_b{i}.word_idx"),
             "left",
         )
-        .withColumn("probe_hit", hit)
-        .groupBy(*[F.col(c) for c in probe_cols])
-        .agg(F.min("probe_hit").alias("bloom_hit"))
+        word_i = f"coalesce(_bloom_b{i}.word, CAST(0 AS BIGINT))"
+        hits.append(
+            F.expr(
+                f"(shiftright({word_i}, CAST(_p{i} % {_WORD_BITS} AS INT)) % 2) = 1"
+            )
+        )
+    all_set = hits[0]
+    for h in hits[1:]:
+        all_set = all_set & h
+    return df.select(
+        *probe_cols, F.when(all_set, 1).otherwise(0).alias("bloom_hit")
     )

@@ -7,9 +7,10 @@ run the same contamination check through operators/bloom.py's portable
 Bloom filter: the broadcast is a bitmap relation bounded at M/32 rows no
 matter how many members went in, membership is K integer probes, and the
 false-positive rate is *measured in-plan* against the exact set so the
-trade is never a guess. Everything — md5 probe positions, 32-bit words,
-bit_or build, shift-and-mask test — is integer arithmetic both engines
-compute identically, so build + probe hash-check end to end.
+trade is never a guess. Everything — the Kirsch-Mitzenmacher positions
+(one md5 per key, position i = (h1 + i*h2) mod m), 32-bit words, bit_or
+build, shift-and-mask test — is integer arithmetic both engines compute
+identically, so build + probe hash-check end to end.
 
 Sizing (documented for the 100-TB deployment, parameterized here): ~10
 bits per member and K = ln(2)*bits/member ≈ 7 gives ~0.8% FPR. The
@@ -42,20 +43,26 @@ def _bloom_sql(m: int) -> str:
     sh AS ({_SHINGLE_DUCK}),
     ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 37 = 0),
     salts AS (SELECT unnest(range({_K})) AS kk),
+    ehash AS (
+      SELECT sh,
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+      FROM ev),
     epos AS (
-      SELECT CAST('0x' || substr(md5(CAST(kk AS VARCHAR) || ':' || sh), 1, 8)
-                  AS BIGINT) % {m} AS pos
-      FROM ev CROSS JOIN salts),
+      SELECT (h1 + kk * h2) % {m} AS pos FROM ehash CROSS JOIN salts),
     bits AS (
       SELECT pos // 32 AS word_idx,
              bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
       FROM epos GROUP BY 1),
     corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 37 <> 0),
-    ppos AS (
+    phash AS (
       SELECT doc_id, sh,
-             CAST('0x' || substr(md5(CAST(kk AS VARCHAR) || ':' || sh), 1, 8)
-                  AS BIGINT) % {m} AS pos
-      FROM corpus CROSS JOIN salts),
+             CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+             CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+      FROM corpus),
+    ppos AS (
+      SELECT doc_id, sh, (h1 + kk * h2) % {m} AS pos
+      FROM phash CROSS JOIN salts),
     verdict AS (
       SELECT doc_id, sh,
              MIN(CASE WHEN (COALESCE(word, 0) >> CAST(pos % 32 AS INTEGER)) % 2 = 1
