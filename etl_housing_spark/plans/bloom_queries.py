@@ -124,8 +124,8 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_false_pos,
            CAST(SUM(CASE WHEN hit = 0 AND is_member = 1 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_false_neg,
-           (1000000 * SUM(CASE WHEN hit = 1 AND is_member = 0 THEN 1 ELSE 0 END))
-             // COUNT(*) AS fp_per_million
+           CAST((1000000 * SUM(CASE WHEN hit = 1 AND is_member = 0 THEN 1 ELSE 0 END))
+             // COUNT(*) AS BIGINT) AS fp_per_million
     FROM flagged
     """,
     description="measured Bloom false-positive rate at a deliberately "

@@ -48,6 +48,14 @@ def assert_parity(spark, spec, sf_dir: str) -> None:
     assert len(sdf) == len(odf), f"{spec.name}: rowcount spark={len(sdf)} oracle={len(odf)}"
     for c in sdf.columns:
         s, o = sdf[c].to_numpy(), odf[c].to_numpy()
+        # The driver's hash check is type-strict: int64 38480 vs float64
+        # 38480.0 hash-mismatch there even though they compare equal here.
+        # Fail locally on any post-normalization dtype drift so that class
+        # of red can't ship (e.g. DuckDB HUGEINT -> float64 vs Spark int64).
+        assert s.dtype == o.dtype, (
+            f"{spec.name}.{c}: dtype drift spark={s.dtype} oracle={o.dtype} "
+            "(driver hash check is type-strict; cast the oracle or the query)"
+        )
         if np.issubdtype(s.dtype, np.floating):
             exact = np.array_equal(s, o, equal_nan=True)
             if not exact:
