@@ -2730,12 +2730,20 @@ _AUDIO_FP_SQL = """
     "q_audio_neardup",
     # The audio fingerprint CONSUMER — near-dup clip pairs, completing the
     # media near-dup pattern for a second modality (q_image_neardup_phash
-    # is the image twin): candidates ONLY from the equal-contour equi-join
-    # (group-by-fp banding — a 7-bit contour is the whole band key), then
-    # an exact integer energy-ratio verification: keep pairs whose total
-    # energies agree within 5% (20*|ea-eb| <= max(ea,eb)). Same
-    # never-all-pairs discipline as MinHash banding; the fingerprint side
-    # is one BIGINT per clip. Everything integer -> hash-checked.
+    # is the image twin). Band key = (contour fp, quantized total energy):
+    # the 7-bit contour alone caps at 128 buckets (O(n²/128) fan-out at
+    # corpus scale), so the energy is folded into the key via an
+    # INTEGER-EXACT exponent+3-bit-mantissa bucket, eb = 8*(bitlen(e)-1)
+    # + 3 bits after the leading bit — computed with length(bin(e)) and
+    # shiftright, no floats. Each bucket spans a factor in [16/15, 9/8],
+    # all > 1.05, so any pair passing the 5% energy-ratio gate sits in
+    # equal-or-adjacent buckets: side A probes {eb-1, eb, eb+1}, side B
+    # keeps eb, and the banding provably loses ZERO recall vs the
+    # fp-only join (the gate subsumes it). Exactly one probe key matches
+    # per qualifying pair, so no post-join dedup. The oracle is therefore
+    # UNCHANGED (fp-only + gate) — the composite band is pure candidate
+    # pruning. Verification stays the exact integer energy-ratio gate
+    # (20*|ea-eb| <= max(ea,eb)). Everything integer -> hash-checked.
     oracle=f"""
     WITH {_AUDIO_FP_SQL}
     SELECT a.media_id AS id_a, b.media_id AS id_b, a.fp,
@@ -2745,24 +2753,47 @@ _AUDIO_FP_SQL = """
     WHERE 20 * abs(a.e_total - b.e_total) <= greatest(a.e_total, b.e_total)
     """,
     description="audio near-dup pairs through the real WAV codec chain: "
-    "candidates only from the equal-energy-contour equi-join (the 7-bit "
-    "fingerprint is the band key, never all-pairs), verified by an exact "
-    "integer energy-ratio gate (totals within 5%) — the audio twin of "
+    "candidates only from the (energy-contour, quantized-total-energy) "
+    "composite band equi-join — the integer log-bucket (8 buckets/octave, "
+    "probing adjacent buckets) bounds per-bucket population where the "
+    "7-bit contour alone cannot, with provably zero recall loss because "
+    "the 5% verification gate subsumes bucket adjacency — then verified "
+    "by an exact integer energy-ratio gate; the audio twin of "
     "q_image_neardup_phash; fingerprint side is one BIGINT per clip",
     tags=("multimodal", "dedup"),
 )
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = q_audio_fingerprint(spark, sf_dir)
-    a = fps.select(
-        F.col("media_id").alias("id_a"), "fp", F.col("e_total").alias("e_a")
+    # eb = 8*floor(log2 e) + 3-bit mantissa, integer-exact: bucket spans
+    # (1+(m+1)/8)/(1+m/8) ∈ [16/15, 9/8], minimum 1.0667 > 1.05, so a
+    # pair within the 5% gate differs by at most one bucket.
+    blen = F.greatest(F.length(F.bin("e_total")) - F.lit(1), F.lit(3))
+    eb = (
+        blen * 8
+        + F.expr("shiftright(e_total, cast(greatest(length(bin(e_total)) - 1, 3) as int) - 3) % 8")
+    ).alias("eb")
+    banded = fps.select("media_id", "fp", "e_total", eb)
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        "fp",
+        F.col("e_total").alias("e_a"),
+        F.explode(
+            F.array(F.col("eb") - 1, F.col("eb"), F.col("eb") + 1)
+        ).alias("probe_eb"),
     )
-    b = fps.select(
+    b = banded.select(
         F.col("media_id").alias("id_b"),
         F.col("fp").alias("fp_b"),
         F.col("e_total").alias("e_b"),
+        F.col("eb").alias("eb_b"),
     )
     return (
-        a.join(b, (a["fp"] == b["fp_b"]) & (a["id_a"] < b["id_b"]))
+        a.join(
+            b,
+            (a["fp"] == b["fp_b"])
+            & (a["probe_eb"] == b["eb_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
         .filter(
             20 * F.abs(F.col("e_a") - F.col("e_b"))
             <= F.greatest(F.col("e_a"), F.col("e_b"))

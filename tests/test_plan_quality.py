@@ -764,3 +764,23 @@ def test_bloom_probe_broadcasts_bitmap_no_sortmerge(spark):
     plan = _plan(_q(spark, "q_bloom_decontaminate"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_audio_neardup_bands_on_composite_key(spark):
+    """The audio near-dup candidate join must key on BOTH the contour
+    fingerprint and the quantized-energy bucket — fp alone caps at 128
+    buckets and degenerates to O(n²/128) at corpus scale. The probe-side
+    explode and the two-column equi-join keys must appear in the plan, and
+    the join must stay an equi-join (no cartesian fan-out)."""
+    plan = _plan(_q(spark, "q_audio_neardup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the composite key columns both appear in a join node's key list
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("keys" in l and "fp" in l) or "Join" in l
+    ]
+    assert any("probe_eb" in l and "fp" in l for l in join_lines), (
+        "candidate join does not key on (fp, probe_eb): "
+        + "\n".join(join_lines)
+    )
