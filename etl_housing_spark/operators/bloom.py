@@ -60,7 +60,16 @@ def _positions(df: DataFrame, key: str, m_bits: int, k_hashes: int) -> DataFrame
     in DuckDB.
     """
     h1 = F.conv(F.substring(F.md5(F.col(key)), 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(F.col(key)), 9, 8), 16, 10).cast("long")
+    # h2 forced ODD: with a power-of-two m, an even h2 strides only a
+    # subset of bit positions (and h2=0 collapses all K probes to one),
+    # inflating FPR above the k-hash bound. Odd h2 is coprime to 2^j so
+    # the probe stride always covers the full ring. Mirrored bit-for-bit
+    # in the DuckDB oracle (_bloom_sql, plans/bloom_queries.py).
+    h2 = (
+        F.conv(F.substring(F.md5(F.col(key)), 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(1)
+    )
     return (
         df.withColumn("h1", h1)
         .withColumn("h2", h2)
@@ -105,7 +114,11 @@ def bloom_probe(
     df = probes.withColumn(
         "_h1", F.conv(F.substring(F.md5(F.col(key)), 1, 8), 16, 10).cast("long")
     ).withColumn(
-        "_h2", F.conv(F.substring(F.md5(F.col(key)), 9, 8), 16, 10).cast("long")
+        # h2 forced odd — same stride-degeneracy guard as _positions
+        "_h2",
+        F.conv(F.substring(F.md5(F.col(key)), 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(1),
     )
     hits = []
     for i in range(k_hashes):
