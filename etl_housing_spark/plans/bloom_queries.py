@@ -31,9 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
 from ..operators.bloom import bloom_build, bloom_probe
-from .pipeline_queries import _SHINGLE_DUCK, _SHINGLE_SPARK
+from .pipeline_queries import _SHINGLE_DUCK, corpus_shingles
 from .registry import query
 
 _M = 65536  # decontamination bitmap bits (2^16 -> 2048 32-bit words)
@@ -77,11 +76,10 @@ def _bloom_sql(m: int) -> str:
 """
 
 
-def _corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("sh")
-    )
+# shared persisted explode (pipeline_queries.corpus_shingles): the exact
+# check and the whole Bloom family reference one analyzed plan, so the
+# CacheManager materializes the shingle frame once per session/sf_dir
+_corpus_shingles = corpus_shingles
 
 
 @query(

@@ -45,6 +45,26 @@ _SHINGLE_DUCK = """
 """
 
 
+def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc DISTINCT word-3-gram explode every decontamination query
+    consumes — built ONCE per (session, sf_dir) as a tracked persist: the
+    exact check (q_decontaminate), the Bloom family (q_bloom_decontaminate /
+    q_bloom_fpr / q_bloom_overshoot) and each query's own eval/corpus split
+    all reference the identical analyzed plan, so the CacheManager serves
+    every consumer from one materialization instead of re-exploding the
+    corpus per leg (the explode dominates the family's cost — VERDICT r10).
+    Lazy; bench.py drains it via clear_pipeline_cache between queries.
+    At deployment scale the same persist holds: the exploded frame is
+    ~6 shingles/KB of text, MEMORY_AND_DISK spills past executor memory."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tracked_persist(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("sh"),
+        )
+    )
+
+
 @query(
     "q_decontaminate",
     oracle=f"""
@@ -63,10 +83,7 @@ _SHINGLE_DUCK = """
     tags=("pipeline", "text"),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("sh")
-    )
+    sh = corpus_shingles(spark, sf_dir)
     ev = sh.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
     corpus = sh.filter(F.col("doc_id") % 37 != 0)
     return (
@@ -2240,10 +2257,7 @@ def q_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "text"),
 )
 def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("sh")
-    )
+    sh = corpus_shingles(spark, sf_dir)
     ev = sh.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
     corpus = sh.filter(F.col("doc_id") % 37 != 0)
     sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
