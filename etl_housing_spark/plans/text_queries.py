@@ -1410,6 +1410,251 @@ def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_band_exprs(width: int, shift_op: str) -> list[str]:
+    """Band-value expressions slicing the (phash_hi, phash_lo) 64-bit hash
+    into 64/width contiguous bands — identical integer arithmetic rendered
+    for either engine (shift_op: Spark ``shiftright({h}, {s})``, DuckDB
+    ``({h} >> {s})``)."""
+    mask = (1 << width) - 1
+    out = []
+    for half in ("phash_lo", "phash_hi"):
+        for j in range(32 // width):
+            if width == 32:
+                out.append(half)
+            else:
+                out.append(
+                    "(" + shift_op.format(h=half, s=j * width) + f" & {mask})"
+                )
+    return out
+
+
+def _phash_bands_spark(width: int) -> str:
+    exprs = _phash_band_exprs(width, "shiftright({h}, {s})")
+    pairs = ", ".join(f"{i}, {e}" for i, e in enumerate(exprs))
+    return f"stack({len(exprs)}, {pairs}) AS (bd, bval)"
+
+
+def _phash_bands_duck(width: int) -> str:
+    exprs = _phash_band_exprs(width, "({h} >> {s})")
+    bds = ", ".join(str(i) for i in range(len(exprs)))
+    return (
+        f"unnest([{bds}]) AS bd, unnest([" + ", ".join(exprs) + "]) AS bval"
+    )
+
+
+def _banded_cand_duck(width: int, src: str = "ph") -> str:
+    """DuckDB candidate-pair CTE body for one band layout: unpivot bands,
+    equi-join on (bd, bval), carry both hash halves for the distance."""
+    return f"""
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.phash_hi AS ha, a.phash_lo AS la,
+             b.phash_hi AS hb, b.phash_lo AS lb
+      FROM (SELECT media_id, phash_hi, phash_lo, {_phash_bands_duck(width)}
+            FROM {src}) a
+      JOIN (SELECT media_id, phash_hi, phash_lo, {_phash_bands_duck(width)}
+            FROM {src}) b
+        ON a.bd = b.bd AND a.bval = b.bval AND a.media_id < b.media_id"""
+
+
+def _banded_cands_spark(ph, width: int):
+    """Spark candidate pairs for one band layout: stack-unpivot the hash
+    into (bd, bval) rows, self-equi-join on the composite band key (never
+    all-pairs — the plan is the MinHash-LSH band-bucket shape), carry both
+    halves so the exact distance needs no join back."""
+    bands = ph.selectExpr(
+        "media_id", "phash_hi", "phash_lo", _phash_bands_spark(width)
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash_hi").alias("ha"),
+        F.col("phash_lo").alias("la"),
+        "bd",
+        "bval",
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash_hi").alias("hb"),
+        F.col("phash_lo").alias("lb"),
+        "bd",
+        "bval",
+    )
+    return (
+        a.join(b, ["bd", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "la", "hb", "lb")
+        .distinct()
+    )
+
+
+def _phash_hamming():
+    return F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+
+
+@query(
+    "q_image_neardup_banded",
+    # q_image_neardup_phash with the production band layout: 4x16-bit
+    # Hamming bands instead of the 2x32-bit halves. Pigeonhole: a pair at
+    # Hamming distance d <= 3 MUST match one 16-bit band exactly (4 bands
+    # can absorb at most 3 differing bits without one staying clean), so
+    # candidacy is GUARANTEED through d=3 where the half-match layout only
+    # guarantees d <= 1; for d in 4..6 recall is still strictly higher
+    # (more, narrower bands). Candidates only from the per-band equi-join
+    # (the MinHash-LSH band-bucket shape, never all-pairs), then the exact
+    # bit_count(xor) <= 6 verification. q_image_band_recall measures both
+    # layouts against a provably complete 8x8-bit truth side.
+    oracle=f"""
+    WITH {_PHASH_SQL},
+    cand AS ({_banded_cand_duck(16)})
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+    """,
+    description="image near-dup pairs via 4x16-bit Hamming-banded dHash "
+    "join — the production layout: pigeonhole guarantees any pair at "
+    "distance <= 3 shares an exact 16-bit band (the 2x32 half-match "
+    "layout only guarantees <= 1), candidates from per-band equi-joins "
+    "only (never all-pairs), then the exact bit_count(xor) <= 6 gate; "
+    "recall vs the half-match layout is measured by q_image_band_recall",
+    tags=("multimodal", "dedup"),
+)
+def q_image_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _png_fixture_media(docs)
+    ph = phash_media(resize_media(media, 9, 8, strict=True), strict=True).select(
+        "media_id", "phash_hi", "phash_lo"
+    )
+    return (
+        _banded_cands_spark(ph, 16)
+        .withColumn("hamming", _phash_hamming().cast("bigint"))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@query(
+    "q_image_band_recall",
+    # The band-layout tuning harness for Hamming-banded image dedup — the
+    # dHash mirror of q_lsh_band_sweep: both candidate layouts (the 2x32
+    # half-match join and the 4x16 production bands) evaluated against a
+    # PROVABLY COMPLETE ground truth. Truth side = candidates from 8x8-bit
+    # bands + the exact d <= 6 gate: 8 bands can absorb at most 7
+    # differing bits with every band dirty, so any pair at d <= 7 (a
+    # superset of the d <= 6 truth) matches one 8-bit band exactly — the
+    # truth join is itself band-bucketed, NEVER all-pairs, yet misses
+    # nothing. Per (layout, distance-bin) the report counts truth pairs,
+    # raw candidates (d capped at 7 = the junk-candidate bin — the
+    # precision cost of narrower bands), detected pairs and recall; the
+    # pigeonhole rows are the check: recall must be exactly 1.0 for
+    # d <= 1 (2x32) and d <= 3 (4x16).
+    oracle=f"""
+    WITH {_PHASH_SQL},
+    truth AS (
+      SELECT id_a, id_b,
+             bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS d
+      FROM ({_banded_cand_duck(8)}) t8
+      WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6),
+    c32 AS (
+      SELECT 'b2x32' AS layout, id_a, id_b,
+             bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS d
+      FROM ({_banded_cand_duck(32)}) t32),
+    c16 AS (
+      SELECT 'b4x16' AS layout, id_a, id_b,
+             bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS d
+      FROM ({_banded_cand_duck(16)}) t16),
+    cands AS (SELECT * FROM c32 UNION ALL SELECT * FROM c16),
+    truthx AS (
+      SELECT l.layout, t.id_a, t.id_b, t.d
+      FROM truth t CROSS JOIN (VALUES ('b2x32'), ('b4x16')) l(layout)),
+    joined AS (
+      SELECT COALESCE(t.layout, c.layout) AS layout,
+             LEAST(COALESCE(t.d, c.d), 7) AS d_bin,
+             CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM truthx t FULL OUTER JOIN cands c
+        ON t.layout = c.layout AND t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT layout, CAST(d_bin AS BIGINT) AS d_bin,
+           CAST(SUM(is_truth) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           CAST(SUM(is_truth * is_cand) AS BIGINT) AS n_detected,
+           CASE WHEN SUM(is_truth) > 0
+                THEN CAST(SUM(is_truth * is_cand) AS DOUBLE)
+                     / CAST(SUM(is_truth) AS BIGINT)
+           END AS recall
+    FROM joined GROUP BY layout, d_bin
+    """,
+    description="Hamming band-layout recall harness (the dHash mirror of "
+    "q_lsh_band_sweep): 2x32 half-match vs 4x16 production bands, both "
+    "measured per distance bin against a provably complete 8x8-band "
+    "ground truth (pigeonhole at d <= 7, so the truth join is itself "
+    "band-bucketed and never all-pairs); reports truth pairs, raw "
+    "candidates (junk bin d_bin=7), detected and recall — recall is "
+    "exactly 1.0 through d=1 (2x32) and d=3 (4x16) by construction",
+    tags=("multimodal", "dedup"),
+)
+def q_image_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._ckpt import tracked_persist
+    from ..operators.multimodal import phash_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _png_fixture_media(docs)
+    ph = tracked_persist(
+        phash_media(resize_media(media, 9, 8, strict=True), strict=True).select(
+            "media_id", "phash_hi", "phash_lo"
+        )
+    )
+    d = _phash_hamming().cast("bigint")
+    truth = (
+        _banded_cands_spark(ph, 8)
+        .withColumn("d", d)
+        .filter(F.col("d") <= 6)
+        .select("id_a", "id_b", "d")
+    )
+    cands = None
+    for layout, width in (("b2x32", 32), ("b4x16", 16)):
+        c = (
+            _banded_cands_spark(ph, width)
+            .withColumn("d", d)
+            .select(F.lit(layout).alias("layout"), "id_a", "id_b", "d")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    layouts = spark.createDataFrame([("b2x32",), ("b4x16",)], "layout string")
+    truthx = truth.crossJoin(F.broadcast(layouts)).withColumn("tr", F.lit(1))
+    candsx = cands.withColumn("ca", F.lit(1))
+    joined = truthx.join(
+        candsx.withColumnRenamed("d", "dc"),
+        ["layout", "id_a", "id_b"],
+        "full_outer",
+    ).select(
+        "layout",
+        F.least(F.coalesce("d", "dc"), F.lit(7)).alias("d_bin"),
+        F.coalesce("tr", F.lit(0)).alias("is_truth"),
+        F.coalesce("ca", F.lit(0)).alias("is_cand"),
+    )
+    return (
+        joined.groupBy("layout", F.col("d_bin").cast("bigint").alias("d_bin"))
+        .agg(
+            F.sum("is_truth").cast("bigint").alias("n_pairs"),
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.sum(F.col("is_truth") * F.col("is_cand"))
+            .cast("bigint")
+            .alias("n_detected"),
+        )
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_pairs") > 0,
+                F.col("n_detected").cast("double") / F.col("n_pairs"),
+            ),
+        )
+    )
+
+
 @query(
     "q_audio_fingerprint",
     # Energy-contour audio fingerprinting through the REAL codec chain:
