@@ -1232,3 +1232,165 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("kept"),
     )
+
+
+_SEMDEDUP_TAU = 0.3  # within-cluster cosine above this = semantic duplicate
+
+
+@query(
+    "q_semdedup_centroid",
+    # SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    # web-scale through semantic deduplication"): cluster the embedding
+    # space, call within-cluster pairs above a cosine threshold semantic
+    # duplicates, and from each duplicate pair KEEP the member with the
+    # LOWER cosine to its cluster centroid (the paper keeps low-centroid-
+    # similarity examples — they carry more information). The quadratic
+    # term is bounded BY DESIGN: pairs are only formed within a cluster,
+    # so n²/k work for k clusters (the paper runs 50k clusters over 233M
+    # points); there is never a global all-pairs. The cluster here is the
+    # deterministic per-label cell (the q_ann_ivf_portable stand-in for
+    # the k-means assignment; q_ann_ivf_kmeans provides the learned path).
+    # Float hygiene: centroids are decimal-exact per-dim means, every dot
+    # and norm accumulates in DECIMAL(38,18) (order-free), comparisons run
+    # on identical doubles, output rounds 6dp — hash-checked end to end.
+    oracle=f"""
+    WITH dims AS (
+      SELECT e.vec_id, e.label, i.i AS i, CAST(e.embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings e, range(1, 65) i(i)),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY label, i),
+    nc AS (
+      SELECT label, sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nc
+      FROM cent GROUP BY label),
+    nv AS (
+      SELECT vec_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nv
+      FROM dims GROUP BY vec_id),
+    dotc AS (
+      SELECT d.vec_id, d.label,
+             CAST(SUM(CAST(d.v * c.c AS DECIMAL(38,18))) AS DOUBLE) AS dot_c
+      FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+      GROUP BY d.vec_id, d.label),
+    cs AS (
+      SELECT dotc.vec_id, dotc.label, dot_c / (nv.nv * nc.nc) AS cs
+      FROM dotc JOIN nv ON dotc.vec_id = nv.vec_id
+                JOIN nc ON dotc.label = nc.label),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id),
+    dots AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(CAST(CAST(e.embedding[i.i] AS DOUBLE)
+                           * CAST(q.embedding[i.i] AS DOUBLE)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      FROM cand p
+      JOIN embeddings e ON p.id_a = e.vec_id
+      JOIN embeddings q ON p.id_b = q.vec_id, range(1, 65) i(i)
+      GROUP BY p.id_a, p.id_b),
+    dup AS (
+      SELECT d.id_a, d.id_b, ca.cs AS csa, cb.cs AS csb
+      FROM dots d
+      JOIN nv na ON d.id_a = na.vec_id
+      JOIN nv nb ON d.id_b = nb.vec_id
+      JOIN cs ca ON d.id_a = ca.vec_id
+      JOIN cs cb ON d.id_b = cb.vec_id
+      WHERE d.dot / (na.nv * nb.nv) >= {_SEMDEDUP_TAU}),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN csa < csb OR (csa = csb AND id_a < id_b)
+                           THEN id_b ELSE id_a END AS vec_id
+      FROM dup)
+    SELECT cs.vec_id, cs.label, ROUND(cs.cs, 6) AS cent_sim,
+           CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM cs LEFT JOIN dropped dr ON cs.vec_id = dr.vec_id
+    """,
+    description="SemDeDup with the paper's keep rule, hash-checked: "
+    "within-cluster embedding pairs above cosine "
+    f"{_SEMDEDUP_TAU} are semantic duplicates; each pair keeps the member "
+    "with the LOWER centroid similarity (the paper's keep-the-informative-"
+    "one rule) — per-vec verdict (vec_id, label, cent_sim, kept), "
+    "hash-checked. The quadratic term is cluster-bounded by design "
+    "(n^2/k, never global all-pairs); centroid/norm passes are one linear "
+    "explode each; the label cell stands in deterministically for the "
+    "k-means assignment the learned path (q_ann_ivf_kmeans) provides",
+    tags=("vector", "dedup", "pipeline"),
+)
+def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("i", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "i").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    nc = cent.groupBy("label").agg(
+        F.sqrt(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,18)")).cast("double")
+        ).alias("nc")
+    )
+    dot_c = (
+        dims.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("v") * F.col("c")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot_c")
+        )
+    )
+    base = emb.select(
+        "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("nv")
+    )
+    cs = (
+        base.join(dot_c, ["vec_id", "label"])
+        .join(F.broadcast(nc), "label")
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "nv",
+            (F.col("dot_c") / (F.col("nv") * F.col("nc"))).alias("cs"),
+        )
+    )
+    a = cs.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("nv").alias("na"),
+        F.col("cs").alias("csa"),
+    )
+    b = cs.select(
+        F.col("vec_id").alias("id_b"),
+        "label",
+        F.col("embedding").alias("eb"),
+        F.col("nv").alias("nb"),
+        F.col("cs").alias("csb"),
+    )
+    dup = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            V.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= _SEMDEDUP_TAU
+        )
+    )
+    dropped = dup.select(
+        F.when(
+            (F.col("csa") < F.col("csb"))
+            | ((F.col("csa") == F.col("csb")) & (F.col("id_a") < F.col("id_b"))),
+            F.col("id_b"),
+        )
+        .otherwise(F.col("id_a"))
+        .alias("vec_id")
+    ).distinct()
+    return cs.join(
+        dropped.withColumn("dr", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "label",
+        F.round("cs", 6).alias("cent_sim"),
+        F.when(F.col("dr").isNull(), 1).otherwise(0).alias("kept"),
+    )
