@@ -755,3 +755,59 @@ def test_epoch_shuffle_laws(spark):
     again = {(r.epoch, r.shard, r.rk): r.doc_id for r in fn(spark, sf).collect()}
     first = {(r.epoch, r.shard, r.rk): r.doc_id for r in out.collect()}
     assert first == again
+
+
+def test_image_band_recall_pigeonhole_guarantees(spark):
+    """The band-layout recall harness must honor the pigeonhole bounds by
+    construction: 4x16 bands guarantee candidacy through Hamming distance 3
+    (4 bands absorb at most 3 dirty bits with one band left clean), 2x32
+    through distance 1 — recall must be EXACTLY 1.0 there, not approximately.
+    The junk bin (d_bin=7) can hold candidates but never truth pairs, and
+    the finer layout dominates the coarser at every distance."""
+    from tests.conftest import SF_SMOKE
+
+    rows = SPECS["q_image_band_recall"].fn(spark, SF_SMOKE).collect()
+    by = {(r.layout, r.d_bin): r for r in rows}
+    for (layout, d), r in by.items():
+        if layout == "b4x16" and d <= 3 and r.n_pairs > 0:
+            assert r.recall == 1.0, (layout, d, r)
+        if layout == "b2x32" and d <= 1 and r.n_pairs > 0:
+            assert r.recall == 1.0, (layout, d, r)
+        if d == 7:
+            assert r.n_pairs == 0, r
+    for d in range(7):
+        a, b = by.get(("b4x16", d)), by.get(("b2x32", d))
+        if a and b:
+            assert a.n_detected >= b.n_detected, (d, a, b)
+
+
+def test_bloom_overshoot_is_superset_accounting(spark):
+    """q_bloom_overshoot's row must satisfy the Bloom laws in-engine:
+    missed docs are impossible (no false negatives) and the bloom doc set
+    is exactly the exact set plus the overshoot."""
+    from tests.conftest import SF_SMOKE
+
+    r = SPECS["q_bloom_overshoot"].fn(spark, SF_SMOKE).collect()[0]
+    assert r.n_missed_docs == 0
+    assert r.n_bloom_docs == r.n_exact_docs + r.n_overshoot_docs
+    assert r.n_overshoot_docs >= 0
+
+
+def test_semdedup_centroid_keep_rule(spark):
+    """q_semdedup_centroid follows the paper's keep rule: the member of a
+    duplicate pair with the LOWER centroid similarity survives. Invariants
+    that pin it without recomputing pairs: every vector appears exactly
+    once; every cluster keeps at least one member; and the (cent_sim,
+    vec_id)-minimal member of each cluster is always kept (it wins every
+    pair it can appear in)."""
+    from tests.conftest import SF_SMOKE
+
+    rows = SPECS["q_semdedup_centroid"].fn(spark, SF_SMOKE).collect()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, members in by_label.items():
+        assert any(m.kept == 1 for m in members), label
+        champion = min(members, key=lambda m: (m.cent_sim, m.vec_id))
+        assert champion.kept == 1, (label, champion)
