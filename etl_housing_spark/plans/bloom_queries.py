@@ -148,20 +148,21 @@ def q_bloom_overshoot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     ex = corpus.join(F.broadcast(ev), "sh").select("doc_id").distinct()
-    n_bl = bl.agg(F.count(F.lit(1)).alias("n_bloom_docs"))
-    n_ex = ex.agg(F.count(F.lit(1)).alias("n_exact_docs"))
-    n_over = (
-        bl.join(ex, "doc_id", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_overshoot_docs"))
+    # ONE full-outer join + ONE aggregate: each leg executes exactly once
+    # (the earlier four-branch crossJoin form re-ran the K-probe leg and
+    # the exact join ~3x each — the probe has no exchange to reuse)
+    j = bl.withColumn("ib", F.lit(1)).join(
+        ex.withColumn("ie", F.lit(1)), "doc_id", "full_outer"
     )
-    n_miss = (
-        ex.join(bl, "doc_id", "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_missed_docs"))
-    )
-    return (
-        n_bl.crossJoin(n_ex).crossJoin(n_over).crossJoin(n_miss).select(
-            "n_bloom_docs", "n_exact_docs", "n_overshoot_docs", "n_missed_docs"
-        )
+    return j.agg(
+        F.sum(F.coalesce("ib", F.lit(0))).cast("long").alias("n_bloom_docs"),
+        F.sum(F.coalesce("ie", F.lit(0))).cast("long").alias("n_exact_docs"),
+        F.sum(F.when(F.col("ie").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overshoot_docs"),
+        F.sum(F.when(F.col("ib").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missed_docs"),
     )
 
 

@@ -1400,11 +1400,8 @@ def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi_band = a.join(b, a["ha"] == b["hb"]).filter(F.col("id_a") < F.col("id_b"))
     lo_band = a.join(b, a["la"] == b["lb"]).filter(F.col("id_a") < F.col("id_b"))
     cand = hi_band.unionByName(lo_band).distinct()
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
-        F.col("la").bitwiseXOR(F.col("lb"))
-    )
     return (
-        cand.withColumn("hamming", hamming.cast("bigint"))
+        cand.withColumn("hamming", _phash_hamming().cast("bigint"))
         .filter(F.col("hamming") <= 6)
         .select("id_a", "id_b", "hamming")
     )
@@ -3012,12 +3009,17 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eb = 8*floor(log2 e) + 3-bit mantissa, integer-exact: bucket spans
     # (1+(m+1)/8)/(1+m/8) ∈ [16/15, 9/8], minimum 1.0667 > 1.05, so a
     # pair within the 5% gate differs by at most one bucket.
-    blen = F.greatest(F.length(F.bin("e_total")) - F.lit(1), F.lit(3))
-    eb = (
-        blen * 8
-        + F.expr("shiftright(e_total, cast(greatest(length(bin(e_total)) - 1, 3) as int) - 3) % 8")
-    ).alias("eb")
-    banded = fps.select("media_id", "fp", "e_total", eb)
+    banded = (
+        fps.withColumn(
+            "blen", F.greatest(F.length(F.bin("e_total")) - F.lit(1), F.lit(3))
+        )
+        .withColumn(
+            "eb",
+            F.col("blen") * 8
+            + F.expr("shiftright(e_total, cast(blen as int) - 3) % 8"),
+        )
+        .select("media_id", "fp", "e_total", "eb")
+    )
     a = banded.select(
         F.col("media_id").alias("id_a"),
         "fp",

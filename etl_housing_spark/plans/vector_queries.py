@@ -1254,7 +1254,7 @@ _SEMDEDUP_TAU = 0.3  # within-cluster cosine above this = semantic duplicate
     # and norm accumulates in DECIMAL(38,18) (order-free), comparisons run
     # on identical doubles, output rounds 6dp — hash-checked end to end.
     oracle=f"""
-    WITH dims AS (
+    WITH dims AS MATERIALIZED (
       SELECT e.vec_id, e.label, i.i AS i, CAST(e.embedding[i.i] AS DOUBLE) AS v
       FROM embeddings e, range(1, 65) i(i)),
     cent AS (
@@ -1344,7 +1344,11 @@ def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("nv")
     )
-    cs = (
+    from ..operators._ckpt import tracked_persist
+
+    # three consumers (both pair sides + the final verdict) — one
+    # materialization, same convention as ph in q_image_band_recall
+    cs = tracked_persist(
         base.join(dot_c, ["vec_id", "label"])
         .join(F.broadcast(nc), "label")
         .select(

@@ -809,5 +809,12 @@ def test_semdedup_centroid_keep_rule(spark):
         by_label.setdefault(r.label, []).append(r)
     for label, members in by_label.items():
         assert any(m.kept == 1 for m in members), label
-        champion = min(members, key=lambda m: (m.cent_sim, m.vec_id))
-        assert champion.kept == 1, (label, champion)
+        # the query's drop rule compares UNROUNDED cs; the output exposes
+        # only the 6dp rounding, so assert on the rounded tie-class: some
+        # member at the minimal rounded cent_sim must survive (the true
+        # unrounded champion is in that class and wins every pair it's in)
+        min_cs = min(m.cent_sim for m in members)
+        assert any(m.kept == 1 for m in members if m.cent_sim == min_cs), (
+            label,
+            [m for m in members if m.cent_sim == min_cs],
+        )
