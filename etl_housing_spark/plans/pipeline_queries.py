@@ -3085,7 +3085,10 @@ def _oph_pairs_oracle() -> str:
 def q_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import q_minhash_oph_portable
 
-    sigs = q_minhash_oph_portable(spark, sf_dir)
+    # three consumers (band stack + both verification sides) — one
+    # materialization of the signature pass, the q_minhash_pairs_portable
+    # convention; without it the explode+16-min agg plan runs per consumer
+    sigs = tracked_persist(q_minhash_oph_portable(spark, sf_dir))
     bands = sigs.selectExpr("doc_id", _BAND_STACK)
     a = bands.select(F.col("doc_id").alias("id_a"), "b", "bkey")
     b2 = bands.select(F.col("doc_id").alias("id_b"), "b", "bkey")
