@@ -443,3 +443,62 @@ def q_stream_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return jobs.run_available_now(resolved)
 
+
+
+def _bloom_gate_oracle() -> str:
+    from .bloom_queries import _M, _bloom_sql
+
+    return f"""
+    WITH {_bloom_sql(_M)}
+    SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_hit
+    FROM verdict GROUP BY doc_id HAVING SUM(hit) > 0
+    """
+
+
+@query(
+    "q_stream_bloom_gate",
+    # The streaming half of the Bloom decontamination family: the bitmap
+    # is a static snapshot (built batch-side from the eval split), the
+    # corpus shingle rows arrive in TWO micro-batches (doc parity split),
+    # and each batch is probed by the stateless stream-static broadcast
+    # gate. Because the operator is stateless, the streamed verdicts equal
+    # the batch verdicts for any batching — so this carries
+    # q_bloom_decontaminate's oracle VERBATIM, a strictly stronger check
+    # than the row-count ⊘ the stateless class would otherwise get.
+    oracle=_bloom_gate_oracle(),
+    description="streaming Bloom decontamination gate: the ≤ M/32-row "
+    "bitmap snapshot broadcast into every micro-batch, arriving corpus "
+    "shingles probed by the same K-broadcast-join shift-and-mask plan as "
+    "the batch query (one implementation, operators/bloom.py), per-doc "
+    "verdict rolled up downstream — stateless stream-static, so the "
+    "two-batch replay hash-matches the batch oracle exactly; the "
+    "incremental-ingest answer to blocklist screening at 100 TB",
+    tags=("streaming", "bloom", "pipeline"),
+)
+def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build
+    from .bloom_queries import _K, _M
+    from .pipeline_queries import corpus_shingles
+
+    from ..operators._ckpt import single_shot_checkpoint
+
+    sh = corpus_shingles(spark, sf_dir)
+    ev = sh.filter(F.col("doc_id") % 37 == 0).select("sh").distinct()
+    # materialize the bitmap ONCE as a literal snapshot (its build plan
+    # contains an Aggregate, which would both re-run per micro-batch and
+    # trip run_available_now's streaming-agg detection into complete mode)
+    bits = single_shot_checkpoint(bloom_build(ev, "sh", _M, _K))
+    corpus = sh.filter(F.col("doc_id") % 37 != 0).select("doc_id", "sh")
+    hits = _two_batch_replay(
+        spark,
+        corpus,
+        F.col("doc_id") % 2 == 1,
+        "doc_id BIGINT, sh STRING",
+        lambda stream: jobs.bloom_gate_stream(stream, bits, _M, _K),
+        "ehs_bloomgate_replay_",
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.sum("bloom_hit").cast("long").alias("n_hit"))
+        .filter(F.col("n_hit") > 0)
+    )

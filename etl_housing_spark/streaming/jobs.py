@@ -375,3 +375,27 @@ def neardup_gate_stream(bands: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def bloom_gate_stream(
+    shingles: DataFrame, bits: DataFrame, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Streaming benchmark-decontamination gate — the incremental-ingest
+    twin of plans.bloom_queries.q_bloom_decontaminate.
+
+    STATELESS stream-static: the Bloom bitmap (a static ≤ m_bits/32-row
+    (word_idx, word) relation built from the blocklist/eval corpus) is
+    broadcast into every micro-batch, and each arriving (doc_id, sh)
+    shingle row is probed with the same K-broadcast-join shift-and-mask
+    plan the batch query uses — operators/bloom.py is the single
+    implementation for both. No watermark, no state: a shingle's verdict
+    depends only on the static bitmap, so the streamed result equals the
+    batch result for ANY batching, which is what lets the registered query
+    carry the batch oracle verbatim. At 100 TB the bitmap is the only
+    thing shipped to executors (~1.2 MB at 10^6 members), and ingest-side
+    cost stays map-only per batch; updating the blocklist = rebuilding the
+    bitmap snapshot, the same static-side-refresh contract as
+    q_stream_takedown's label snapshot."""
+    from ..operators.bloom import bloom_probe
+
+    return bloom_probe(shingles, "sh", bits, m_bits, k_hashes)

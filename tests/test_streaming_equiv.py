@@ -202,3 +202,22 @@ def test_interval_join_stream_equals_batch(spark):
     cols = ["user_id", "click_id", "click_ts", "view_id", "view_ts"]
     assert _as_sorted_tuples(stream_out, cols) == _as_sorted_tuples(batch, cols)
     assert stream_out.count() > 0  # non-vacuous: clicks do have prior views
+
+
+def test_stream_bloom_gate_equals_batch(spark):
+    """The Bloom gate is stateless stream-static, so the two-batch replay
+    must equal the batch q_bloom_decontaminate verdict set EXACTLY — any
+    batching-dependence would break this frame equality."""
+    from etl_housing_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    streamed = {
+        (r.doc_id, r.n_hit)
+        for r in qs["q_stream_bloom_gate"].fn(spark, sf).collect()
+    }
+    batch = {
+        (r.doc_id, r.n_hit)
+        for r in qs["q_bloom_decontaminate"].fn(spark, sf).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
