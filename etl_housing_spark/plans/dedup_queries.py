@@ -157,21 +157,14 @@ def _mh_oracle() -> str:
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents")
-    # Bind the token array ONCE in its own projection and index the bound
-    # attribute in the shingle lambda.  Catalyst does not CSE inside lambda
-    # bodies, so inlining split() here evaluates it 3x per shingle index
-    # (plus once for size) — the single most expensive expression in the
-    # bench set before this fix.  CollapseProject keeps the binding: it
-    # refuses to collapse a projection whose non-cheap alias (split) is
-    # referenced more than once downstream.
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    shingles = F.when(
-        F.size(F.col("t")) >= 3,
-        F.expr("transform(sequence(0, size(t) - 3), "
-               "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
-    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
-    sh = toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    from .pipeline_queries import corpus_shingles
+
+    # The family-shared persisted shingle explode (which carries the
+    # bind-the-token-array-once lesson internally: Catalyst does not CSE
+    # inside lambda bodies, so the bound projection evaluates split() once
+    # per doc, not 3x per shingle index). One materialization now serves
+    # the whole MinHash + decontamination surface in a session.
+    sh = corpus_shingles(spark, sf_dir)
     h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     hashed = sh.select("doc_id", h.alias("h"))
     mins = [
@@ -472,16 +465,10 @@ def _oph_oracle() -> str:
 def q_minhash_oph_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    docs = load_table(spark, sf_dir, "documents")
-    # bind the token array once (Catalyst doesn't CSE inside lambdas — the
-    # q_minhash_portable lesson)
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    shingles = F.when(
-        F.size(F.col("t")) >= 3,
-        F.expr("transform(sequence(0, size(t) - 3), "
-               "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
-    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
-    sh = toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    from .pipeline_queries import corpus_shingles
+
+    # family-shared persisted shingle explode (bound-token form inside)
+    sh = corpus_shingles(spark, sf_dir)
     h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     hashed = sh.select("doc_id", h.alias("h"))
     binned = hashed.groupBy("doc_id").agg(

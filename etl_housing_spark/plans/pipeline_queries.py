@@ -57,11 +57,22 @@ def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At deployment scale the same persist holds: the exploded frame is
     ~6 shingles/KB of text, MEMORY_AND_DISK spills past executor memory."""
     docs = load_table(spark, sf_dir, "documents")
+    # bound-token construction (the q_minhash_portable lesson): Catalyst
+    # does not CSE inside lambda bodies, so the inline _SHINGLE_SPARK form
+    # evaluates split() 3x per shingle index; binding the token array in
+    # its own projection evaluates it once per doc. Values are identical —
+    # only this helper builds the frame, so the construction is free to be
+    # the fast one.
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    shingles = F.when(
+        F.size(F.col("t")) >= 3,
+        F.expr(
+            "transform(sequence(0, size(t) - 3), "
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ),
+    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
     return tracked_persist(
-        docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("sh"),
-        )
+        toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
     )
 
 
@@ -504,19 +515,12 @@ _TRUTH_SQL = f"""sh AS ({_SHINGLE_DUCK}),
                  JOIN sizes sb ON inter.id_b = sb.id)"""
 
 
-def _jaccard_decile_truth(docs: DataFrame) -> DataFrame:
+def _jaccard_decile_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard ground truth binned into integer deciles —
     the Spark twin of _TRUTH_SQL (inverted-index join, never all-pairs;
-    (10*inter) DIV union so the bin key never touches floats)."""
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    shingles = F.when(
-        F.size(F.col("t")) >= 3,
-        F.expr(
-            "transform(sequence(0, size(t) - 3), "
-            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-        ),
-    ).otherwise(F.array(F.array_join(F.col("t"), " ")))
-    sh = toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    (10*inter) DIV union so the bin key never touches floats). Consumes
+    the family-shared persisted shingle explode."""
+    sh = corpus_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.select(F.col("doc_id").alias("id_a"), "sh")
@@ -601,7 +605,7 @@ def _lsh_eval_oracle() -> str:
 )
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    truth = _jaccard_decile_truth(docs).withColumn("tr", F.lit(1))
+    truth = _jaccard_decile_truth(spark, sf_dir).withColumn("tr", F.lit(1))
     cand = (
         q_minhash_pairs_portable(spark, sf_dir)
         .select("id_a", "id_b")
@@ -736,7 +740,7 @@ def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"b{b}r{r}",) for b, r in _SWEEP_LAYOUTS], "layout string"
     )
     truth = (
-        _jaccard_decile_truth(docs)
+        _jaccard_decile_truth(spark, sf_dir)
         .crossJoin(F.broadcast(layouts))
         .withColumn("tr", F.lit(1))
     )
@@ -3153,7 +3157,7 @@ def q_oph_vs_kwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import q_minhash_oph_portable, q_minhash_portable
 
     docs = load_table(spark, sf_dir, "documents")
-    truth = _jaccard_decile_truth(docs).filter(F.col("d") >= 5)
+    truth = _jaccard_decile_truth(spark, sf_dir).filter(F.col("d") >= 5)
     k_match = " + ".join(f"(CASE WHEN ka_{i} = kb_{i} THEN 1 ELSE 0 END)" for i in range(16))
     o_match = " + ".join(f"(CASE WHEN oa_{i} = ob_{i} THEN 1 ELSE 0 END)" for i in range(16))
     ks = q_minhash_portable(spark, sf_dir)
