@@ -684,6 +684,113 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
+# --------------------------------------------------------------------------
+# Physical-layout techniques: bucketed co-located join and partition-pruned
+# scan. These are the two table-layout levers that matter most at 100 TB —
+# pre-shuffling fact tables once at write time so every subsequent join is
+# exchange-free, and directory-partitioning on the query-predicate column so
+# a one-day query reads one directory. Both are proven by value (oracle on
+# the logical result) AND by plan (tests/test_plan_quality.py asserts zero
+# Exchange / non-empty PartitionFilters respectively).
+# --------------------------------------------------------------------------
+
+
+def _save_bucketed(df: DataFrame, name: str, key: str, n_buckets: int = 8) -> DataFrame:
+    """Write ``df`` as a parquet table bucketed (and per-bucket sorted) on
+    ``key``, then return the catalog-backed read. Bucket metadata lives in
+    the session catalog (Spark cannot recover bucketing from bare files),
+    so the read goes through ``spark.table``. External location in a fresh
+    tempdir per call keeps reruns independent."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    path = tempfile.mkdtemp(prefix=f"{name}_")
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+@query(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l.l_quantity')} AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+    description="bucketed co-located join: orders and lineitem written once as "
+    "parquet tables bucketed (and per-bucket sorted) on the join key, then "
+    "joined AND aggregated with ZERO exchanges — the sort-merge join reads "
+    "matching buckets side by side, and the per-order aggregate reuses the "
+    "same hash partitioning (bucket key is a subset of the grouping key). "
+    "This is the amortize-the-shuffle-at-write-time layout every recurring "
+    "100 TB fact-to-fact join wants: pay one distribution when data lands, "
+    "run every later join/agg on it shuffle-free. Value-checked against the "
+    "plain logical join; plan-checked exchange-free in test_plan_quality",
+    tags=("source",),
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bo = _save_bucketed(o, "ehs_bucketed_orders", "o_orderkey")
+    bl = _save_bucketed(li, "ehs_bucketed_lineitem", "l_orderkey")
+    # MERGE hint: at fixture scale AQE would broadcast the small side, which
+    # hides the layout property under test. A 100 TB fact-to-fact join can
+    # never broadcast — force the sort-merge strategy so the plan is the
+    # deployment-shaped one (bucket-aligned SMJ, zero exchanges) at every SF.
+    return (
+        bo.hint("merge")
+        .join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_partition_prune",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    GROUP BY event_type
+    """,
+    description="partition-pruned scan: the event stream written "
+    "directory-partitioned by day (the universal fact-table layout), then a "
+    "one-day aggregate reads exactly ONE partition directory — the filter "
+    "binds at file listing time (PartitionFilters in the scan, asserted in "
+    "test_plan_quality), so a day query over a 100 TB / 3-year table touches "
+    "~0.1% of the files before a single row is decoded. The probe date is "
+    "the corpus min-date, resolved by a partition-metadata-only aggregate",
+    tags=("source",),
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    out = tempfile.mkdtemp(prefix="ehs_partprune_")
+    ev.write.mode("overwrite").partitionBy("d").parquet(out)
+    back = spark.read.parquet(out)
+    # partition-column min: resolved from directory metadata, no row decode
+    dmin = back.agg(F.min("d")).collect()[0][0]
+    return (
+        back.filter(F.col("d") == F.lit(dmin))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
 @query(
     "q_cube",
     oracle=f"""

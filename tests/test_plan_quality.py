@@ -784,3 +784,30 @@ def test_audio_neardup_bands_on_composite_key(spark):
         "candidate join does not key on (fp, probe_eb): "
         + "\n".join(join_lines)
     )
+
+
+def test_catalog_bucketed_join_is_exchange_free(spark):
+    """q_bucketed_join: both sides scan as bucketed tables and the
+    sort-merge join AND the per-order aggregate run with ZERO exchanges of
+    any kind — the write-time bucketing pre-paid the only shuffle the
+    topology needs. A BroadcastExchange here means the MERGE hint was lost
+    (the fixture-size plan would no longer prove the 100 TB shape); a
+    hashpartitioning Exchange means bucket metadata was dropped."""
+    plan = _plan(_q(spark, "q_bucketed_join"))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # neither shuffle nor broadcast
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_partition_prune_binds_at_file_listing(spark):
+    """q_partition_prune: the one-day predicate must appear as a
+    PartitionFilter (bound at directory-listing time, before any row
+    decode), NOT as a pushed data filter — and the only exchange left is
+    the tiny per-event-type aggregate reduction."""
+    plan = _plan(_q(spark, "q_partition_prune"))
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and any("d#" in l and "=" in l for l in part), part
+    # the date predicate must not survive as a post-scan Filter condition
+    data_filters = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert all("2024" not in l for l in data_filters), data_filters
