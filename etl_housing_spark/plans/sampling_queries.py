@@ -112,6 +112,101 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_unimax_mix",
+    # UniMax language sampling (Chung et al. 2023): spread the token budget
+    # as uniformly as languages allow, capping every language at C epochs of
+    # its corpus — the fairer alternative to temperature mixing that never
+    # over-repeats low-resource languages. Closed-form water-filling over
+    # the K language rows: sort by size ascending; language i is capped iff
+    # cap_i*(K-i+1) <= B - prefix_cap_{i-1} (the condition is provably
+    # prefix-monotone for ascending capacities, so the per-row flag IS the
+    # greedy loop's verdict); uncapped languages split the leftover by
+    # integer floor division (≤ K-1 budget units deliberately unspent —
+    # documented, deterministic). All-integer arithmetic end to end, so
+    # cross-engine equality is exact by construction; the one epochs ratio
+    # divides identical integer operands. B = total corpus chars, C = 4.
+    oracle="""
+    WITH sizes AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS b FROM sizes),
+    ordered AS (
+      SELECT lang, n, 4*n AS cap,
+             ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
+             COUNT(*) OVER () AS k,
+             CAST(COALESCE(SUM(4*n) OVER (
+               ORDER BY n, lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS pfx
+      FROM sizes),
+    flagged AS (
+      SELECT o.*, b,
+             CASE WHEN cap * (k - i + 1) <= b - pfx THEN 1 ELSE 0 END AS is_capped
+      FROM ordered o CROSS JOIN tot),
+    boundary AS (
+      SELECT CAST(COALESCE(SUM(is_capped), 0) AS BIGINT) AS m,
+             CAST(COALESCE(SUM(CASE WHEN is_capped = 1 THEN cap END), 0) AS BIGINT) AS pm
+      FROM flagged)
+    SELECT lang, n AS n_chars_total,
+           CAST(is_capped AS BIGINT) AS capped,
+           CAST(CASE WHEN is_capped = 1 THEN cap
+                     ELSE (b - pm) // (k - m) END AS BIGINT) AS alloc_chars,
+           ROUND(CAST(CASE WHEN is_capped = 1 THEN cap
+                           ELSE (b - pm) // (k - m) END AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS epochs
+    FROM flagged CROSS JOIN boundary
+    """,
+    description="UniMax budget allocation (Chung et al. 2023): per-language char "
+    "budgets spread as uniformly as a 4-epoch cap allows — closed-form "
+    "water-filling via one prefix-sum window over the K language rows (the "
+    "greedy loop's capped/uncapped verdict is provably the per-row prefix "
+    "condition for ascending capacities), leftover split by integer floor "
+    "division so every allocation is exact. One corpus-sized grouped sum; "
+    "everything after runs on K rows",
+    tags=("sampling",),
+)
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.sum("n_chars").cast("bigint").alias("n"))
+    w = Window.orderBy("n", "lang")
+    ordered = sizes.select(
+        "lang",
+        "n",
+        (F.lit(4) * F.col("n")).alias("cap"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+        F.coalesce(
+            F.sum(F.lit(4) * F.col("n")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("pfx"),
+    )
+    tot = sizes.agg(F.sum("n").cast("bigint").alias("b"))
+    flagged = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "is_capped",
+        F.when(F.col("cap") * (F.col("k") - F.col("i") + 1) <= F.col("b") - F.col("pfx"), 1)
+        .otherwise(0),
+    )
+    boundary = flagged.agg(
+        F.coalesce(F.sum("is_capped"), F.lit(0)).cast("bigint").alias("m"),
+        F.coalesce(F.sum(F.when(F.col("is_capped") == 1, F.col("cap"))), F.lit(0))
+        .cast("bigint")
+        .alias("pm"),
+    )
+    alloc = F.when(F.col("is_capped") == 1, F.col("cap")).otherwise(
+        F.expr("(b - pm) DIV (k - m)")
+    )
+    return flagged.crossJoin(F.broadcast(boundary)).select(
+        "lang",
+        F.col("n").alias("n_chars_total"),
+        F.col("is_capped").cast("bigint").alias("capped"),
+        alloc.cast("bigint").alias("alloc_chars"),
+        F.round(alloc.cast("double") / F.col("n").cast("double"), 6).alias("epochs"),
+    )
+
+
+@query(
     "q_weighted_sample",
     # Deterministic Bernoulli sampling with per-row inclusion probability =
     # the row's quality weight (the training-mix primitive "sample documents

@@ -818,3 +818,30 @@ def test_semdedup_centroid_keep_rule(spark):
             label,
             [m for m in members if m.cent_sim == min_cs],
         )
+
+
+def test_unimax_waterfill_caps_small_languages(spark):
+    """UniMax planted laws: with a heavily skewed corpus the small languages
+    hit the 4-epoch cap exactly, the big one absorbs the leftover by floor
+    division, and the spent budget reconciles (caps + leftover = B, minus
+    the documented < K-1 floor remainder)."""
+    import etl_housing_spark.plans.sampling_queries as SQ
+
+    df = spark.createDataFrame(
+        [("t", 4), ("t", 6), ("m", 50), ("b", 500), ("b", 500)],
+        "lang string, n_chars long",
+    )
+    orig = SQ.load_table
+    try:
+        SQ.load_table = lambda s, d, n: df
+        rows = {r.lang: r for r in SPECS["q_unimax_mix"].fn(spark, "unused").collect()}
+    finally:
+        SQ.load_table = orig
+    # B = 1060; caps: t=40, m=200, b=4000. Water-filling: t capped
+    # (40*3 <= 1060), m capped (200*2 <= 1020), b uncapped -> 820 DIV 1.
+    assert rows["t"].capped == 1 and rows["t"].alloc_chars == 40
+    assert rows["t"].epochs == 4.0
+    assert rows["m"].capped == 1 and rows["m"].alloc_chars == 200
+    assert rows["m"].epochs == 4.0
+    assert rows["b"].capped == 0 and rows["b"].alloc_chars == 820
+    assert sum(r.alloc_chars for r in rows.values()) == 1060

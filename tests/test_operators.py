@@ -942,15 +942,16 @@ def test_oph_densification_fills_every_bin(spark):
     # loader is overkill: replicate with the public helper instead
     from etl_housing_spark.plans.dedup_queries import q_minhash_oph_portable
 
-    import etl_housing_spark.plans.dedup_queries as DQ
-    import etl_housing_spark.catalog as cat
+    # the shingle explode now flows through the family-shared helper, so
+    # the plant goes into pipeline_queries' loader
+    import etl_housing_spark.plans.pipeline_queries as PQ
 
-    orig = cat.load_table
+    orig = PQ.load_table
     try:
-        DQ.load_table = lambda s, d, n: df
+        PQ.load_table = lambda s, d, n: df
         row = q_minhash_oph_portable(spark, "unused").collect()[0]
     finally:
-        DQ.load_table = orig
+        PQ.load_table = orig
     for i in range(_OPH_K):
         d = (home - i) % _OPH_K
         assert row[f"sig_{i}"] == base + d * _OPH_C, f"bin {i}"
@@ -971,13 +972,15 @@ def test_oph_estimate_tracks_true_jaccard(spark):
         [(1, " ".join(shared + a_only)), (2, " ".join(shared + b_only))],
         "doc_id long, text string",
     )
-    orig = DQ.load_table
+    import etl_housing_spark.plans.pipeline_queries as PQ
+
+    orig = PQ.load_table
     try:
-        DQ.load_table = lambda s, d, n: df
+        PQ.load_table = lambda s, d, n: df
         sigs = {r.doc_id: [r[f"sig_{i}"] for i in range(16)]
                 for r in q_minhash_oph_portable(spark, "unused").collect()}
     finally:
-        DQ.load_table = orig
+        PQ.load_table = orig
     agree = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 16
     # word 3-grams over the concatenation: the shared prefix yields ~58
     # common shingles of ~98 per doc -> J ~ 0.42; 16 slots: sd ~ 0.14, 3sd
