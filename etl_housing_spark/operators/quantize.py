@@ -148,14 +148,24 @@ def _sq_dist_term(x, c):
 
 
 def _pq_assign(
-    emb: DataFrame, subspaces: int, dim: int, id_col: str, vec_col: str, label_col: str
+    emb: DataFrame,
+    subspaces: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sub, b{d2, cand}) — nearest codebook entry per subspace."""
+    """(id, sub, b{d2, cand}) — nearest codebook entry per subspace.
+
+    ``codebooks`` lets a caller train on one frame and assign on another
+    (IVFPQ assigns only the probed cells' vectors against the FULL-corpus
+    codebooks); default trains on ``emb`` itself."""
     per_sub = dim // subspaces
     expl = emb.select(
         id_col, F.posexplode(F.col(vec_col)).alias("i", "x")
     ).withColumn("sub", F.expr(f"i div {per_sub}"))
-    cent = _pq_codebooks(emb, vec_col, label_col)
+    cent = codebooks if codebooks is not None else _pq_codebooks(emb, vec_col, label_col)
     d2 = (
         expl.join(F.broadcast(cent), "i")
         .groupBy(id_col, "sub", "cand")
@@ -217,6 +227,87 @@ def pq_adc_topk(
         )
         .groupBy(id_col)
         .agg(F.round(F.sum(F.col("lut_d2").cast("decimal(38,18)")).cast("double"), 6).alias("adc_d2"))
+        .orderBy("adc_d2", id_col)
+        .limit(k)
+    )
+
+def ivfpq_adc_topk(
+    emb: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    nprobe: int = 2,
+    subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """FAISS-IVFPQ-shaped search: IVF cell pruning THEN PQ/ADC scoring.
+
+    The two approximations compose exactly as the production index does
+    (Jégou et al. 2011 §V; FAISS ``IVFPQ``): the coarse quantizer scores
+    the K cell centroids against the query (a K-row aggregate), the top
+    ``nprobe`` cells are probed, and ONLY those cells' vectors are scored
+    — by ADC table lookup on their M-byte codes, never their floats. At
+    100 TB this stacks both wins: the scan touches nprobe/K of the corpus
+    (IVF), and what it touches is codes, not vectors (PQ). Non-residual
+    variant: codes quantize raw vectors, not vector−centroid residuals —
+    the residual refinement changes the codebook frame only.
+
+    Every stage reuses the proven cross-engine-exact constructions:
+    decimal-exact codebook means, decimal query·centroid scores with
+    (score DESC, cell) tie-break, decimal ADC sums with (d2, id)
+    tie-break. Plan: two broadcast-sized aggregates (centroids, LUT) +
+    one pruned assignment + one code join — the corpus-sized work is the
+    probed-cell assignment alone, and in a deployment with precomputed
+    codes even that reduces to the code join.
+    """
+    per_sub = dim // subspaces
+    cent = _pq_codebooks(emb, vec_col, label_col)
+    qdims = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
+        .withColumn("sub", F.expr(f"i div {per_sub}"))
+    )
+    # IVF coarse scores: full-dim query·centroid decimal dot per cell
+    lscore = (
+        cent.join(F.broadcast(qdims.select("i", "qx")), "i")
+        .groupBy("cand")
+        .agg(
+            F.sum((F.col("c") * F.col("qx").cast("double")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    probe = (
+        lscore.orderBy(F.desc("s"), "cand")
+        .limit(nprobe)
+        .select(F.col("cand").alias(label_col))
+    )
+    pruned = emb.join(F.broadcast(probe), label_col)
+    codes = _pq_assign(
+        pruned, subspaces, dim, id_col, vec_col, label_col, codebooks=cent
+    ).select(id_col, "sub", F.col("b.cand").alias("code"))
+    lut = (
+        qdims.join(F.broadcast(cent), "i")
+        .groupBy("sub", "cand")
+        .agg(
+            F.sum(_sq_dist_term(F.col("qx").cast("double"), F.col("c")))
+            .cast("double")
+            .alias("lut_d2")
+        )
+    )
+    return (
+        codes.join(
+            F.broadcast(lut),
+            (codes.sub == lut.sub) & (codes.code == lut.cand),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("lut_d2").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("adc_d2")
+        )
         .orderBy("adc_d2", id_col)
         .limit(k)
     )

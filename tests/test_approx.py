@@ -112,3 +112,24 @@ def test_portable_sketch_accuracy(spark):
     hll = specs["q_hll_portable"].fn(spark, sf).collect()[0]
     rel = abs(hll.hll_estimate - hll.true_distinct) / hll.true_distinct
     assert rel <= 0.39, (hll.hll_estimate, hll.true_distinct, rel)
+
+
+def test_ivfpq_respects_probe_set_and_matches_pq_on_probed_cells(spark):
+    """IVFPQ composition laws: (1) every returned vector lives in one of
+    the nprobe probed cells; (2) on vectors inside probed cells the ADC
+    distance is identical to the plain PQ search's (same codebooks, same
+    LUT — pruning must not perturb scoring)."""
+    from etl_housing_spark.operators.quantize import ivfpq_adc_topk, pq_adc_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    got = ivfpq_adc_topk(emb, k=50, nprobe=2).collect()
+    # reconstruct the probe set the operator used: top-2 labels by the
+    # full-corpus PQ ranking's cells is not the contract — recompute from
+    # membership: all returned ids must map to at most 2 distinct labels
+    lbl = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    cells = {lbl[r.vec_id] for r in got}
+    assert len(cells) <= 2
+    # scoring parity with the unpruned PQ path on the same ids
+    pq = {r.vec_id: r.adc_d2 for r in pq_adc_topk(emb, k=500).collect()}
+    for r in got:
+        assert pq[r.vec_id] == r.adc_d2

@@ -811,3 +811,17 @@ def test_partition_prune_binds_at_file_listing(spark):
     # the date predicate must not survive as a post-scan Filter condition
     data_filters = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert all("2024" not in l for l in data_filters), data_filters
+
+
+def test_ivfpq_prunes_then_joins_codes_broadcast(spark):
+    """q_ivfpq_search composes the two approximations without losing either
+    scale property: the probe set and the ADC lookup table must both reach
+    the corpus as broadcasts (a sort-merge or cartesian against either
+    means the pruning or the LUT join degenerated), and the final ranking
+    is top-k, never a global sort."""
+    plan = _plan(_q(spark, "q_ivfpq_search"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
