@@ -3047,3 +3047,104 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "fp", "e_a", "e_b")
     )
+
+# DuckDB twin of the video fingerprint chain (q_video_fingerprint's oracle
+# body, reused by the near-dup consumer below): closed-form per-frame byte
+# sums -> temporal contour bits + total energy per clip.
+_VIDEO_FP_SQL = """
+    vdims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents),
+    vpx AS (
+      SELECT d.doc_id, f.f,
+             CAST(3 AS BIGINT)
+               * SUM((d.doc_id * 13 + f.f * 17 + i.i * 7) % 256) AS e
+      FROM vdims d
+      JOIN range(0, 4) f(f) ON f.f < d.nf
+      JOIN range(0, 168) i(i) ON i.i < d.w * d.h
+      GROUP BY d.doc_id, f.f),
+    vet AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS e_total
+            FROM vpx GROUP BY doc_id),
+    vfp AS (
+      SELECT a.doc_id AS media_id,
+             CAST(SUM(CASE WHEN b.e > a.e THEN (CAST(1 AS BIGINT) << a.f)
+                           ELSE 0 END) AS BIGINT) AS fp,
+             vet.e_total
+      FROM vpx a JOIN vpx b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      JOIN vet ON vet.doc_id = a.doc_id
+      GROUP BY a.doc_id, vet.e_total)
+"""
+
+
+@query(
+    "q_video_neardup",
+    # The video fingerprint CONSUMER — near-dup clip pairs, completing the
+    # media near-dup TRILOGY (image q_image_neardup_banded, audio
+    # q_audio_neardup). The temporal contour here is at most 3 bits (nf-1
+    # comparisons), so fp alone caps at EIGHT buckets — the composite
+    # (fp, quantized total energy) band is not an optimization but the
+    # only thing standing between this join and O(n²/8). Identical
+    # integer exponent+3-bit-mantissa bucket as the audio twin: every
+    # bucket spans ≥ 16/15 > 1.05, the 5% verification gate subsumes
+    # bucket adjacency, side A probes {eb-1, eb, eb+1} — provably zero
+    # recall loss, exactly one matching probe key per qualifying pair, so
+    # the oracle keeps the plain (fp-only + gate) form. All integers ->
+    # hash-checked.
+    oracle=f"""
+    WITH {_VIDEO_FP_SQL}
+    SELECT a.media_id AS id_a, b.media_id AS id_b, a.fp,
+           a.e_total AS e_a, b.e_total AS e_b
+    FROM vfp a JOIN vfp b
+      ON a.fp = b.fp AND a.media_id < b.media_id
+    WHERE 20 * abs(a.e_total - b.e_total) <= greatest(a.e_total, b.e_total)
+    """,
+    description="video near-dup pairs through the real AVI demuxer chain: "
+    "candidates only from the (temporal contour, quantized-total-energy) "
+    "composite band equi-join — essential here, since the ≤3-bit contour "
+    "alone caps at 8 buckets; same integer log-bucket construction and "
+    "zero-recall-loss subsumption proof as the audio twin, verified by "
+    "the exact integer 5% energy-ratio gate; completes the media "
+    "near-dup trilogy; fingerprint side is one BIGINT per clip",
+    tags=("multimodal", "dedup"),
+)
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = q_video_fingerprint(spark, sf_dir)
+    banded = (
+        fps.withColumn(
+            "blen", F.greatest(F.length(F.bin("e_total")) - F.lit(1), F.lit(3))
+        )
+        .withColumn(
+            "eb",
+            F.col("blen") * 8
+            + F.expr("shiftright(e_total, cast(blen as int) - 3) % 8"),
+        )
+        .select("media_id", "fp", "e_total", "eb")
+    )
+    a = banded.select(
+        F.col("media_id").alias("id_a"),
+        "fp",
+        F.col("e_total").alias("e_a"),
+        F.explode(
+            F.array(F.col("eb") - 1, F.col("eb"), F.col("eb") + 1)
+        ).alias("probe_eb"),
+    )
+    b = banded.select(
+        F.col("media_id").alias("id_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("e_total").alias("e_b"),
+        F.col("eb").alias("eb_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["fp"] == b["fp_b"])
+            & (a["probe_eb"] == b["eb_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .filter(
+            20 * F.abs(F.col("e_a") - F.col("e_b"))
+            <= F.greatest(F.col("e_a"), F.col("e_b"))
+        )
+        .select("id_a", "id_b", "fp", "e_a", "e_b")
+    )

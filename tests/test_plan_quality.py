@@ -825,3 +825,21 @@ def test_ivfpq_prunes_then_joins_codes_broadcast(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_video_neardup_bands_on_composite_key(spark):
+    """The video near-dup candidate join must key on BOTH the temporal
+    contour and the quantized-energy bucket — the ≤3-bit contour alone
+    caps at 8 buckets, so losing the composite degenerates the join to
+    O(n²/8) at corpus scale."""
+    plan = _plan(_q(spark, "q_video_neardup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("keys" in l and "fp" in l) or "Join" in l
+    ]
+    assert any("probe_eb" in l and "fp" in l for l in join_lines), (
+        "candidate join does not key on (fp, probe_eb): "
+        + "\n".join(join_lines)
+    )
