@@ -756,6 +756,42 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_compact_files",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    description="small-files compaction (the OPTIMIZE / bin-packing maintenance "
+    "op every streaming-ingested lakehouse table needs): a deliberately "
+    "fragmented 64-file copy of the corpus is rewritten into "
+    "ceil(bytes / 128 MiB) right-sized files — file count computed from the "
+    "actual on-disk bytes, so the target tracks data, not row counts. At "
+    "100 TB the small-files problem is a listing/task-overhead killer "
+    "(one scan task per tiny file); compaction restores "
+    "maxPartitionBytes-sized splits. Values survive both rewrites "
+    "bit-exact (the oracle is the source table); the file-count contract "
+    "is pinned in tests/test_sources.py",
+    tags=("source",),
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import math
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = tempfile.mkdtemp(prefix="ehs_smallfiles_")
+    # the pathological ingest state: 64 tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    back = spark.read.parquet(small)
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(small, "*.parquet"))
+    )
+    target = max(1, math.ceil(total / (128 << 20)))
+    out = tempfile.mkdtemp(prefix="ehs_compacted_")
+    back.repartition(target).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@query(
     "q_partition_prune",
     oracle=f"""
     SELECT event_type,

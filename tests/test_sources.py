@@ -302,3 +302,26 @@ def test_sqlite_jdbc_reference_schema(spark, tmp_path):
     # the reference's non-idempotent append (if_exists='append')
     write_jdbc(df, url, "apartments", mode="append", driver="org.sqlite.JDBC")
     assert read_jdbc(spark, url, "apartments", driver="org.sqlite.JDBC").count() == 2
+
+
+def test_compact_files_hits_computed_target(spark, tmp_path):
+    """Compaction contract: the fragmented copy really is 64 files, the
+    rewrite lands exactly ceil(bytes/128MiB) files (1 at fixture scale),
+    and no row is lost or duplicated."""
+    import glob
+    import os
+
+    from etl_housing_spark.plans import all_queries
+    from tests.conftest import SF_SMOKE
+
+    docs_n = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    out = all_queries()["q_compact_files"].fn(spark, SF_SMOKE)
+    files = {
+        os.path.dirname(f).removeprefix("file://").removeprefix("file:")
+        for f in out.inputFiles()
+    }
+    assert len(files) == 1
+    compacted = glob.glob(os.path.join(files.pop(), "*.parquet"))
+    assert len(compacted) == 1  # fixture bytes << 128 MiB target
+    assert out.count() == docs_n
+    assert out.select("doc_id").distinct().count() == docs_n
