@@ -254,13 +254,21 @@ def ivfpq_adc_topk(
     variant: codes quantize raw vectors, not vector−centroid residuals —
     the residual refinement changes the codebook frame only.
 
+    ONE metric end to end — both stages rank by L2, as FAISS does: the
+    coarse probe distance to a cell is derived from the SAME lookup table
+    ADC scores with (full-dim query↔centroid squared distance = the sum
+    of that cell's M subspace LUT entries, since cell id == codebook
+    candidate id here), so cell selection and candidate scoring cannot
+    disagree on un-normalized inputs the way a dot-product probe over an
+    L2 ADC would.
+
     Every stage reuses the proven cross-engine-exact constructions:
-    decimal-exact codebook means, decimal query·centroid scores with
-    (score DESC, cell) tie-break, decimal ADC sums with (d2, id)
-    tie-break. Plan: two broadcast-sized aggregates (centroids, LUT) +
-    one pruned assignment + one code join — the corpus-sized work is the
-    probed-cell assignment alone, and in a deployment with precomputed
-    codes even that reduces to the code join.
+    decimal-exact codebook means, decimal squared-distance sums,
+    (distance ASC, cell/id) tie-breaks. Plan: two broadcast-sized
+    aggregates (centroids, LUT; the probe is a K-row rollup of the LUT)
+    + one pruned assignment + one code join — the corpus-sized work is
+    the probed-cell assignment alone, and in a deployment with
+    precomputed codes even that reduces to the code join.
     """
     per_sub = dim // subspaces
     cent = _pq_codebooks(emb, vec_col, label_col)
@@ -269,25 +277,6 @@ def ivfpq_adc_topk(
         .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
         .withColumn("sub", F.expr(f"i div {per_sub}"))
     )
-    # IVF coarse scores: full-dim query·centroid decimal dot per cell
-    lscore = (
-        cent.join(F.broadcast(qdims.select("i", "qx")), "i")
-        .groupBy("cand")
-        .agg(
-            F.sum((F.col("c") * F.col("qx").cast("double")).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("s")
-        )
-    )
-    probe = (
-        lscore.orderBy(F.desc("s"), "cand")
-        .limit(nprobe)
-        .select(F.col("cand").alias(label_col))
-    )
-    pruned = emb.join(F.broadcast(probe), label_col)
-    codes = _pq_assign(
-        pruned, subspaces, dim, id_col, vec_col, label_col, codebooks=cent
-    ).select(id_col, "sub", F.col("b.cand").alias("code"))
     lut = (
         qdims.join(F.broadcast(cent), "i")
         .groupBy("sub", "cand")
@@ -297,6 +286,21 @@ def ivfpq_adc_topk(
             .alias("lut_d2")
         )
     )
+    # IVF coarse probe: full-dim L2 distance query↔centroid — exactly the
+    # sum of that cell's subspace LUT entries (cell id == candidate id),
+    # so the probe and ADC share one metric and one decimal construction
+    ldist = lut.groupBy("cand").agg(
+        F.sum(F.col("lut_d2").cast("decimal(38,18)")).cast("double").alias("d")
+    )
+    probe = (
+        ldist.orderBy("d", "cand")
+        .limit(nprobe)
+        .select(F.col("cand").alias(label_col))
+    )
+    pruned = emb.join(F.broadcast(probe), label_col)
+    codes = _pq_assign(
+        pruned, subspaces, dim, id_col, vec_col, label_col, codebooks=cent
+    ).select(id_col, "sub", F.col("b.cand").alias("code"))
     return (
         codes.join(
             F.broadcast(lut),

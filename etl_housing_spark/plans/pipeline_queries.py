@@ -604,7 +604,6 @@ def _lsh_eval_oracle() -> str:
     tags=("dedup", "pipeline"),
 )
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     truth = _jaccard_decile_truth(spark, sf_dir).withColumn("tr", F.lit(1))
     cand = (
         q_minhash_pairs_portable(spark, sf_dir)
@@ -711,7 +710,6 @@ def _lsh_band_sweep_oracle() -> str:
 def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import q_minhash_portable
 
-    docs = load_table(spark, sf_dir, "documents")
     sigs = tracked_persist(q_minhash_portable(spark, sf_dir))
     cands = None
     for b, r in _SWEEP_LAYOUTS:
@@ -3156,7 +3154,6 @@ def _oph_vs_kwise_oracle() -> str:
 def q_oph_vs_kwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import q_minhash_oph_portable, q_minhash_portable
 
-    docs = load_table(spark, sf_dir, "documents")
     truth = _jaccard_decile_truth(spark, sf_dir).filter(F.col("d") >= 5)
     k_match = " + ".join(f"(CASE WHEN ka_{i} = kb_{i} THEN 1 ELSE 0 END)" for i in range(16))
     o_match = " + ".join(f"(CASE WHEN oa_{i} = ob_{i} THEN 1 ELSE 0 END)" for i in range(16))

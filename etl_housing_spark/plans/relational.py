@@ -695,18 +695,35 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _save_bucketed(df: DataFrame, name: str, key: str, n_buckets: int = 8) -> DataFrame:
+def _stable_tmp(prefix: str, sf_dir: str) -> str:
+    """Stable scratch dir per (prefix, sf_dir, process): repeated
+    invocations (value check + plan test + every bench repetition)
+    OVERWRITE the same location instead of leaking a fresh mkdtemp copy of
+    the table each call; the pid suffix keeps concurrent sessions from
+    clobbering each other mid-read."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _save_bucketed(
+    df: DataFrame, name: str, key: str, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
     """Write ``df`` as a parquet table bucketed (and per-bucket sorted) on
     ``key``, then return the catalog-backed read. Bucket metadata lives in
     the session catalog (Spark cannot recover bucketing from bare files),
-    so the read goes through ``spark.table``. External location in a fresh
-    tempdir per call keeps reruns independent."""
+    so the read goes through ``spark.table``. External location at a
+    stable per-(sf_dir, process) path — mode("overwrite") replaces the
+    prior contents, so reruns don't accumulate copies."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    path = tempfile.mkdtemp(prefix=f"{name}_")
     (
         df.write.mode("overwrite")
-        .option("path", path)
+        .option("path", _stable_tmp(name, sf_dir))
         .format("parquet")
         .bucketBy(n_buckets, key)
         .sortBy(key)
@@ -738,8 +755,8 @@ def _save_bucketed(df: DataFrame, name: str, key: str, n_buckets: int = 8) -> Da
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    bo = _save_bucketed(o, "ehs_bucketed_orders", "o_orderkey")
-    bl = _save_bucketed(li, "ehs_bucketed_lineitem", "l_orderkey")
+    bo = _save_bucketed(o, "ehs_bucketed_orders", "o_orderkey", sf_dir)
+    bl = _save_bucketed(li, "ehs_bucketed_lineitem", "l_orderkey", sf_dir)
     # MERGE hint: at fixture scale AQE would broadcast the small side, which
     # hides the layout property under test. A 100 TB fact-to-fact join can
     # never broadcast — force the sort-merge strategy so the plan is the
@@ -776,7 +793,7 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     docs = load_table(spark, sf_dir, "documents")
-    small = tempfile.mkdtemp(prefix="ehs_smallfiles_")
+    small = _stable_tmp("ehs_smallfiles", sf_dir)
     # the pathological ingest state: 64 tiny files
     docs.repartition(64).write.mode("overwrite").parquet(small)
     back = spark.read.parquet(small)
@@ -784,7 +801,7 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.getsize(f) for f in glob.glob(os.path.join(small, "*.parquet"))
     )
     target = max(1, math.ceil(total / (128 << 20)))
-    out = tempfile.mkdtemp(prefix="ehs_compacted_")
+    out = _stable_tmp("ehs_compacted", sf_dir)
     back.repartition(target).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out).select(
         "doc_id", "text", "lang", "source", "n_chars"
@@ -812,7 +829,7 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
-    out = tempfile.mkdtemp(prefix="ehs_partprune_")
+    out = _stable_tmp("ehs_partprune", sf_dir)
     ev.write.mode("overwrite").partitionBy("d").parquet(out)
     back = spark.read.parquet(out)
     # partition-column min: resolved from directory metadata, no row decode

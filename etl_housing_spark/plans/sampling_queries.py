@@ -126,7 +126,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-engine equality is exact by construction; the one epochs ratio
     # divides identical integer operands. B = total corpus chars, C = 4.
     oracle="""
-    WITH sizes AS (
+    WITH sizes AS MATERIALIZED (
       SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
       FROM documents GROUP BY lang),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS b FROM sizes),
@@ -138,7 +138,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY n, lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS BIGINT) AS pfx
       FROM sizes),
-    flagged AS (
+    flagged AS MATERIALIZED (
       SELECT o.*, b,
              CASE WHEN cap * (k - i + 1) <= b - pfx THEN 1 ELSE 0 END AS is_capped
       FROM ordered o CROSS JOIN tot),
@@ -168,8 +168,15 @@ def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ..operators._ckpt import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    sizes = docs.groupBy("lang").agg(F.sum("n_chars").cast("bigint").alias("n"))
+    # the ONLY corpus-sized aggregate — persisted once, because the plan
+    # below references it from four branches (ordered, tot, and through
+    # them flagged/boundary) and would otherwise rescan the corpus 4x
+    sizes = tracked_persist(
+        docs.groupBy("lang").agg(F.sum("n_chars").cast("bigint").alias("n"))
+    )
     w = Window.orderBy("n", "lang")
     ordered = sizes.select(
         "lang",

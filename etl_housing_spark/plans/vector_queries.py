@@ -491,10 +491,12 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ivfpq_search",
     # IVF cell pruning composed with PQ/ADC scoring — the FAISS IVFPQ
-    # production topology. The probe CTE is q_ann_ivf_portable's coarse
-    # quantizer (0-based dims here, hence qe[i+1]); codes/lut are
+    # production topology, ONE metric end to end: the coarse probe ranks
+    # cells by full-dim L2 distance = the sum of that cell's subspace LUT
+    # entries (cell id == codebook candidate id), so cell selection and
+    # ADC scoring cannot disagree on un-normalized inputs. codes/lut are
     # q_pq_search's CTEs with the d2 assignment restricted to probed
-    # cells. The LUT builds from the UNfiltered explode — the query's own
+    # cells; the LUT builds from the UNfiltered explode — the query's own
     # cell need not be probed.
     oracle="""
     WITH expl AS MATERIALIZED (
@@ -508,13 +510,17 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) / COUNT(*) AS c
       FROM embeddings, range(1, 65) i(i)
       GROUP BY label, i.i),
-    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-    lscore AS (
-      SELECT cent.cand,
-             CAST(SUM(CAST(cent.c * CAST(q.qe[cent.i + 1] AS DOUBLE)
-                           AS DECIMAL(38,18))) AS DOUBLE) AS s
-      FROM cent, q GROUP BY cent.cand),
-    probe AS (SELECT cand AS label FROM lscore ORDER BY s DESC, cand LIMIT 2),
+    lut AS MATERIALIZED (
+      SELECT e.sub, cent.cand,
+             CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS lut_d2
+      FROM expl e JOIN cent ON e.i = cent.i
+      WHERE e.vec_id = 0
+      GROUP BY e.sub, cent.cand),
+    ldist AS (
+      SELECT cand, CAST(SUM(CAST(lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS d
+      FROM lut GROUP BY cand),
+    probe AS (SELECT cand AS label FROM ldist ORDER BY d, cand LIMIT 2),
     d2 AS (
       SELECT e.vec_id, e.sub, cent.cand,
              CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
@@ -526,14 +532,7 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, sub, cand AS code FROM (
         SELECT vec_id, sub, cand, d2,
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rk
-        FROM d2) t WHERE rk = 1),
-    lut AS (
-      SELECT e.sub, cent.cand,
-             CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
-                  AS DOUBLE) AS lut_d2
-      FROM expl e JOIN cent ON e.i = cent.i
-      WHERE e.vec_id = 0
-      GROUP BY e.sub, cent.cand)
+        FROM d2) t WHERE rk = 1)
     SELECT c.vec_id,
            ROUND(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc_d2
     FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cand
@@ -541,12 +540,14 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY adc_d2, c.vec_id LIMIT 10
     """,
     description="IVFPQ search (FAISS's production ANN index, Jégou et al. 2011 "
-    "§V): coarse quantizer probes the top-2 cells, then ONLY those cells' "
-    "vectors are scored — by ADC lookup on their 4-byte PQ codes, never their "
-    "floats. Stacks both 100 TB wins: the scan touches nprobe/K of the corpus, "
-    "and what it touches is codes. Two broadcast-sized aggregates (centroids, "
-    "LUT) + one probed-cell assignment; with precomputed codes the query cost "
-    "is one broadcast code join. Non-residual variant, decimal-exact end to end",
+    "§V): coarse quantizer probes the 2 L2-nearest cells — the probe distance "
+    "is the sum of each cell's subspace LUT entries, so probe and ADC share "
+    "ONE metric — then ONLY those cells' vectors are scored, by ADC lookup on "
+    "their 4-byte PQ codes, never their floats. Stacks both 100 TB wins: the "
+    "scan touches nprobe/K of the corpus, and what it touches is codes. Two "
+    "broadcast-sized aggregates (centroids, LUT; probe is a K-row LUT rollup) "
+    "+ one probed-cell assignment; with precomputed codes the query cost is "
+    "one broadcast code join. Non-residual variant, decimal-exact end to end",
     tags=("vector",),
 )
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
