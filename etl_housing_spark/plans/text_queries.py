@@ -3148,3 +3148,112 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "fp", "e_a", "e_b")
     )
+
+
+def _consensus_oracle() -> str:
+    """Compose the four modality pair oracles verbatim as subqueries (each
+    keeps its own WITH scope — the audio and image chains both name a CTE
+    `dims`, so they cannot share one WITH list)."""
+    from .pipeline_queries import _mh_pairs_oracle
+
+    img_sql = f"""
+    WITH {_PHASH_SQL},
+    cand AS ({_banded_cand_duck(16)})
+    SELECT id_a, id_b FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6"""
+    aud_sql = f"""
+    WITH {_AUDIO_FP_SQL}
+    SELECT a.media_id AS id_a, b.media_id AS id_b
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.media_id < b.media_id
+    WHERE 20 * abs(a.e_total - b.e_total) <= greatest(a.e_total, b.e_total)"""
+    vid_sql = f"""
+    WITH {_VIDEO_FP_SQL}
+    SELECT a.media_id AS id_a, b.media_id AS id_b
+    FROM vfp a JOIN vfp b ON a.fp = b.fp AND a.media_id < b.media_id
+    WHERE 20 * abs(a.e_total - b.e_total) <= greatest(a.e_total, b.e_total)"""
+    return f"""
+    WITH txt AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_mh_pairs_oracle()}) t WHERE n_match >= 8),
+    img AS MATERIALIZED (SELECT id_a, id_b FROM ({img_sql}) t),
+    aud AS MATERIALIZED (SELECT id_a, id_b FROM ({aud_sql}) t),
+    vid AS MATERIALIZED (SELECT id_a, id_b FROM ({vid_sql}) t),
+    u AS (
+      SELECT id_a, id_b, 'text' AS m FROM txt
+      UNION ALL SELECT id_a, id_b, 'image' FROM img
+      UNION ALL SELECT id_a, id_b, 'audio' FROM aud
+      UNION ALL SELECT id_a, id_b, 'video' FROM vid)
+    SELECT id_a, id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_modalities,
+           CAST(MAX(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS f_text,
+           CAST(MAX(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS f_image,
+           CAST(MAX(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS f_audio,
+           CAST(MAX(CASE WHEN m = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS f_video
+    FROM u GROUP BY id_a, id_b
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query(
+    "q_multimodal_consensus",
+    # Cross-modal near-dup CONSENSUS — the multimodal-record dedup rule a
+    # web-scale curation pipeline applies when a "document" carries text +
+    # media: a pair is a duplicate verdict only when >= 2 independent
+    # modality signals agree (text MinHash-LSH at est-Jaccard >= 0.5,
+    # image 4x16-banded dHash at Hamming <= 6, audio and video
+    # composite-banded contour fingerprints at the 5% energy gate).
+    # Single-modality matches — the false-positive tail of each individual
+    # detector — are demoted by construction. Proves the four
+    # independently hash-checked detectors COMPOSE (the q_fineweb_funnel
+    # discipline applied across modalities). Each leg emits distinct
+    # pairs, so COUNT(*) per (id_a, id_b) IS the modality count. Scale
+    # shape: the union is pair-sized (each leg banded/bucketed, never
+    # all-pairs) and the consensus groupBy shuffles only candidate pairs,
+    # a vanishing fraction of the corpus.
+    oracle=_consensus_oracle(),
+    description="multimodal near-dup consensus: duplicate verdicts only where "
+    ">= 2 of the 4 modality detectors agree (text MinHash est-J >= 0.5, "
+    "banded image dHash <= 6, audio + video contour fingerprints at the 5% "
+    "energy gate) — the cross-signal rule that demotes every single-detector "
+    "false positive; composes the four hash-checked detectors end to end; "
+    "the consensus aggregate shuffles candidate pairs only",
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline_queries import q_minhash_pairs_portable
+
+    txt = (
+        q_minhash_pairs_portable(spark, sf_dir)
+        .filter(F.col("n_match") >= 8)
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("text"))
+    )
+    img = (
+        q_image_neardup_banded(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("image"))
+    )
+    aud = (
+        q_audio_neardup(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("audio"))
+    )
+    vid = (
+        q_video_neardup(spark, sf_dir)
+        .select("id_a", "id_b")
+        .withColumn("m", F.lit("video"))
+    )
+    u = txt.unionByName(img).unionByName(aud).unionByName(vid)
+    flag = lambda name: (  # noqa: E731
+        F.max(F.when(F.col("m") == name, 1).otherwise(0)).cast("bigint")
+    )
+    return (
+        u.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_modalities"),
+            flag("text").alias("f_text"),
+            flag("image").alias("f_image"),
+            flag("audio").alias("f_audio"),
+            flag("video").alias("f_video"),
+        )
+        .filter(F.col("n_modalities") >= 2)
+    )

@@ -845,3 +845,48 @@ def test_unimax_waterfill_caps_small_languages(spark):
     assert rows["m"].epochs == 4.0
     assert rows["b"].capped == 0 and rows["b"].alloc_chars == 820
     assert sum(r.alloc_chars for r in rows.values()) == 1060
+
+
+def test_multimodal_consensus_demotes_single_detector_pairs(spark):
+    """Consensus laws at the fixture SF: every returned pair is flagged by
+    >= 2 modalities and its per-modality flags reproduce membership in the
+    component detectors' pair sets; at least one single-modality pair
+    exists and is correctly absent (the false-positive-demotion point)."""
+    from tests.conftest import SF_SMOKE
+
+    q = SPECS
+    comp = {
+        "f_text": {
+            (r.id_a, r.id_b)
+            for r in q["q_minhash_pairs_portable"].fn(spark, SF_SMOKE)
+            .filter("n_match >= 8").collect()
+        },
+        "f_image": {
+            (r.id_a, r.id_b)
+            for r in q["q_image_neardup_banded"].fn(spark, SF_SMOKE).collect()
+        },
+        "f_audio": {
+            (r.id_a, r.id_b)
+            for r in q["q_audio_neardup"].fn(spark, SF_SMOKE).collect()
+        },
+        "f_video": {
+            (r.id_a, r.id_b)
+            for r in q["q_video_neardup"].fn(spark, SF_SMOKE).collect()
+        },
+    }
+    cons = q["q_multimodal_consensus"].fn(spark, SF_SMOKE).collect()
+    assert cons  # the fixture corpus produces real consensus pairs
+    got = set()
+    for r in cons:
+        assert r.n_modalities >= 2
+        flags = {k: getattr(r, k) for k in comp}
+        assert sum(flags.values()) == r.n_modalities
+        for k, v in flags.items():
+            assert ((r.id_a, r.id_b) in comp[k]) == bool(v), (r, k)
+        got.add((r.id_a, r.id_b))
+    # single-detector pairs exist and are demoted
+    from collections import Counter
+
+    counts = Counter(p for s in comp.values() for p in s)
+    singles = {p for p, c in counts.items() if c == 1}
+    assert singles and not (singles & got)
