@@ -315,3 +315,76 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("rk"),
         "doc_id",
     )
+
+
+@query(
+    "q_length_buckets",
+    # Length-grouped batching (the HF group_by_length / varlen-batching
+    # primitive — the padding-waste counterpart of q_pack_sequences'
+    # concat regime): docs are bucketed by whitespace token count into
+    # integer-exact exponent+2-bit-mantissa buckets (the audio/video
+    # energy-bucket construction: lb = 4*(bitlen(n)-1) + 2 bits after the
+    # leading bit, every bucket spanning a factor in [9/8, 4/3]), and the
+    # report prices the padding: within a bucket every sequence pads to
+    # the bucket max, unbucketed every sequence pads to the GLOBAL max.
+    # All integers; the global max enters via a broadcast 1-row aggregate.
+    # One corpus-sized projection + one grouped partial-agg; the report is
+    # O(buckets).
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    b AS MATERIALIZED (
+      SELECT doc_id, n,
+             (length(bin(n)) - 1) * 4
+               + CAST((n >> greatest(length(bin(n)) - 3, 0)) % 4 AS BIGINT)
+               AS lb
+      FROM t),
+    g AS (SELECT CAST(MAX(n) AS BIGINT) AS gmax FROM t)
+    SELECT lb,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n) AS BIGINT) AS len_min,
+           CAST(MAX(n) AS BIGINT) AS len_max,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS pad_bucketed,
+           CAST(COUNT(*) * MAX(gmax) - SUM(n) AS BIGINT) AS pad_global
+    FROM b CROSS JOIN g
+    GROUP BY lb
+    """,
+    description="length-grouped batching report: integer log-buckets over "
+    "whitespace token counts (exponent + 2-bit mantissa, spans in "
+    "[9/8, 4/3]) with per-bucket padding waste vs padding every sequence "
+    "to the global max — the measured case for group-by-length batching; "
+    "one grouped partial-agg over the corpus, report is O(buckets)",
+    tags=("sampling", "text"),
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    )
+    blen = F.length(F.bin("n")) - 1
+    b = t.withColumn(
+        "lb",
+        (blen * 4).cast("bigint")
+        + F.expr("shiftright(n, cast(greatest(length(bin(n)) - 3, 0) as int)) % 4"),
+    )
+    g = t.agg(F.max("n").cast("bigint").alias("gmax"))
+    return (
+        b.crossJoin(F.broadcast(g))
+        .groupBy("lb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n").cast("bigint").alias("len_min"),
+            F.max("n").cast("bigint").alias("len_max"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            (F.count(F.lit(1)) * F.max("n") - F.sum("n"))
+            .cast("bigint")
+            .alias("pad_bucketed"),
+            (F.count(F.lit(1)) * F.max(F.col("gmax")) - F.sum("n"))
+            .cast("bigint")
+            .alias("pad_global"),
+        )
+    )
