@@ -814,6 +814,95 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_l2_top10_sql() -> str:
+    """Decimal-exact brute-force L2 top-10 for query vector 0 — the ground
+    truth the IVFPQ tier is scored against (identical per-dim IEEE terms,
+    order-free decimal accumulation, (d2, vec_id) tie-break)."""
+    return """
+    SELECT e2.vec_id FROM (
+      SELECT e.vec_id,
+             CAST(SUM(CAST((CAST(e.embedding[i.i] AS DOUBLE) - CAST(q.qe[i.i] AS DOUBLE))
+                           * (CAST(e.embedding[i.i] AS DOUBLE) - CAST(q.qe[i.i] AS DOUBLE))
+                           AS DECIMAL(38,18))) AS DOUBLE) AS d2
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+      CROSS JOIN range(1, 65) i(i)
+      GROUP BY e.vec_id) e2
+    ORDER BY e2.d2, e2.vec_id LIMIT 10
+    """
+
+
+def _ivfpq_recall_oracle() -> str:
+    from .registry import _REGISTRY
+
+    approx = _REGISTRY["q_ivfpq_search"].oracle
+    return f"""
+    SELECT CAST(10 AS BIGINT) AS k, COUNT(*) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 6) AS recall_at_k
+    FROM ({_exact_l2_top10_sql()}) e JOIN ({approx}) a ON e.vec_id = a.vec_id
+    """
+
+
+@query(
+    "q_ivfpq_recall",
+    # The q_ann_recall companion for the composed IVFPQ tier, scored in the
+    # index's OWN metric: recall@10 against the decimal-exact brute-force
+    # L2 top-10 (not the dot-product truth — a recall metric must share
+    # the index's distance or it measures metric disagreement, not index
+    # quality). Both sides deterministic and the approx side is the
+    # registered q_ivfpq_search oracle verbatim, so the metric itself
+    # hash-matches. This is the number the (nprobe, M, K) tuning loop
+    # optimizes; the losses it sees decompose into cell-miss (IVF) +
+    # quantization reranking error (PQ), and raising nprobe / adding an
+    # exact re-rank of the ADC top-k are the standard remedies.
+    oracle=_ivfpq_recall_oracle(),
+    description="IVFPQ recall@10 vs the decimal-exact brute-force L2 ground "
+    "truth — the retrieval-quality metric for the composed index, scored in "
+    "the index's own metric; losses decompose into IVF cell-miss + PQ "
+    "quantization error, the two knobs (nprobe, codebook size) a tuning "
+    "loop turns; both sides deterministic so the metric hash-matches. "
+    "Measured 0.1 at sf0.01 (the query row itself): the testdata Gaussians "
+    "overlap across the 10 label cells and the deterministic codebook has "
+    "only K=10 entries, so 2-cell probing plus coarse ADC misses the exact "
+    "neighbors — exactly the reading that tells the loop to raise nprobe "
+    "and K before trusting the tier (q_ann_recall's 0.3 under the same "
+    "fixture, same diagnosis)",
+    tags=("vector", "eval"),
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import ivfpq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.posexplode(F.col("embedding")).alias("i", "qx")
+    )
+    d2 = (
+        emb.select("vec_id", F.posexplode(F.col("embedding")).alias("i", "x"))
+        .join(F.broadcast(q), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (
+                    (F.col("x").cast("double") - F.col("qx").cast("double"))
+                    * (F.col("x").cast("double") - F.col("qx").cast("double"))
+                ).cast("decimal(38,18)")
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    exact = d2.orderBy("d2", "vec_id").limit(10).select("vec_id")
+    approx = ivfpq_adc_topk(emb).select("vec_id")
+    hits = exact.join(approx, "vec_id", "semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_k"),
+    )
+
+
 @query(
     "q_ndcg",
     # nDCG@10 of the brute-force retrieval for query vector 0, with binary
