@@ -323,12 +323,15 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # primitive — the padding-waste counterpart of q_pack_sequences'
     # concat regime): docs are bucketed by whitespace token count into
     # integer-exact exponent+2-bit-mantissa buckets (the audio/video
-    # energy-bucket construction: lb = 4*(bitlen(n)-1) + 2 bits after the
-    # leading bit, every bucket spanning a factor in [9/8, 4/3]), and the
-    # report prices the padding: within a bucket every sequence pads to
-    # the bucket max, unbucketed every sequence pads to the GLOBAL max.
-    # All integers; the global max enters via a broadcast 1-row aggregate.
-    # One corpus-sized projection + one grouped partial-agg; the report is
+    # energy-bucket construction, one mantissa bit coarser: lb =
+    # 4*(bitlen(n)-1) + 2 bits after the leading bit, every bucket's
+    # max/min ratio bounded by (5+m)/(4+m) for mantissa m — within
+    # (1, 5/4], approaching [8/7, 5/4] as n grows), and the report prices
+    # the padding: within a bucket every sequence pads to the bucket max,
+    # unbucketed every sequence pads to the GLOBAL max. All integers; the
+    # global max enters via a broadcast 1-row aggregate. One corpus-sized
+    # split projection (persisted once — both the bucket aggregate and
+    # the global max consume it) + one grouped partial-agg; the report is
     # O(buckets).
     oracle="""
     WITH t AS MATERIALIZED (
@@ -352,18 +355,25 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lb
     """,
     description="length-grouped batching report: integer log-buckets over "
-    "whitespace token counts (exponent + 2-bit mantissa, spans in "
-    "[9/8, 4/3]) with per-bucket padding waste vs padding every sequence "
-    "to the global max — the measured case for group-by-length batching; "
-    "one grouped partial-agg over the corpus, report is O(buckets)",
+    "whitespace token counts (exponent + 2-bit mantissa, per-bucket "
+    "max/min ratio at most 5/4) with per-bucket padding waste vs padding "
+    "every sequence to the global max — the measured case for "
+    "group-by-length batching; one persisted corpus-sized split "
+    "projection + one grouped partial-agg, report is O(buckets)",
     tags=("sampling", "text"),
 )
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from ..operators._ckpt import tracked_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+    # both aggregates below consume this corpus-sized split — persist so
+    # the text column is scanned and tokenized once, not twice
+    t = tracked_persist(
+        docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n")
+        )
     )
     blen = F.length(F.bin("n")) - 1
     b = t.withColumn(

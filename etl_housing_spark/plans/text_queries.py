@@ -3151,29 +3151,21 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _consensus_oracle() -> str:
-    """Compose the four modality pair oracles verbatim as subqueries (each
-    keeps its own WITH scope — the audio and image chains both name a CTE
-    `dims`, so they cannot share one WITH list)."""
-    from .pipeline_queries import _mh_pairs_oracle
+    """Compose the four REGISTERED modality oracles verbatim as subqueries
+    (each keeps its own WITH scope — the audio and image chains both name
+    a CTE `dims`, so they cannot share one WITH list; and pulling the
+    component oracles from the registry means a tuned threshold or join in
+    any detector propagates here automatically instead of drifting)."""
+    from . import pipeline_queries  # noqa: F401  (registers the text leg)
+    from .registry import _REGISTRY
 
-    img_sql = f"""
-    WITH {_PHASH_SQL},
-    cand AS ({_banded_cand_duck(16)})
-    SELECT id_a, id_b FROM cand
-    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6"""
-    aud_sql = f"""
-    WITH {_AUDIO_FP_SQL}
-    SELECT a.media_id AS id_a, b.media_id AS id_b
-    FROM fp a JOIN fp b ON a.fp = b.fp AND a.media_id < b.media_id
-    WHERE 20 * abs(a.e_total - b.e_total) <= greatest(a.e_total, b.e_total)"""
-    vid_sql = f"""
-    WITH {_VIDEO_FP_SQL}
-    SELECT a.media_id AS id_a, b.media_id AS id_b
-    FROM vfp a JOIN vfp b ON a.fp = b.fp AND a.media_id < b.media_id
-    WHERE 20 * abs(a.e_total - b.e_total) <= greatest(a.e_total, b.e_total)"""
+    txt_sql = _REGISTRY["q_minhash_pairs_portable"].oracle
+    img_sql = _REGISTRY["q_image_neardup_banded"].oracle
+    aud_sql = _REGISTRY["q_audio_neardup"].oracle
+    vid_sql = _REGISTRY["q_video_neardup"].oracle
     return f"""
     WITH txt AS MATERIALIZED (
-      SELECT id_a, id_b FROM ({_mh_pairs_oracle()}) t WHERE n_match >= 8),
+      SELECT id_a, id_b FROM ({txt_sql}) t WHERE n_match >= 8),
     img AS MATERIALIZED (SELECT id_a, id_b FROM ({img_sql}) t),
     aud AS MATERIALIZED (SELECT id_a, id_b FROM ({aud_sql}) t),
     vid AS MATERIALIZED (SELECT id_a, id_b FROM ({vid_sql}) t),
