@@ -3211,29 +3211,35 @@ def _consensus_oracle() -> str:
     tags=("multimodal", "dedup", "pipeline"),
 )
 def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._ckpt import single_shot_checkpoint
     from .pipeline_queries import q_minhash_pairs_portable
 
-    txt = (
+    # Each detector leg is materialized as its OWN job (eager checkpoint of
+    # the pair result) before the consensus aggregate runs — the job
+    # granularity a production pipeline uses, peaking at one detector's
+    # working set instead of four corpus-wide Arrow codec stages in one
+    # DAG. Scale limit, measured and documented in BASELINE.md: pair
+    # ENUMERATION is inherently quadratic in duplicate-class size (the
+    # sf10 fixture plants an identical image every 256 ids → ~2000-member
+    # classes → ~5e8 image pairs, OOM at checkpoint), so past
+    # mega-duplicate densities the consensus input must be per-modality
+    # cluster representatives (q_dedup_clusters' components), not raw
+    # pairs. At realistic class sizes the pair frames are a vanishing
+    # fraction of the corpus.
+    txt = single_shot_checkpoint(
         q_minhash_pairs_portable(spark, sf_dir)
         .filter(F.col("n_match") >= 8)
         .select("id_a", "id_b")
-        .withColumn("m", F.lit("text"))
-    )
-    img = (
-        q_image_neardup_banded(spark, sf_dir)
-        .select("id_a", "id_b")
-        .withColumn("m", F.lit("image"))
-    )
-    aud = (
-        q_audio_neardup(spark, sf_dir)
-        .select("id_a", "id_b")
-        .withColumn("m", F.lit("audio"))
-    )
-    vid = (
-        q_video_neardup(spark, sf_dir)
-        .select("id_a", "id_b")
-        .withColumn("m", F.lit("video"))
-    )
+    ).withColumn("m", F.lit("text"))
+    img = single_shot_checkpoint(
+        q_image_neardup_banded(spark, sf_dir).select("id_a", "id_b")
+    ).withColumn("m", F.lit("image"))
+    aud = single_shot_checkpoint(
+        q_audio_neardup(spark, sf_dir).select("id_a", "id_b")
+    ).withColumn("m", F.lit("audio"))
+    vid = single_shot_checkpoint(
+        q_video_neardup(spark, sf_dir).select("id_a", "id_b")
+    ).withColumn("m", F.lit("video"))
     u = txt.unionByName(img).unionByName(aud).unionByName(vid)
     flag = lambda name: (  # noqa: E731
         F.max(F.when(F.col("m") == name, 1).otherwise(0)).cast("bigint")
