@@ -3255,3 +3255,112 @@ def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_modalities") >= 2)
     )
+
+
+def _cluster_reps_oracle() -> str:
+    """Registry-composed: each modality's registered fingerprint oracle,
+    wrapped in its own WITH scope, reduced to (doc_id, rep) by a window
+    MIN over the exact-fingerprint group."""
+    from .registry import _REGISTRY
+
+    img = _REGISTRY["q_image_phash"].oracle
+    aud = _REGISTRY["q_audio_fingerprint"].oracle
+    vid = _REGISTRY["q_video_fingerprint"].oracle
+    return f"""
+    WITH img AS MATERIALIZED (
+      SELECT media_id AS doc_id,
+             MIN(media_id) OVER (PARTITION BY phash_hi, phash_lo) AS rep
+      FROM ({img}) t),
+    aud AS MATERIALIZED (
+      SELECT media_id AS doc_id,
+             MIN(media_id) OVER (PARTITION BY fp, e_total) AS rep
+      FROM ({aud}) t),
+    vid AS MATERIALIZED (
+      SELECT media_id AS doc_id,
+             MIN(media_id) OVER (PARTITION BY fp, e_total) AS rep
+      FROM ({vid}) t),
+    txt AS MATERIALIZED (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM documents),
+    u AS (
+      SELECT doc_id, rep, 'text' AS m FROM txt
+      UNION ALL SELECT doc_id, rep, 'image' FROM img
+      UNION ALL SELECT doc_id, rep, 'audio' FROM aud
+      UNION ALL SELECT doc_id, rep, 'video' FROM vid)
+    SELECT doc_id,
+           CAST(MAX(CASE WHEN m = 'text' THEN rep END) AS BIGINT) AS rep_text,
+           CAST(MAX(CASE WHEN m = 'image' THEN rep END) AS BIGINT) AS rep_image,
+           CAST(MAX(CASE WHEN m = 'audio' THEN rep END) AS BIGINT) AS rep_audio,
+           CAST(MAX(CASE WHEN m = 'video' THEN rep END) AS BIGINT) AS rep_video,
+           CAST(SUM(CASE WHEN rep < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_modalities
+    FROM u GROUP BY doc_id
+    HAVING SUM(CASE WHEN rep < doc_id THEN 1 ELSE 0 END) >= 1
+    """
+
+
+@query(
+    "q_dup_cluster_reps",
+    # The LINEAR consensus input for mega-duplicate densities — the form
+    # BASELINE.md's q_multimodal_consensus root-cause note prescribes:
+    # instead of enumerating within-class pairs (quadratic in class size —
+    # a 2000-member duplicate class is 2M pairs), each modality reduces to
+    # one cluster-representative id per record via a window MIN over the
+    # exact-fingerprint group (image (phash_hi, phash_lo), audio/video
+    # (fp, e_total), text md5). One window shuffle per modality, output
+    # one row per record regardless of class size — the shape that
+    # survives any duplicate density at 100 TB. A downstream keep/drop
+    # rule (or the cross-modal consensus) joins on the rep columns instead
+    # of pair lists. Fixture yields image-dup members (ids 256 apart are
+    # planted identical), so the verdict table is non-trivial at every SF.
+    oracle=_cluster_reps_oracle(),
+    description="per-modality exact-duplicate cluster representatives with "
+    "ZERO pair enumeration: window MIN over each modality's exact "
+    "fingerprint group (image dHash pair, audio/video contour+energy, text "
+    "md5) — one row per record regardless of duplicate-class size, the "
+    "linear consensus input prescribed by the pair-enumeration root-cause "
+    "analysis; one window shuffle per modality",
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def q_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    img = q_image_phash(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"),
+        F.min("media_id")
+        .over(Window.partitionBy("phash_hi", "phash_lo"))
+        .alias("rep"),
+        F.lit("image").alias("m"),
+    )
+    aud = q_audio_fingerprint(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"),
+        F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
+        F.lit("audio").alias("m"),
+    )
+    vid = q_video_fingerprint(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"),
+        F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
+        F.lit("video").alias("m"),
+    )
+    txt = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("rep"),
+        F.lit("text").alias("m"),
+    )
+    u = txt.unionByName(img).unionByName(aud).unionByName(vid)
+    rep_of = lambda name: (  # noqa: E731
+        F.max(F.when(F.col("m") == name, F.col("rep"))).cast("bigint")
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            rep_of("text").alias("rep_text"),
+            rep_of("image").alias("rep_image"),
+            rep_of("audio").alias("rep_audio"),
+            rep_of("video").alias("rep_video"),
+            F.sum(F.when(F.col("rep") < F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_modalities"),
+        )
+        .filter(F.col("n_dup_modalities") >= 1)
+    )

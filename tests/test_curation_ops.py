@@ -890,3 +890,33 @@ def test_multimodal_consensus_demotes_single_detector_pairs(spark):
     counts = Counter(p for s in comp.values() for p in s)
     singles = {p for p, c in counts.items() if c == 1}
     assert singles and not (singles & got)
+
+
+def test_dup_cluster_reps_laws(spark):
+    """Cluster-representative laws: reps never exceed the member id,
+    n_dup_modalities counts exactly the modalities whose rep is a strictly
+    smaller id, and the planted identical images (ids 256 apart) all
+    surface with the class-minimum as their image rep."""
+    from tests.conftest import SF_SMOKE
+
+    rows = SPECS["q_dup_cluster_reps"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        reps = [r.rep_text, r.rep_image, r.rep_audio, r.rep_video]
+        assert all(x is None or x <= r.doc_id for x in reps)
+        assert r.n_dup_modalities == sum(
+            1 for x in reps if x is not None and x < r.doc_id
+        )
+    # planted image duplicates: ids 256 apart have IDENTICAL images, hence
+    # identical dHashes, hence the same class rep (the class can be wider
+    # than the planted pair — dHash is lossy, distinct images may collide —
+    # so the law is shared-rep and rep <= the older planted twin, not
+    # rep == id % 256)
+    for doc_id in range(256, 500):
+        assert doc_id in by_id, doc_id
+        r = by_id[doc_id]
+        assert r.rep_image is not None and r.rep_image <= doc_id - 256
+        older = by_id.get(doc_id - 256)
+        if older is not None and older.rep_image is not None:
+            assert older.rep_image == r.rep_image
