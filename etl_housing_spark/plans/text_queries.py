@@ -3225,7 +3225,11 @@ def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mega-duplicate densities the consensus input must be per-modality
     # cluster representatives (q_dedup_clusters' components), not raw
     # pairs. At realistic class sizes the pair frames are a vanishing
-    # fraction of the corpus.
+    # fraction of the corpus. Known trade of the eager-checkpoint pattern
+    # (shared with the iterative graph/sketch queries): constructing this
+    # frame RUNS the four detector jobs, so a plan-only `--explain` pays
+    # them and prints ExistingRDD stubs for the legs — explain the
+    # detector queries individually for their plans.
     txt = single_shot_checkpoint(
         q_minhash_pairs_portable(spark, sf_dir)
         .filter(F.col("n_match") >= 8)
