@@ -3261,10 +3261,13 @@ def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_reps_oracle() -> str:
-    """Registry-composed: each modality's registered fingerprint oracle,
-    wrapped in its own WITH scope, reduced to (doc_id, rep) by a window
-    MIN over the exact-fingerprint group."""
+def _modality_reps_sql() -> str:
+    """Registry-composed WITH-prefix producing the unioned
+    (doc_id, rep, m) frame `u`: each modality's registered fingerprint
+    oracle, wrapped in its own WITH scope, reduced to (doc_id, rep) by a
+    window MIN over the exact-fingerprint group. Shared by
+    q_dup_cluster_reps and q_consensus_reps so the rep construction
+    cannot drift between the per-modality table and the verdict."""
     from .registry import _REGISTRY
 
     img = _REGISTRY["q_image_phash"].oracle
@@ -3290,7 +3293,11 @@ def _cluster_reps_oracle() -> str:
       SELECT doc_id, rep, 'text' AS m FROM txt
       UNION ALL SELECT doc_id, rep, 'image' FROM img
       UNION ALL SELECT doc_id, rep, 'audio' FROM aud
-      UNION ALL SELECT doc_id, rep, 'video' FROM vid)
+      UNION ALL SELECT doc_id, rep, 'video' FROM vid)"""
+
+
+def _cluster_reps_oracle() -> str:
+    return f"""{_modality_reps_sql()}
     SELECT doc_id,
            CAST(MAX(CASE WHEN m = 'text' THEN rep END) AS BIGINT) AS rep_text,
            CAST(MAX(CASE WHEN m = 'image' THEN rep END) AS BIGINT) AS rep_image,
@@ -3301,6 +3308,38 @@ def _cluster_reps_oracle() -> str:
     FROM u GROUP BY doc_id
     HAVING SUM(CASE WHEN rep < doc_id THEN 1 ELSE 0 END) >= 1
     """
+
+
+def _modality_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _modality_reps_sql(): the unioned (doc_id, rep, m)
+    frame — one window MIN per modality's exact-fingerprint group, one
+    row per record regardless of duplicate-class size. Shared by
+    q_dup_cluster_reps and q_consensus_reps."""
+    from pyspark.sql import Window
+
+    img = q_image_phash(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"),
+        F.min("media_id")
+        .over(Window.partitionBy("phash_hi", "phash_lo"))
+        .alias("rep"),
+        F.lit("image").alias("m"),
+    )
+    aud = q_audio_fingerprint(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"),
+        F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
+        F.lit("audio").alias("m"),
+    )
+    vid = q_video_fingerprint(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"),
+        F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
+        F.lit("video").alias("m"),
+    )
+    txt = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("rep"),
+        F.lit("text").alias("m"),
+    )
+    return txt.unionByName(img).unionByName(aud).unionByName(vid)
 
 
 @query(
@@ -3327,31 +3366,7 @@ def _cluster_reps_oracle() -> str:
     tags=("multimodal", "dedup", "pipeline"),
 )
 def q_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    img = q_image_phash(spark, sf_dir).select(
-        F.col("media_id").alias("doc_id"),
-        F.min("media_id")
-        .over(Window.partitionBy("phash_hi", "phash_lo"))
-        .alias("rep"),
-        F.lit("image").alias("m"),
-    )
-    aud = q_audio_fingerprint(spark, sf_dir).select(
-        F.col("media_id").alias("doc_id"),
-        F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
-        F.lit("audio").alias("m"),
-    )
-    vid = q_video_fingerprint(spark, sf_dir).select(
-        F.col("media_id").alias("doc_id"),
-        F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
-        F.lit("video").alias("m"),
-    )
-    txt = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("rep"),
-        F.lit("text").alias("m"),
-    )
-    u = txt.unionByName(img).unionByName(aud).unionByName(vid)
+    u = _modality_reps(spark, sf_dir)
     rep_of = lambda name: (  # noqa: E731
         F.max(F.when(F.col("m") == name, F.col("rep"))).cast("bigint")
     )
@@ -3367,4 +3382,75 @@ def q_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dup_modalities"),
         )
         .filter(F.col("n_dup_modalities") >= 1)
+    )
+
+
+def _consensus_reps_oracle() -> str:
+    """The same registry-composed rep frame as _cluster_reps_oracle, reduced
+    to the >= 2-modality VERDICT: flags use aggregate MAX over a CASE (not
+    LEAST/GREATEST, whose null handling is an engine-semantics trap) and
+    keep_id is an aggregate MIN over the flagged reps — NULL-skipping MIN
+    is identical in both engines."""
+    return f"""{_modality_reps_sql()}
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN rep < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_modalities,
+           CAST(MAX(CASE WHEN m = 'text' AND rep < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_text,
+           CAST(MAX(CASE WHEN m = 'image' AND rep < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_image,
+           CAST(MAX(CASE WHEN m = 'audio' AND rep < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_audio,
+           CAST(MAX(CASE WHEN m = 'video' AND rep < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS f_video,
+           CAST(MIN(CASE WHEN rep < doc_id THEN rep END) AS BIGINT) AS keep_id
+    FROM u GROUP BY doc_id
+    HAVING SUM(CASE WHEN rep < doc_id THEN 1 ELSE 0 END) >= 2
+    """
+
+
+@query(
+    "q_consensus_reps",
+    # The DENSITY-SAFE multimodal consensus — the composition VERDICT.md
+    # round 11 prescribed: q_multimodal_consensus enumerates candidate
+    # PAIRS, which is quadratic in duplicate-class size and measurably OOMs
+    # at the sf10 fixture's 2000-member planted classes (~5e8 image pairs;
+    # BASELINE.md root-cause note). This query instead reduces each
+    # modality to a cluster-representative id per record (the
+    # _modality_reps window-MIN frame shared with q_dup_cluster_reps) and
+    # emits a duplicate verdict per DOCUMENT where >= 2 independent
+    # modalities agree the record is a non-representative member
+    # (rep_m < doc_id). One window shuffle per modality + one groupBy on
+    # doc_id — LINEAR at any duplicate density, the shape that survives
+    # 100 TB with mega-duplicate classes. keep_id (the smallest flagged
+    # rep) is the canonical record a curation pipeline keeps; the pair
+    # form remains the higher-recall choice at realistic class sizes since
+    # its detectors are NEAR-dup (banded Hamming/energy gates), while the
+    # rep form is exact-fingerprint — the two are documented complements.
+    oracle=_consensus_reps_oracle(),
+    description="density-safe multimodal duplicate consensus on cluster "
+    "representatives: a per-document verdict where >= 2 modalities' exact "
+    "fingerprints (image dHash, audio/video contour+energy, text md5) mark "
+    "the record a non-representative class member — zero pair enumeration, "
+    "linear at any duplicate density (the pair-form consensus OOMs at sf10 "
+    "mega-dup classes), one window shuffle per modality + one groupBy",
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def q_consensus_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = _modality_reps(spark, sf_dir)
+    dup = F.col("rep") < F.col("doc_id")
+    flag = lambda name: (  # noqa: E731
+        F.max(F.when((F.col("m") == name) & dup, 1).otherwise(0)).cast("bigint")
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_modalities"),
+            flag("text").alias("f_text"),
+            flag("image").alias("f_image"),
+            flag("audio").alias("f_audio"),
+            flag("video").alias("f_video"),
+            F.min(F.when(dup, F.col("rep"))).cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("n_modalities") >= 2)
     )

@@ -920,3 +920,41 @@ def test_dup_cluster_reps_laws(spark):
         older = by_id.get(doc_id - 256)
         if older is not None and older.rep_image is not None:
             assert older.rep_image == r.rep_image
+
+
+def test_consensus_reps_verdict_laws(spark):
+    """Density-safe consensus laws: the verdict set is exactly the
+    >= 2-flagged-modality slice of q_dup_cluster_reps, the per-modality
+    flags reproduce rep_m < doc_id membership, and keep_id is the smallest
+    flagged rep — so the linear consensus is provably the rep-table
+    reduction, never a separate detector with drift potential."""
+    from tests.conftest import SF_SMOKE
+
+    reps = {r.doc_id: r for r in
+            SPECS["q_dup_cluster_reps"].fn(spark, SF_SMOKE).collect()}
+    cons = SPECS["q_consensus_reps"].fn(spark, SF_SMOKE).collect()
+    assert cons  # the planted fixture produces real >= 2-modality verdicts
+    expected_ids = {
+        d for d, r in reps.items()
+        if sum(1 for x in (r.rep_text, r.rep_image, r.rep_audio, r.rep_video)
+               if x is not None and x < d) >= 2
+    }
+    assert {r.doc_id for r in cons} == expected_ids
+    for r in cons:
+        base = reps[r.doc_id]
+        flags = {
+            "f_text": base.rep_text, "f_image": base.rep_image,
+            "f_audio": base.rep_audio, "f_video": base.rep_video,
+        }
+        flagged_reps = []
+        for col, rep in flags.items():
+            is_dup = rep is not None and rep < r.doc_id
+            assert getattr(r, col) == int(is_dup), (r, col)
+            if is_dup:
+                flagged_reps.append(rep)
+        assert r.n_modalities == len(flagged_reps) >= 2
+        assert r.keep_id == min(flagged_reps)
+    # single-modality duplicates exist in the fixture and are demoted
+    assert any(
+        r.n_dup_modalities == 1 for r in reps.values()
+    ) and len(expected_ids) < len(reps)

@@ -843,3 +843,18 @@ def test_video_neardup_bands_on_composite_key(spark):
         "candidate join does not key on (fp, probe_eb): "
         + "\n".join(join_lines)
     )
+
+
+def test_consensus_reps_plan_is_join_free(spark):
+    """q_consensus_reps is the density-safe consensus: its entire physical
+    plan must be union + per-modality window + ONE hash aggregate — any
+    Join node means pair enumeration crept back in and the linearity claim
+    (survives mega-duplicate classes where the pair-form consensus OOMs)
+    is void. The Python stages are the three media fingerprint decoders
+    only; the verdict itself stays JVM-side."""
+    plan = _plan(_q(spark, "q_consensus_reps"))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
