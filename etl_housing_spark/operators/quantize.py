@@ -206,17 +206,23 @@ def pq_adc_topk(
     real deployment) ⋈ broadcast LUT on (subspace, code) → one decimal sum
     per vector → ascending top-k via TakeOrderedAndProject.
     """
+    from ._ckpt import tracked_persist
+
     per_sub = dim // subspaces
-    codes = _pq_assign(emb, subspaces, dim, id_col, vec_col, label_col).select(
-        id_col, "sub", F.col("b.cand").alias("code")
-    )
+    # the codebook aggregate feeds both the assignment and the LUT —
+    # persist it once (same multi-branch fan-out ADVICE r11 flagged on
+    # the IVFPQ composition)
+    cent = tracked_persist(_pq_codebooks(emb, vec_col, label_col))
+    codes = _pq_assign(
+        emb, subspaces, dim, id_col, vec_col, label_col, codebooks=cent
+    ).select(id_col, "sub", F.col("b.cand").alias("code"))
     qdims = (
         emb.filter(F.col(id_col) == query_id)
         .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
         .withColumn("sub", F.expr(f"i div {per_sub}"))
     )
     lut = (
-        qdims.join(F.broadcast(_pq_codebooks(emb, vec_col, label_col)), "i")
+        qdims.join(F.broadcast(cent), "i")
         .groupBy("sub", "cand")
         .agg(F.sum(_sq_dist_term(F.col("qx").cast("double"), F.col("c"))).cast("double").alias("lut_d2"))
     )
@@ -268,16 +274,22 @@ def ivfpq_adc_topk(
     aggregates (centroids, LUT; the probe is a K-row rollup of the LUT)
     + one pruned assignment + one code join — the corpus-sized work is
     the probed-cell assignment alone, and in a deployment with
-    precomputed codes even that reduces to the code join.
+    precomputed codes even that reduces to the code join. The centroid
+    and LUT frames fan into several plan branches (LUT, probe, pruned
+    assignment, final join), so both are tracked_persist-ed — without
+    that the corpus-wide centroid aggregate re-executes per branch and
+    the 'two aggregates' accounting undercounts ~3× (ADVICE r11).
     """
+    from ._ckpt import tracked_persist
+
     per_sub = dim // subspaces
-    cent = _pq_codebooks(emb, vec_col, label_col)
+    cent = tracked_persist(_pq_codebooks(emb, vec_col, label_col))
     qdims = (
         emb.filter(F.col(id_col) == query_id)
         .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
         .withColumn("sub", F.expr(f"i div {per_sub}"))
     )
-    lut = (
+    lut = tracked_persist(
         qdims.join(F.broadcast(cent), "i")
         .groupBy("sub", "cand")
         .agg(

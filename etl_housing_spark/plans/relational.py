@@ -695,18 +695,38 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _reap_scratch_dirs() -> None:
+    """atexit: remove every scratch dir this process created — a
+    test/bench fleet otherwise accumulates one corpus-sized copy per
+    process in the system tempdir (the _two_batch_replay leak class,
+    round-4 fix; ADVICE r11 flagged the same for these layout dirs)."""
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+
+
 def _stable_tmp(prefix: str, sf_dir: str) -> str:
     """Stable scratch dir per (prefix, sf_dir, process): repeated
     invocations (value check + plan test + every bench repetition)
     OVERWRITE the same location instead of leaking a fresh mkdtemp copy of
     the table each call; the pid suffix keeps concurrent sessions from
-    clobbering each other mid-read."""
+    clobbering each other mid-read. Every dir is registered for atexit
+    removal so the per-process uniqueness never turns into tempdir
+    accumulation across a fleet of test/bench processes."""
+    import atexit
     import hashlib
     import os
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     path = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}")
     os.makedirs(path, exist_ok=True)
+    if not _SCRATCH_DIRS:
+        atexit.register(_reap_scratch_dirs)
+    _SCRATCH_DIRS.add(path)
     return path
 
 
@@ -718,18 +738,25 @@ def _save_bucketed(
     the session catalog (Spark cannot recover bucketing from bare files),
     so the read goes through ``spark.table``. External location at a
     stable per-(sf_dir, process) path — mode("overwrite") replaces the
-    prior contents, so reruns don't accumulate copies."""
+    prior contents, so reruns don't accumulate copies. The CATALOG name
+    carries the same per-process suffix as the path: two sessions sharing
+    a metastore would otherwise race on DROP TABLE/saveAsTable even with
+    distinct data paths (ADVICE r11)."""
+    import os
+
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    path = _stable_tmp(name, sf_dir)
+    table = f"{name}_{os.path.basename(path).rsplit(name + '_', 1)[-1]}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         df.write.mode("overwrite")
-        .option("path", _stable_tmp(name, sf_dir))
+        .option("path", path)
         .format("parquet")
         .bucketBy(n_buckets, key)
         .sortBy(key)
-        .saveAsTable(name)
+        .saveAsTable(table)
     )
-    return spark.table(name)
+    return spark.table(table)
 
 
 @query(
@@ -788,18 +815,25 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source",),
 )
 def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
     import math
-    import os
 
     docs = load_table(spark, sf_dir, "documents")
     small = _stable_tmp("ehs_smallfiles", sf_dir)
     # the pathological ingest state: 64 tiny files
     docs.repartition(64).write.mode("overwrite").parquet(small)
     back = spark.read.parquet(small)
-    total = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(small, "*.parquet"))
-    )
+    # size via the Hadoop FileSystem API, not a driver-local glob: on
+    # HDFS/S3 a local glob silently returns nothing and the target would
+    # collapse to 1 — the wrong compaction with no error (ADVICE r11).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(small)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    if total <= 0:
+        raise RuntimeError(
+            f"compaction source {small!r} lists as empty — filesystem/"
+            "path mismatch; refusing to compute a bogus file target"
+        )
     target = max(1, math.ceil(total / (128 << 20)))
     out = _stable_tmp("ehs_compacted", sf_dir)
     back.repartition(target).write.mode("overwrite").parquet(out)
