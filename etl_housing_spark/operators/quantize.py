@@ -237,6 +237,55 @@ def pq_adc_topk(
         .limit(k)
     )
 
+def _ivfpq_parts(
+    emb: DataFrame,
+    query_id: int,
+    nprobe: int,
+    subspaces: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(cent, qdims, lut, probe) — the shared IVFPQ query-side frames.
+
+    Extracted so the operating-point sweep (q_ivfpq_sweep) measures its
+    scanned fraction against the EXACT probe the search uses, instead of
+    re-deriving a parallel probe that could drift. cent and lut fan into
+    multiple plan branches and are tracked_persist-ed here once.
+    """
+    from ._ckpt import tracked_persist
+
+    per_sub = dim // subspaces
+    cent = tracked_persist(_pq_codebooks(emb, vec_col, label_col))
+    qdims = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
+        .withColumn("sub", F.expr(f"i div {per_sub}"))
+    )
+    lut = tracked_persist(
+        qdims.join(F.broadcast(cent), "i")
+        .groupBy("sub", "cand")
+        .agg(
+            F.sum(_sq_dist_term(F.col("qx").cast("double"), F.col("c")))
+            .cast("double")
+            .alias("lut_d2")
+        )
+    )
+    # IVF coarse probe: full-dim L2 distance query↔centroid — exactly the
+    # sum of that cell's subspace LUT entries (cell id == candidate id),
+    # so the probe and ADC share one metric and one decimal construction
+    ldist = lut.groupBy("cand").agg(
+        F.sum(F.col("lut_d2").cast("decimal(38,18)")).cast("double").alias("d")
+    )
+    probe = (
+        ldist.orderBy("d", "cand")
+        .limit(nprobe)
+        .select(F.col("cand").alias(label_col))
+    )
+    return cent, qdims, lut, probe
+
+
 def ivfpq_adc_topk(
     emb: DataFrame,
     k: int = 10,
@@ -247,6 +296,7 @@ def ivfpq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    rerank: int | None = None,
 ) -> DataFrame:
     """FAISS-IVFPQ-shaped search: IVF cell pruning THEN PQ/ADC scoring.
 
@@ -279,41 +329,24 @@ def ivfpq_adc_topk(
     assignment, final join), so both are tracked_persist-ed — without
     that the corpus-wide centroid aggregate re-executes per branch and
     the 'two aggregates' accounting undercounts ~3× (ADVICE r11).
-    """
-    from ._ckpt import tracked_persist
 
-    per_sub = dim // subspaces
-    cent = tracked_persist(_pq_codebooks(emb, vec_col, label_col))
-    qdims = (
-        emb.filter(F.col(id_col) == query_id)
-        .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
-        .withColumn("sub", F.expr(f"i div {per_sub}"))
-    )
-    lut = tracked_persist(
-        qdims.join(F.broadcast(cent), "i")
-        .groupBy("sub", "cand")
-        .agg(
-            F.sum(_sq_dist_term(F.col("qx").cast("double"), F.col("c")))
-            .cast("double")
-            .alias("lut_d2")
-        )
-    )
-    # IVF coarse probe: full-dim L2 distance query↔centroid — exactly the
-    # sum of that cell's subspace LUT entries (cell id == candidate id),
-    # so the probe and ADC share one metric and one decimal construction
-    ldist = lut.groupBy("cand").agg(
-        F.sum(F.col("lut_d2").cast("decimal(38,18)")).cast("double").alias("d")
-    )
-    probe = (
-        ldist.orderBy("d", "cand")
-        .limit(nprobe)
-        .select(F.col("cand").alias(label_col))
+    ``rerank``: the IVFADC+R refinement (Jégou et al. 2011 §VI) — take
+    the top-``rerank`` candidates by ADC, then order those by EXACT
+    decimal L2 on the float column and return the top ``k``. This is the
+    standard remedy for coarse-code tie plateaus (with M·log2(K)-bit
+    codes many near neighbors share a code, so the plain ADC cut is
+    tie-break noise — the measured recall@10 = 0.1 diagnosis); the exact
+    pass touches only ``rerank`` vectors, so the 100 TB scan shape is
+    unchanged. Output schema swaps adc_d2 for exact_d2.
+    """
+    cent, qdims, lut, probe = _ivfpq_parts(
+        emb, query_id, nprobe, subspaces, dim, id_col, vec_col, label_col
     )
     pruned = emb.join(F.broadcast(probe), label_col)
     codes = _pq_assign(
         pruned, subspaces, dim, id_col, vec_col, label_col, codebooks=cent
     ).select(id_col, "sub", F.col("b.cand").alias("code"))
-    return (
+    adc = (
         codes.join(
             F.broadcast(lut),
             (codes.sub == lut.sub) & (codes.code == lut.cand),
@@ -324,6 +357,23 @@ def ivfpq_adc_topk(
                 F.sum(F.col("lut_d2").cast("decimal(38,18)")).cast("double"), 6
             ).alias("adc_d2")
         )
-        .orderBy("adc_d2", id_col)
-        .limit(k)
     )
+    if rerank is None:
+        return adc.orderBy("adc_d2", id_col).limit(k)
+    cand = adc.orderBy("adc_d2", id_col).limit(rerank).select(id_col)
+    ex = (
+        emb.join(F.broadcast(cand), id_col)
+        .select(id_col, F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .join(F.broadcast(qdims.select("i", "qx")), "i")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                _sq_dist_term(
+                    F.col("x").cast("double"), F.col("qx").cast("double")
+                )
+            )
+            .cast("double")
+            .alias("exact_d2")
+        )
+    )
+    return ex.orderBy("exact_d2", id_col).limit(k)

@@ -133,3 +133,58 @@ def test_ivfpq_respects_probe_set_and_matches_pq_on_probed_cells(spark):
     pq = {r.vec_id: r.adc_d2 for r in pq_adc_topk(emb, k=500).collect()}
     for r in got:
         assert pq[r.vec_id] == r.adc_d2
+
+
+def test_ivfpq_sweep_frontier_laws(spark):
+    """Operating-point sweep laws: (1) for a fixed (subspaces, nprobe) the
+    exact re-rank never lowers recall (IVFADC+R refines the same candidate
+    pool); (2) scanned fraction depends on nprobe alone (the probe is
+    code-resolution-independent: cell distance sums the same full-dim
+    LUT); (3) the table demonstrates the tuning goal — a >= 0.8-recall@10
+    configuration that scans < 100% of the corpus; (4) the shipped default
+    (M=4, nprobe=2) is the honest 0.1 row the docstrings document."""
+    from etl_housing_spark.plans import all_queries
+
+    rows = all_queries()["q_ivfpq_sweep"].fn(spark, SF_CORRECT).collect()
+    by_cfg = {(r.subspaces, r.nprobe, r.rerank): r for r in rows}
+    assert len(by_cfg) == 6
+    assert (
+        by_cfg[(16, 4, 50)].recall_at_10 >= by_cfg[(16, 4, 0)].recall_at_10
+    )
+    assert (
+        by_cfg[(16, 8, 50)].recall_at_10 >= by_cfg[(16, 4, 50)].recall_at_10
+    )
+    frac_by_nprobe = {}
+    for r in rows:
+        frac_by_nprobe.setdefault(r.nprobe, set()).add(r.scanned_fraction)
+    for np_, fracs in frac_by_nprobe.items():
+        assert len(fracs) == 1, (np_, fracs)
+        assert all(0 < f < 1 for f in fracs), (np_, fracs)
+    assert any(
+        r.recall_at_10 >= 0.8 and r.scanned_fraction < 1 for r in rows
+    )
+    assert by_cfg[(4, 2, 0)].recall_at_10 == 0.1
+
+
+def test_ivfpq_rerank_orders_candidates_exactly(spark):
+    """The rerank leg must return the exact-L2 ordering of the ADC
+    top-rerank candidate pool: with rerank >= the probed-cell population
+    the result equals the brute-force top-k restricted to probed cells."""
+    from etl_housing_spark.operators.quantize import ivfpq_adc_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    got = [r.vec_id for r in ivfpq_adc_topk(emb, k=10, nprobe=10, rerank=10_000).collect()]
+    import math
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    q = vecs[0]
+    exact = sorted(
+        vecs,
+        key=lambda v: (
+            math.fsum(
+                (float(x) - float(y)) ** 2 for x, y in zip(vecs[v], q)
+            ),
+            v,
+        ),
+    )[:10]
+    assert got == exact

@@ -858,3 +858,22 @@ def test_consensus_reps_plan_is_join_free(spark):
     assert "Union" in plan
     assert "Window" in plan
     assert "HashAggregate" in plan
+
+
+def test_ivfpq_sweep_keeps_broadcasts_no_cartesian(spark):
+    """The sweep composes 6 IVFPQ configurations incl. the exact-rerank
+    leg; every candidate/LUT/probe join must stay a broadcast equi-join
+    (a cartesian or sort-merge against the 50-row rerank pool would mean
+    the refinement lost its bounded-candidate scale shape) and the final
+    cuts must be top-k, never global sorts. The only nested-loop joins
+    allowed are the deliberate 1-row x 1-row scalar stitches (n_hits x
+    n_probed x n_total per config — 2 crossJoins x 6 configs x plan
+    reuse); every KEYED join must be a BroadcastHashJoin."""
+    plan = _plan(_q(spark, "q_ivfpq_sweep"))
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("Cross" in l for l in bnlj if "(" not in l.split()[0]), bnlj
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Python" not in plan
