@@ -958,3 +958,56 @@ def test_consensus_reps_verdict_laws(spark):
     assert any(
         r.n_dup_modalities == 1 for r in reps.values()
     ) and len(expected_ids) < len(reps)
+
+
+def test_dedup_tiered_each_tier_binds_and_respects_survivors(spark, tmp_path):
+    """Planted corpus where all three tiers bind, each on its own signal:
+    doc 1 is an exact text twin of doc 0 (tier 1); doc 256 carries
+    identical media to doc 0 — the (id*31 + 7i) mod 256 pixel period —
+    with unique text (tier 2); doc 6's embedding is near-parallel to doc
+    5's (tier 3). Adversarial survivor-restriction check: the tier-1-
+    dropped doc 1's embedding is IDENTICAL in direction to doc 5's, so a
+    semantic tier that forgot to restrict pairs to survivors would drop
+    doc 5 via the ghost pair (5, 1) — doc 5 must survive."""
+    from tests.test_curation_ops import _write_docs, _write_embeddings
+
+    docs = [
+        (0, "alpha beta gamma", "s"),
+        (1, "alpha beta gamma", "s"),
+        (2, "second unique text", "s"),
+        (3, "third unique text", "s"),
+        (5, "fifth unique text", "s"),
+        (6, "sixth unique text", "s"),
+        (256, "twofiftysix unique text", "s"),
+        (300, "threehundred unique text", "s"),
+    ]
+
+    def axis(i, extra=None):
+        v = [0.0] * 64
+        v[i] = 1.0
+        if extra is not None:
+            v[extra] = 0.1
+        return v
+
+    emb = [
+        (0, axis(0), 0),
+        (1, axis(5), 1),       # seed cid 1; dropped at tier 1
+        (2, axis(1), 2),
+        (3, axis(2), 3),
+        (5, axis(5), 1),       # same direction as the dropped doc 1
+        (6, axis(5, extra=6), 1),  # cosine ~0.995 with doc 5 -> tier-3 drop
+        (256, axis(7), 0),
+        (300, axis(8), 0),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    _write_embeddings(spark, tmp_path, emb)
+    rows = {
+        r.doc_id: (r.pass_exact, r.pass_media, r.pass_semantic)
+        for r in SPECS["q_dedup_tiered"].fn(spark, sf).collect()
+    }
+    assert rows[1] == (0, 0, 0)      # tier 1: exact text twin of 0
+    assert rows[256] == (1, 0, 0)    # tier 2: media twin of 0, unique text
+    assert rows[6] == (1, 1, 0)      # tier 3: semantic twin of 5
+    assert rows[5] == (1, 1, 1)      # survivor restriction: ghost pair (5,1)
+    for d in (0, 2, 3, 300):
+        assert rows[d] == (1, 1, 1), (d, rows[d])

@@ -877,3 +877,17 @@ def test_ivfpq_sweep_keeps_broadcasts_no_cartesian(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Python" not in plan
+
+
+def test_dedup_tiered_no_cartesian_and_windowed_tiers(spark):
+    """q_dedup_tiered's scale claims in plan form: tiers 1-2 are pure
+    window/aggregate shapes (the linear rep rule — any Join on a
+    fingerprint PAIR would mean pair enumeration crept back), tier 3's
+    pairwise work is an equi-join on the cluster id, and nothing
+    degenerates to a cartesian. Nested-loop joins may appear only as the
+    k-row scalar stitches inside the kmeans fit."""
+    plan = _plan(_q(spark, "q_dedup_tiered"))
+    assert "CartesianProduct" not in plan
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert all("Cross" in l for l in bnlj if "(" not in l.split()[0]), bnlj
+    assert "Window" in plan
