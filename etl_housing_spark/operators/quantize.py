@@ -297,6 +297,7 @@ def ivfpq_adc_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     rerank: int | None = None,
+    parts: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """FAISS-IVFPQ-shaped search: IVF cell pruning THEN PQ/ADC scoring.
 
@@ -338,8 +339,14 @@ def ivfpq_adc_topk(
     tie-break noise — the measured recall@10 = 0.1 diagnosis); the exact
     pass touches only ``rerank`` vectors, so the 100 TB scan shape is
     unchanged. Output schema swaps adc_d2 for exact_d2.
+
+    ``parts`` lets a caller that ALSO needs the query-side frames (the
+    operating-point sweep reads the probe for its scanned fraction) pass
+    one _ivfpq_parts result instead of re-deriving it; the tuple must
+    have been built with the same (query_id, nprobe, subspaces) or the
+    search contract is the caller's bug.
     """
-    cent, qdims, lut, probe = _ivfpq_parts(
+    cent, qdims, lut, probe = parts or _ivfpq_parts(
         emb, query_id, nprobe, subspaces, dim, id_col, vec_col, label_col
     )
     pruned = emb.join(F.broadcast(probe), label_col)

@@ -3191,12 +3191,11 @@ def q_oph_vs_kwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_tiered_oracle() -> str:
     from .registry import _REGISTRY
-    from .vector_queries import _KM_CTES, _NORM_DEC
+    from .vector_queries import _KM_CTES, _semdedup_pairs_sql
 
     img = _REGISTRY["q_image_phash"].oracle
     aud = _REGISTRY["q_audio_fingerprint"].oracle
     vid = _REGISTRY["q_video_fingerprint"].oracle
-    norm_t = _NORM_DEC.format(t="t")
     return f"""
     WITH xt AS MATERIALIZED (
       SELECT doc_id,
@@ -3227,25 +3226,11 @@ def _dedup_tiered_oracle() -> str:
       FROM xt LEFT JOIN mdrop USING (doc_id)),
     sdrop AS MATERIALIZED (
       ({_KM_CTES},
-       norms AS (
-         SELECT t.vec_id, {norm_t} AS nrm
-         FROM embeddings t, range(1, 65) i(i) GROUP BY t.vec_id),
        sa AS (
          SELECT a2.vec_id, a2.cid
          FROM a2 JOIN mt ON a2.vec_id = mt.doc_id AND mt.p2 = 1),
-       dots AS (
-         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-                CAST(SUM(CAST(e1.v[i.i + 1] * e2.v[i.i + 1] AS DECIMAL(38,18)))
-                     AS DOUBLE) AS dot
-         FROM sa x JOIN sa y ON x.cid = y.cid AND y.vec_id < x.vec_id
-         JOIN e e1 ON e1.vec_id = x.vec_id
-         JOIN e e2 ON e2.vec_id = y.vec_id, range(0, 64) i(i)
-         GROUP BY x.vec_id, y.vec_id)
-       SELECT DISTINCT d.id_a AS doc_id
-       FROM dots d
-       JOIN norms na ON d.id_a = na.vec_id
-       JOIN norms nb ON d.id_b = nb.vec_id
-       WHERE d.dot / (na.nrm * nb.nrm) >= 0.5))
+       {_semdedup_pairs_sql("sa")}
+       SELECT DISTINCT id_a AS doc_id FROM sempairs))
     SELECT mt.doc_id, mt.p1 AS pass_exact, mt.p2 AS pass_media,
            CAST(CASE WHEN mt.p2 = 1 AND sdrop.doc_id IS NULL
                      THEN 1 ELSE 0 END AS BIGINT) AS pass_semantic
@@ -3281,25 +3266,30 @@ def _dedup_tiered_oracle() -> str:
     tags=("pipeline", "dedup", "vector", "multimodal"),
 )
 def q_dedup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions import vectors as V
     from ..operators.clustering import kmeans_fit
     from .text_queries import (
         q_audio_fingerprint,
         q_image_phash,
         q_video_fingerprint,
     )
+    from .vector_queries import semdedup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    xt = docs.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id")
-            == F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
-            1,
+    # xt and mt each fan into two consumers (the survivor filter and the
+    # carried flags) — persist both or the documents scan + md5 window
+    # re-execute per branch (the oracle MATERIALIZEs the same frames)
+    xt = tracked_persist(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p1"),
         )
-        .otherwise(0)
-        .cast("bigint")
-        .alias("p1"),
     )
     tag = lambda df, pre, a, b: df.select(  # noqa: E731
         F.col("media_id").alias("doc_id"),
@@ -3322,13 +3312,15 @@ def q_dedup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("mhit", F.lit(1))
     )
-    mt = xt.join(mdrop, "doc_id", "left").select(
-        "doc_id",
-        "p1",
-        F.when((F.col("p1") == 1) & F.col("mhit").isNull(), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("p2"),
+    mt = tracked_persist(
+        xt.join(mdrop, "doc_id", "left").select(
+            "doc_id",
+            "p1",
+            F.when((F.col("p1") == 1) & F.col("mhit").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("p2"),
+        )
     )
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -3336,15 +3328,8 @@ def q_dedup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _cents = kmeans_fit(emb, k=4, rounds=2)
     surv = mt.filter(F.col("p2") == 1).select(F.col("doc_id").alias("vec_id"))
     sa = assigned.join(surv, "vec_id")
-    a = sa.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = sa.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    cos = V.dot(F.col("va"), F.col("vb")) / (
-        V.norm(F.col("va")) * V.norm(F.col("vb"))
-    )
     sdrop = (
-        a.join(b, "cid")
-        .filter(F.col("id_b") < F.col("id_a"))
-        .filter(cos >= 0.5)
+        semdedup_pairs(sa)
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
         .withColumn("shit_", F.lit(1))

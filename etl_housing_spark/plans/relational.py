@@ -747,6 +747,18 @@ def _save_bucketed(
     spark = df.sparkSession
     path = _stable_tmp(name, sf_dir)
     table = f"{name}_{os.path.basename(path).rsplit(name + '_', 1)[-1]}"
+    # sweep DANGLING entries from earlier processes: their per-pid names
+    # are never dropped by this process's DROP and the atexit reaper
+    # removes only their data dirs — a shared metastore would otherwise
+    # accumulate one missing-path table definition per past process. A
+    # stale entry is one whose scratch dir is gone; live concurrent
+    # sessions' dirs exist, so they are never touched (race-free).
+    for row in spark.sql(f"SHOW TABLES LIKE '{name}_*'").collect():
+        other = row.tableName
+        if other != table and not os.path.isdir(
+            os.path.join(tempfile.gettempdir(), other)
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {other}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         df.write.mode("overwrite")

@@ -875,25 +875,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivfpq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.posexplode(F.col("embedding")).alias("i", "qx")
-    )
-    d2 = (
-        emb.select("vec_id", F.posexplode(F.col("embedding")).alias("i", "x"))
-        .join(F.broadcast(q), "i")
-        .groupBy("vec_id")
-        .agg(
-            F.sum(
-                (
-                    (F.col("x").cast("double") - F.col("qx").cast("double"))
-                    * (F.col("x").cast("double") - F.col("qx").cast("double"))
-                ).cast("decimal(38,18)")
-            )
-            .cast("double")
-            .alias("d2")
-        )
-    )
-    exact = d2.orderBy("d2", "vec_id").limit(10).select("vec_id")
+    exact = _exact_l2_top10(emb)
     approx = ivfpq_adc_topk(emb).select("vec_id")
     hits = exact.join(approx, "vec_id", "semi").agg(
         F.count(F.lit(1)).alias("n_hits")
@@ -1060,19 +1042,22 @@ def _ivfpq_sweep_oracle() -> str:
     tags=("vector", "eval"),
 )
 def q_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._ckpt import tracked_persist
     from ..operators.quantize import _ivfpq_parts, ivfpq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    total = emb.agg(F.count(F.lit(1)).alias("n_total"))
-    truth = _exact_l2_top10(emb)
+    # the truth frame (corpus-wide exploded L2 aggregate — the most
+    # expensive subtree here) and the corpus count fan into all 6 union
+    # branches: persist both or they re-execute per branch
+    total = tracked_persist(emb.agg(F.count(F.lit(1)).alias("n_total")))
+    truth = tracked_persist(_exact_l2_top10(emb))
     out = None
     for m, np_, rr in _SWEEP_CONFIGS:
+        parts = _ivfpq_parts(emb, 0, np_, m, 64, "vec_id", "embedding", "label")
+        probe = parts[3]
         approx = ivfpq_adc_topk(
-            emb, nprobe=np_, subspaces=m, rerank=rr
+            emb, nprobe=np_, subspaces=m, rerank=rr, parts=parts
         ).select("vec_id")
-        _, _, _, probe = _ivfpq_parts(
-            emb, 0, np_, m, 64, "vec_id", "embedding", "label"
-        )
         scanned = emb.join(F.broadcast(probe), "label").agg(
             F.count(F.lit(1)).alias("n_probed")
         )
@@ -1436,6 +1421,56 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_pairs_sql(src: str) -> str:
+    """CTE block emitting ``sempairs`` — SemDeDup's duplicate relation
+    (within-cluster decimal-exact cosine >= 0.5, id_b < id_a) over the
+    (vec_id, cid) source CTE ``src``. The SQL twin of semdedup_pairs();
+    shared by q_semdedup (src=a2, the full assignment) and q_dedup_tiered
+    (src=sa, tier-2 survivors) so the threshold, precision and tie
+    direction cannot drift between the standalone op and the composition.
+    Requires _KM_CTES's ``e`` (doubled vectors) in scope."""
+    return f"""
+    norms AS (
+      SELECT t.vec_id, {_NORM_DEC.format(t="t")} AS nrm
+      FROM embeddings t, range(1, 65) i(i) GROUP BY t.vec_id),
+    dots AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             CAST(SUM(CAST(e1.v[i.i + 1] * e2.v[i.i + 1] AS DECIMAL(38,18)))
+                  AS DOUBLE) AS dot
+      FROM {src} x JOIN {src} y ON x.cid = y.cid AND y.vec_id < x.vec_id
+      JOIN e e1 ON e1.vec_id = x.vec_id
+      JOIN e e2 ON e2.vec_id = y.vec_id, range(0, 64) i(i)
+      GROUP BY x.vec_id, y.vec_id),
+    sempairs AS (
+      SELECT d.id_a, d.id_b
+      FROM dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE d.dot / (na.nrm * nb.nrm) >= 0.5)"""
+
+
+def semdedup_pairs(assigned: DataFrame) -> DataFrame:
+    """(id_a, id_b) within-cluster pairs with decimal-exact cosine >= 0.5
+    and id_b < id_a — SemDeDup's duplicate relation (Abbas et al. 2023)
+    over a (vec_id, cid, v) assignment frame. One definition shared by
+    q_semdedup and q_dedup_tiered (the Spark twin of _semdedup_pairs_sql)."""
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (
+        V.norm(F.col("va")) * V.norm(F.col("vb"))
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(cos >= 0.5)
+        .select("id_a", "id_b")
+    )
+
+
 @query(
     "q_semdedup",
     # SemDeDup (Abbas et al. 2023): cluster the embedding space, then look
@@ -1446,25 +1481,9 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic lowest-id seeding); the within-cluster cosine is the
     # decimal-exact q_embed_neardup construction, so the verdict per vector
     # (cluster, lower-id duplicate count, kept flag) hash-matches DuckDB.
-    oracle=_KM_CTES + """,
-    norms AS (
-      SELECT t.vec_id, """ + _NORM_DEC.format(t="t") + """ AS nrm
-      FROM embeddings t, range(1, 65) i(i) GROUP BY t.vec_id),
-    dots AS (
-      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-             CAST(SUM(CAST(e1.v[i.i + 1] * e2.v[i.i + 1] AS DECIMAL(38,18)))
-                  AS DOUBLE) AS dot
-      FROM a2 x JOIN a2 y ON x.cid = y.cid AND y.vec_id < x.vec_id
-      JOIN e e1 ON e1.vec_id = x.vec_id
-      JOIN e e2 ON e2.vec_id = y.vec_id, range(0, 64) i(i)
-      GROUP BY x.vec_id, y.vec_id),
+    oracle=_KM_CTES + "," + _semdedup_pairs_sql("a2") + """,
     dups AS (
-      SELECT d.id_a, COUNT(*) AS n_dups
-      FROM dots d
-      JOIN norms na ON d.id_a = na.vec_id
-      JOIN norms nb ON d.id_b = nb.vec_id
-      WHERE d.dot / (na.nrm * nb.nrm) >= 0.5
-      GROUP BY d.id_a)
+      SELECT id_a, COUNT(*) AS n_dups FROM sempairs GROUP BY id_a)
     SELECT a2.vec_id, a2.cid,
            COALESCE(dups.n_dups, 0) AS n_dups,
            CAST(COALESCE(dups.n_dups, 0) = 0 AS INT) AS kept
@@ -1488,19 +1507,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     assigned, _cents = kmeans_fit(emb, k=4, rounds=2)
-    a = assigned.select(
-        "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        "cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    )
-    cos = V.dot(F.col("va"), F.col("vb")) / (
-        V.norm(F.col("va")) * V.norm(F.col("vb"))
-    )
     dups = (
-        a.join(b, "cid")
-        .filter(F.col("id_b") < F.col("id_a"))
-        .filter(cos >= 0.5)
+        semdedup_pairs(assigned)
         .groupBy("id_a")
         .agg(F.count(F.lit(1)).alias("n_dups"))
     )
