@@ -8,6 +8,7 @@ exposes this registry to the correctness driver.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 from collections.abc import Callable
@@ -70,6 +71,31 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 _WINDOW_PRIORITY: tuple[str, ...] = ()
 
 
+_STAMPS_PATH = Path(__file__).resolve().parent / "oracle_stamps.json"
+
+
+def oracle_stamp(spec: QuerySpec) -> str | None:
+    """md5 of the oracle SQL — the identity the driver's hash verdict was
+    earned against. None for ⊘ (rows-only) queries."""
+    if spec.oracle is None:
+        return None
+    return hashlib.md5(spec.oracle.encode()).hexdigest()
+
+
+def oracle_stamps() -> dict[str, str]:
+    """id → oracle md5 AT THE TIME OF ITS NEWEST DRIVER VERDICT, committed
+    as plans/oracle_stamps.json and refreshed per round by
+    scripts/gen_oracle_stamps.py. A verdict earned against an oracle that
+    has since changed is NOT a verdict on the current semantics — the
+    rotation treats such ids as unverified so they re-enter the driver
+    window (VERDICT r11 flagged exactly this staleness on the
+    composite-band upgrade). An empty/missing file disables the check."""
+    try:
+        return json.loads(_STAMPS_PATH.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def driver_verified_ids() -> dict[str, str]:
     """Map of query id → strongest driver verdict (see
     :func:`driver_verdict_history` for the round numbers).  A
@@ -114,14 +140,24 @@ def driver_verdict_history() -> dict[str, tuple[str, int]]:
 
 def _rotation_key(history: dict[str, tuple[str, int]]):
     prio = {name: i for i, name in enumerate(_WINDOW_PRIORITY)}
+    stamps = oracle_stamps()
 
     def key(item: tuple[str, QuerySpec]):
         name, spec = item
         verdict, last_round = history.get(name, (None, 0))
         # a rows-only verdict on a query that NOW carries an oracle is
         # stale — the value-level check never ran, so it re-enters the
-        # window alongside never-sampled oracle-checked ids
-        done = verdict == "hash" or (verdict == "rows" and spec.oracle is None)
+        # window alongside never-sampled oracle-checked ids; likewise a
+        # hash verdict earned against a SINCE-CHANGED oracle (stamp
+        # mismatch) is spent — the current semantics were never verified
+        stamp_ok = (
+            not stamps
+            or spec.oracle is None
+            or stamps.get(name) == oracle_stamp(spec)
+        )
+        done = (verdict == "hash" and stamp_ok) or (
+            verdict == "rows" and spec.oracle is None
+        )
         if not done:
             if name in prio:
                 return (0, prio[name], name)

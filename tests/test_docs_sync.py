@@ -58,6 +58,8 @@ def test_driver_window_rotation_policy():
         _rotation_key,
         driver_verdict_history,
         driver_verified_ids,
+        oracle_stamp,
+        oracle_stamps,
     )
 
     specs = all_queries()
@@ -69,11 +71,23 @@ def test_driver_window_rotation_policy():
     ordered = list(specs.items())
     assert ordered == sorted(ordered, key=_rotation_key(history))
 
+    stamps = oracle_stamps()
+
     def done(name):
         # mirror of registry._rotation_key: a rows-only verdict is spent
-        # once the query carries an oracle (the value check never ran)
+        # once the query carries an oracle (the value check never ran),
+        # and a hash verdict is spent once the oracle text changed after
+        # it was earned (oracle_stamps mismatch)
         v = verified.get(name)
-        return v == "hash" or (v == "rows" and specs[name].oracle is None)
+        spec = specs[name]
+        stamp_ok = (
+            not stamps
+            or spec.oracle is None
+            or stamps.get(name) == oracle_stamp(spec)
+        )
+        return (v == "hash" and stamp_ok) or (
+            v == "rows" and spec.oracle is None
+        )
 
     unverified = [n for n in specs if not done(n)]
     window = list(specs)[:50]
