@@ -3343,3 +3343,37 @@ def q_dedup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pass_semantic"),
     )
+
+
+@query(
+    "q_dedup_tiered_report",
+    # The q_funnel_report pattern applied to the three-tier dedup: one
+    # row of per-tier survivor counts + final keep rate, so each tier's
+    # attrition (and any regression in a tier's drop rate) is one
+    # subtraction away. Inherits q_dedup_tiered's scale shape unchanged.
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pass_exact) AS BIGINT) AS n_exact,
+           CAST(SUM(pass_media) AS BIGINT) AS n_media,
+           CAST(SUM(pass_semantic) AS BIGINT) AS n_kept,
+           ROUND(SUM(pass_semantic) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS keep_rate
+    FROM ({_dedup_tiered_oracle()})
+    """,
+    description="per-tier survivor counts of the three-tier dedup "
+    "composition (q_dedup_tiered) in one row plus the final keep rate - "
+    "the attrition dashboard for the exact/media-rep/semantic stack; one "
+    "extra partial-agg over the per-doc flags",
+    tags=("pipeline", "dedup"),
+)
+def q_dedup_tiered_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = q_dedup_tiered(spark, sf_dir)
+    return f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass_exact").cast("bigint").alias("n_exact"),
+        F.sum("pass_media").cast("bigint").alias("n_media"),
+        F.sum("pass_semantic").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum("pass_semantic") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("keep_rate"),
+    )

@@ -1421,14 +1421,15 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_pairs_sql(src: str) -> str:
+def _semdedup_pairs_sql(src: str, threshold: float = 0.5) -> str:
     """CTE block emitting ``sempairs`` — SemDeDup's duplicate relation
-    (within-cluster decimal-exact cosine >= 0.5, id_b < id_a) over the
-    (vec_id, cid) source CTE ``src``. The SQL twin of semdedup_pairs();
-    shared by q_semdedup (src=a2, the full assignment) and q_dedup_tiered
-    (src=sa, tier-2 survivors) so the threshold, precision and tie
-    direction cannot drift between the standalone op and the composition.
-    Requires _KM_CTES's ``e`` (doubled vectors) in scope."""
+    (within-cluster decimal-exact cosine >= ``threshold``, id_b < id_a)
+    over the (vec_id, cid) source CTE ``src``. The SQL twin of
+    semdedup_pairs(); shared by q_semdedup (src=a2, the full assignment),
+    q_dedup_tiered (src=sa, tier-2 survivors) and q_semdedup_sweep (one
+    block per threshold) so the precision and tie direction cannot drift
+    between the standalone op and its compositions. Requires _KM_CTES's
+    ``e`` (doubled vectors) in scope."""
     return f"""
     norms AS (
       SELECT t.vec_id, {_NORM_DEC.format(t="t")} AS nrm
@@ -1446,14 +1447,15 @@ def _semdedup_pairs_sql(src: str) -> str:
       FROM dots d
       JOIN norms na ON d.id_a = na.vec_id
       JOIN norms nb ON d.id_b = nb.vec_id
-      WHERE d.dot / (na.nrm * nb.nrm) >= 0.5)"""
+      WHERE d.dot / (na.nrm * nb.nrm) >= {threshold})"""
 
 
-def semdedup_pairs(assigned: DataFrame) -> DataFrame:
-    """(id_a, id_b) within-cluster pairs with decimal-exact cosine >= 0.5
-    and id_b < id_a — SemDeDup's duplicate relation (Abbas et al. 2023)
-    over a (vec_id, cid, v) assignment frame. One definition shared by
-    q_semdedup and q_dedup_tiered (the Spark twin of _semdedup_pairs_sql)."""
+def semdedup_pairs(assigned: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(id_a, id_b) within-cluster pairs with decimal-exact cosine >=
+    ``threshold`` and id_b < id_a — SemDeDup's duplicate relation (Abbas
+    et al. 2023) over a (vec_id, cid, v) assignment frame. One definition
+    shared by q_semdedup, q_dedup_tiered and q_semdedup_sweep (the Spark
+    twin of _semdedup_pairs_sql)."""
     a = assigned.select(
         "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
     )
@@ -1466,7 +1468,7 @@ def semdedup_pairs(assigned: DataFrame) -> DataFrame:
     return (
         a.join(b, "cid")
         .filter(F.col("id_b") < F.col("id_a"))
-        .filter(cos >= 0.5)
+        .filter(cos >= F.lit(threshold))
         .select("id_a", "id_b")
     )
 
@@ -1522,6 +1524,82 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).cast("int").alias("kept"),
         )
     )
+
+
+# The semantic-dedup operating points the sweep measures — the epsilon
+# axis of the SemDeDup paper's dedup-fraction curve. On the driver fixture
+# the paper-default 0.5 keeps everything (verified: zero in-cluster pairs
+# reach it), so the sweep is what makes the tier's behavior OBSERVABLE:
+# the drop rate climbs from ~0 to ~90% across these four thresholds.
+_SEMDEDUP_THRESHOLDS = (0.2, 0.3, 0.4, 0.5)
+
+
+def _semdedup_sweep_oracle() -> str:
+    rows = []
+    for t in _SEMDEDUP_THRESHOLDS:
+        rows.append(f"""(
+    {_KM_CTES},{_semdedup_pairs_sql("a2", t)}
+    SELECT CAST({t} AS DOUBLE) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_dropped,
+           ROUND(COUNT(DISTINCT id_a)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings), 6)
+             AS drop_rate
+    FROM sempairs)""")
+    return "\nUNION ALL\n".join(rows)
+
+
+@query(
+    "q_semdedup_sweep",
+    # The threshold axis of SemDeDup (Abbas et al. 2023 report dedup
+    # fraction vs epsilon): q_semdedup evaluates ONE operating point (the
+    # paper-default cosine 0.5), which on the driver fixture keeps every
+    # vector — a trivially-empty verdict that proves plumbing, not
+    # behavior. This sweep runs the same hash-checked construction at
+    # four thresholds and reports pairs / dropped / drop-rate per row, so
+    # the tier's selectivity curve is an in-engine, oracle-checked fact
+    # (fixture: ~0% drops at 0.5 climbing to ~90% at 0.2). Scale shape
+    # identical per row: within-cluster pairs only, one aggregate each;
+    # the kmeans assignment is persisted once across all four rows.
+    oracle=_semdedup_sweep_oracle(),
+    description="SemDeDup threshold sweep: duplicate pairs, dropped docs and "
+    "drop rate at cosine thresholds 0.2/0.3/0.4/0.5 over the same "
+    "hash-checked within-cluster construction — the dedup-fraction-vs-"
+    "epsilon curve the paper tunes on, making the semantic tier's "
+    "selectivity observable where the single 0.5 point is empty; "
+    "within-cluster pairs only, assignment persisted once",
+    tags=("vector", "dedup", "eval"),
+)
+def q_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._ckpt import tracked_persist
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, _cents = kmeans_fit(emb, k=4, rounds=2)
+    assigned = tracked_persist(assigned)
+    total = tracked_persist(emb.agg(F.count(F.lit(1)).alias("n_total")))
+    out = None
+    for t in _SEMDEDUP_THRESHOLDS:
+        row = (
+            semdedup_pairs(assigned, threshold=t)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.countDistinct("id_a").cast("bigint").alias("n_dropped"),
+            )
+            .crossJoin(total)
+            .select(
+                F.lit(t).cast("double").alias("threshold"),
+                "n_pairs",
+                "n_dropped",
+                F.round(
+                    F.col("n_dropped") / F.col("n_total").cast("double"), 6
+                ).alias("drop_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -188,3 +188,25 @@ def test_ivfpq_rerank_orders_candidates_exactly(spark):
         ),
     )[:10]
     assert got == exact
+
+
+def test_semdedup_sweep_monotone_and_consistent_with_point_query(spark):
+    """Threshold-sweep laws: drops and pairs are non-increasing in the
+    threshold (a cosine >= 0.5 pair is also a >= 0.2 pair), every row has
+    n_dropped <= n_pairs, and the 0.5 row agrees exactly with q_semdedup's
+    kept flags (same construction, same operating point)."""
+    from etl_housing_spark.plans import all_queries
+
+    specs = all_queries()
+    rows = {r.threshold: r for r in
+            specs["q_semdedup_sweep"].fn(spark, SF_CORRECT).collect()}
+    assert set(rows) == {0.2, 0.3, 0.4, 0.5}
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo].n_pairs >= rows[hi].n_pairs
+        assert rows[lo].n_dropped >= rows[hi].n_dropped
+    for r in rows.values():
+        assert 0 <= r.n_dropped <= r.n_pairs or r.n_pairs == r.n_dropped == 0
+    sd = specs["q_semdedup"].fn(spark, SF_CORRECT).collect()
+    n_dropped_point = sum(1 for r in sd if r.kept == 0)
+    assert rows[0.5].n_dropped == n_dropped_point
