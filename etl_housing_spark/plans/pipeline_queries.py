@@ -474,7 +474,15 @@ def _mh_pairs_oracle() -> str:
 def q_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import q_minhash_portable
 
-    sigs = q_minhash_portable(spark, sf_dir)
+    return _mh_pairs_from(q_minhash_portable(spark, sf_dir))
+
+
+def _mh_pairs_from(sigs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs + n_match/est_jaccard over a signature
+    frame (doc_id, sig_0..sig_15) — the q_minhash_pairs_portable body as a
+    reusable core, so the density-safe consensus can feed it a
+    keeper-restricted signature frame (signatures are per-doc, banding and
+    matching are pairwise, so restriction commutes with detection)."""
     bands = sigs.selectExpr("doc_id", _BAND_STACK)
     a = bands.select(F.col("doc_id").alias("id_a"), "b", "bkey")
     b2 = bands.select(F.col("doc_id").alias("id_b"), "b", "bkey")

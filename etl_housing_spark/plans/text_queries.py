@@ -3005,10 +3005,19 @@ _AUDIO_FP_SQL = """
     tags=("multimodal", "dedup"),
 )
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = q_audio_fingerprint(spark, sf_dir)
-    # eb = 8*floor(log2 e) + 3-bit mantissa, integer-exact: bucket spans
-    # (1+(m+1)/8)/(1+m/8) ∈ [16/15, 9/8], minimum 1.0667 > 1.05, so a
-    # pair within the 5% gate differs by at most one bucket.
+    return _energy_banded_pairs(q_audio_fingerprint(spark, sf_dir))
+
+
+def _energy_banded_pairs(fps: DataFrame) -> DataFrame:
+    """Composite-banded contour-fingerprint near-dup pairs over a
+    (media_id, fp, e_total) frame — ONE definition shared by the audio and
+    video consumers (their constructions were verbatim twins) and by the
+    density-safe consensus (which feeds it keeper-restricted frames).
+
+    eb = 8*floor(log2 e) + 3-bit mantissa, integer-exact: bucket spans
+    (1+(m+1)/8)/(1+m/8) ∈ [16/15, 9/8], minimum 1.0667 > 1.05, so a pair
+    within the 5% gate differs by at most one bucket — candidates from the
+    (fp, eb±1) equi-join only, gate exact-integer, zero recall loss."""
     banded = (
         fps.withColumn(
             "blen", F.greatest(F.length(F.bin("e_total")) - F.lit(1), F.lit(3))
@@ -3109,45 +3118,7 @@ _VIDEO_FP_SQL = """
     tags=("multimodal", "dedup"),
 )
 def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = q_video_fingerprint(spark, sf_dir)
-    banded = (
-        fps.withColumn(
-            "blen", F.greatest(F.length(F.bin("e_total")) - F.lit(1), F.lit(3))
-        )
-        .withColumn(
-            "eb",
-            F.col("blen") * 8
-            + F.expr("shiftright(e_total, cast(blen as int) - 3) % 8"),
-        )
-        .select("media_id", "fp", "e_total", "eb")
-    )
-    a = banded.select(
-        F.col("media_id").alias("id_a"),
-        "fp",
-        F.col("e_total").alias("e_a"),
-        F.explode(
-            F.array(F.col("eb") - 1, F.col("eb"), F.col("eb") + 1)
-        ).alias("probe_eb"),
-    )
-    b = banded.select(
-        F.col("media_id").alias("id_b"),
-        F.col("fp").alias("fp_b"),
-        F.col("e_total").alias("e_b"),
-        F.col("eb").alias("eb_b"),
-    )
-    return (
-        a.join(
-            b,
-            (a["fp"] == b["fp_b"])
-            & (a["probe_eb"] == b["eb_b"])
-            & (a["id_a"] < b["id_b"]),
-        )
-        .filter(
-            20 * F.abs(F.col("e_a") - F.col("e_b"))
-            <= F.greatest(F.col("e_a"), F.col("e_b"))
-        )
-        .select("id_a", "id_b", "fp", "e_a", "e_b")
-    )
+    return _energy_banded_pairs(q_video_fingerprint(spark, sf_dir))
 
 
 def _consensus_oracle() -> str:
@@ -3310,26 +3281,32 @@ def _cluster_reps_oracle() -> str:
     """
 
 
-def _modality_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _modality_reps(
+    spark: SparkSession, sf_dir: str, fps: dict[str, DataFrame] | None = None
+) -> DataFrame:
     """Spark twin of _modality_reps_sql(): the unioned (doc_id, rep, m)
     frame — one window MIN per modality's exact-fingerprint group, one
     row per record regardless of duplicate-class size. Shared by
-    q_dup_cluster_reps and q_consensus_reps."""
+    q_dup_cluster_reps, q_consensus_reps and the density-safe consensus.
+    ``fps`` optionally supplies pre-built (and typically persisted)
+    fingerprint frames keyed 'image'/'audio'/'video' so a caller that
+    also runs the detectors pays each modality's codec pass ONCE."""
     from pyspark.sql import Window
 
-    img = q_image_phash(spark, sf_dir).select(
+    fps = fps or {}
+    img = fps.get("image", q_image_phash(spark, sf_dir)).select(
         F.col("media_id").alias("doc_id"),
         F.min("media_id")
         .over(Window.partitionBy("phash_hi", "phash_lo"))
         .alias("rep"),
         F.lit("image").alias("m"),
     )
-    aud = q_audio_fingerprint(spark, sf_dir).select(
+    aud = fps.get("audio", q_audio_fingerprint(spark, sf_dir)).select(
         F.col("media_id").alias("doc_id"),
         F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
         F.lit("audio").alias("m"),
     )
-    vid = q_video_fingerprint(spark, sf_dir).select(
+    vid = fps.get("video", q_video_fingerprint(spark, sf_dir)).select(
         F.col("media_id").alias("doc_id"),
         F.min("media_id").over(Window.partitionBy("fp", "e_total")).alias("rep"),
         F.lit("video").alias("m"),
@@ -3451,6 +3428,142 @@ def q_consensus_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
             flag("audio").alias("f_audio"),
             flag("video").alias("f_video"),
             F.min(F.when(dup, F.col("rep"))).cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("n_modalities") >= 2)
+    )
+
+
+def _consensus_safe_oracle() -> str:
+    """Registry-composed: the SAME four detector oracles as the pair-form
+    consensus, filtered to pairs whose BOTH endpoints are exact-unique
+    keepers (no modality's exact-fingerprint class has a smaller member).
+    The oracle restricts AFTER pair enumeration while the Spark side
+    restricts BEFORE — every detector is a pairwise predicate (signatures,
+    hashes and energy buckets are per-record; candidacy and gates are
+    functions of the pair alone), so the two orders are equivalent, and
+    the hash check IS the proof."""
+    from . import pipeline_queries  # noqa: F401  (registers the text leg)
+    from .registry import _REGISTRY
+
+    txt_sql = _REGISTRY["q_minhash_pairs_portable"].oracle
+    img_sql = _REGISTRY["q_image_neardup_banded"].oracle
+    aud_sql = _REGISTRY["q_audio_neardup"].oracle
+    vid_sql = _REGISTRY["q_video_neardup"].oracle
+    return f"""{_modality_reps_sql()},
+    keep AS MATERIALIZED (
+      SELECT d.doc_id FROM documents d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM u WHERE u.doc_id = d.doc_id AND u.rep < u.doc_id)),
+    ptxt AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({txt_sql}) t WHERE n_match >= 8),
+    pimg AS MATERIALIZED (SELECT id_a, id_b FROM ({img_sql}) t),
+    paud AS MATERIALIZED (SELECT id_a, id_b FROM ({aud_sql}) t),
+    pvid AS MATERIALIZED (SELECT id_a, id_b FROM ({vid_sql}) t),
+    uu AS (
+      SELECT id_a, id_b, 'text' AS m FROM ptxt
+      UNION ALL SELECT id_a, id_b, 'image' FROM pimg
+      UNION ALL SELECT id_a, id_b, 'audio' FROM paud
+      UNION ALL SELECT id_a, id_b, 'video' FROM pvid),
+    flt AS (
+      SELECT uu.id_a, uu.id_b, uu.m FROM uu
+      JOIN keep ka ON uu.id_a = ka.doc_id
+      JOIN keep kb ON uu.id_b = kb.doc_id)
+    SELECT id_a, id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_modalities,
+           CAST(MAX(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS f_text,
+           CAST(MAX(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS f_image,
+           CAST(MAX(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS f_audio,
+           CAST(MAX(CASE WHEN m = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS f_video
+    FROM flt GROUP BY id_a, id_b
+    HAVING COUNT(*) >= 2
+    """
+
+
+@query(
+    "q_multimodal_consensus_safe",
+    # The DENSITY-SAFE MODE of q_multimodal_consensus — the full near-dup
+    # pair consensus, made linear in duplicate density by exact-reducing
+    # first: (1) drop every record whose exact fingerprint class (any
+    # modality) has a smaller member — the q_consensus_reps window rule,
+    # one window shuffle per modality, which collapses a 2000-member
+    # mega-duplicate class to ONE keeper before any pair is enumerated;
+    # (2) run the four near-dup detectors on the keepers only. Pair
+    # enumeration is then quadratic in the number of DISTINCT-content
+    # classes, never in class size — the exact regime where the pair form
+    # OOMs at sf10 (~5e8 enumerated image pairs from planted identical
+    # images) while this mode's detector inputs shrink to the distinct
+    # corpus. Exact-duplicate verdicts are carried by q_consensus_reps;
+    # this query carries the genuine NEAR-dup (not byte-identical)
+    # verdicts the rep form cannot see. Each modality's codec pass runs
+    # ONCE (persisted fingerprint frames feed both the rep reduction and
+    # its detector); detectors are pairwise predicates, so the oracle's
+    # post-hoc pair filter is provably the same set — the hash check is
+    # the proof the restriction commutes.
+    oracle=_consensus_safe_oracle(),
+    description="density-safe multimodal near-dup consensus: exact-reduce "
+    "to per-modality class keepers first (window MIN, linear at any "
+    "duplicate density), then the full four-detector pair consensus "
+    "(MinHash est-J >= 0.5, banded dHash <= 6, audio/video contour+energy "
+    "5% gates, >= 2 modalities agree) over keepers only — pair work scales "
+    "with distinct-content classes, never class size; one codec pass per "
+    "modality feeds both stages",
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def q_multimodal_consensus_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._ckpt import single_shot_checkpoint, tracked_persist
+    from .dedup_queries import q_minhash_portable
+    from .pipeline_queries import _mh_pairs_from
+
+    ph = tracked_persist(q_image_phash(spark, sf_dir))
+    afp = tracked_persist(q_audio_fingerprint(spark, sf_dir))
+    vfp = tracked_persist(q_video_fingerprint(spark, sf_dir))
+    u = _modality_reps(
+        spark, sf_dir, fps={"image": ph, "audio": afp, "video": vfp}
+    )
+    dup_ids = u.filter(F.col("rep") < F.col("doc_id")).select("doc_id").distinct()
+    keep = single_shot_checkpoint(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(dup_ids, "doc_id", "left_anti")
+    )
+
+    def _keepers(fpdf: DataFrame) -> DataFrame:
+        return fpdf.join(
+            F.broadcast(keep), fpdf["media_id"] == keep["doc_id"]
+        ).drop("doc_id")
+
+    sigs = q_minhash_portable(spark, sf_dir).join(F.broadcast(keep), "doc_id")
+    txt = single_shot_checkpoint(
+        _mh_pairs_from(sigs)
+        .filter(F.col("n_match") >= 8)
+        .select("id_a", "id_b")
+    ).withColumn("m", F.lit("text"))
+    img = single_shot_checkpoint(
+        _banded_cands_spark(
+            _keepers(ph.select("media_id", "phash_hi", "phash_lo")), 16
+        )
+        .withColumn("hamming", _phash_hamming().cast("bigint"))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b")
+    ).withColumn("m", F.lit("image"))
+    aud = single_shot_checkpoint(
+        _energy_banded_pairs(_keepers(afp)).select("id_a", "id_b")
+    ).withColumn("m", F.lit("audio"))
+    vid = single_shot_checkpoint(
+        _energy_banded_pairs(_keepers(vfp)).select("id_a", "id_b")
+    ).withColumn("m", F.lit("video"))
+    uu = txt.unionByName(img).unionByName(aud).unionByName(vid)
+    flag = lambda name: (  # noqa: E731
+        F.max(F.when(F.col("m") == name, 1).otherwise(0)).cast("bigint")
+    )
+    return (
+        uu.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_modalities"),
+            flag("text").alias("f_text"),
+            flag("image").alias("f_image"),
+            flag("audio").alias("f_audio"),
+            flag("video").alias("f_video"),
         )
         .filter(F.col("n_modalities") >= 2)
     )

@@ -1011,3 +1011,34 @@ def test_dedup_tiered_each_tier_binds_and_respects_survivors(spark, tmp_path):
     assert rows[5] == (1, 1, 1)      # survivor restriction: ghost pair (5,1)
     for d in (0, 2, 3, 300):
         assert rows[d] == (1, 1, 1), (d, rows[d])
+
+
+def test_consensus_safe_equals_pair_form_restricted_to_keepers(spark):
+    """The commutation law behind the density-safe mode: because every
+    detector is a pairwise predicate, restricting the corpus to
+    exact-unique keepers BEFORE pair enumeration (the safe mode) must
+    produce exactly the pair-form consensus rows whose both endpoints are
+    keepers. Also: the safe output is non-trivial (genuine near-dups
+    survive the exact reduction) and disjoint from exact-twin pairs."""
+    from tests.conftest import SF_SMOKE
+
+    full = {(r.id_a, r.id_b): r for r in
+            SPECS["q_multimodal_consensus"].fn(spark, SF_SMOKE).collect()}
+    reps = SPECS["q_dup_cluster_reps"].fn(spark, SF_SMOKE).collect()
+    dropped = {r.doc_id for r in reps if r.n_dup_modalities >= 1}
+    expected = {
+        p: r for p, r in full.items()
+        if p[0] not in dropped and p[1] not in dropped
+    }
+    safe = {(r.id_a, r.id_b): r for r in
+            SPECS["q_multimodal_consensus_safe"].fn(spark, SF_SMOKE).collect()}
+    assert safe  # genuine near-dup consensus survives the exact reduction
+    assert set(safe) == set(expected)
+    for p, r in safe.items():
+        e = expected[p]
+        assert (r.n_modalities, r.f_text, r.f_image, r.f_audio, r.f_video) == (
+            e.n_modalities, e.f_text, e.f_image, e.f_audio, e.f_video
+        )
+    # and the reduction actually removed pair work: the full form has
+    # pairs touching exact-dup members that the safe form never enumerates
+    assert len(full) > len(safe)
