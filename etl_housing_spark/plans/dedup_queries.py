@@ -155,8 +155,6 @@ def _mh_oracle() -> str:
     tags=("dedup",),
 )
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from .pipeline_queries import corpus_shingles
 
     # The family-shared persisted shingle explode (which carries the
@@ -164,7 +162,17 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside lambda bodies, so the bound projection evaluates split() once
     # per doc, not 3x per shingle index). One materialization now serves
     # the whole MinHash + decontamination surface in a session.
-    sh = corpus_shingles(spark, sf_dir)
+    return minhash_sigs_from(corpus_shingles(spark, sf_dir))
+
+
+def minhash_sigs_from(sh: DataFrame) -> DataFrame:
+    """Portable md5 MinHash signatures (doc_id, sig_0..sig_15) over a
+    (doc_id, sh) shingle frame — the q_minhash_portable body as a
+    reusable core: signatures are per-doc, so a caller with a restricted
+    corpus (the density-safe consensus) gets byte-identical signatures
+    for the docs it keeps while paying only for its subset."""
+    from pyspark.sql import functions as F
+
     h = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     hashed = sh.select("doc_id", h.alias("h"))
     mins = [

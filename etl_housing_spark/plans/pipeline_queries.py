@@ -56,7 +56,17 @@ def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lazy; bench.py drains it via clear_pipeline_cache between queries.
     At deployment scale the same persist holds: the exploded frame is
     ~6 shingles/KB of text, MEMORY_AND_DISK spills past executor memory."""
-    docs = load_table(spark, sf_dir, "documents")
+    return tracked_persist(
+        shingles_from(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def shingles_from(docs: DataFrame) -> DataFrame:
+    """Per-doc DISTINCT word-3-gram explode over an arbitrary
+    (doc_id, text) frame — the corpus_shingles construction as a reusable
+    core, so a caller with a RESTRICTED corpus (the density-safe consensus
+    feeds keepers only) pays the explode for its subset instead of the
+    whole table. Shingles are per-doc, so restriction commutes."""
     # bound-token construction (the q_minhash_portable lesson): Catalyst
     # does not CSE inside lambda bodies, so the inline _SHINGLE_SPARK form
     # evaluates split() 3x per shingle index; binding the token array in
@@ -71,8 +81,8 @@ def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
         ),
     ).otherwise(F.array(F.array_join(F.col("t"), " ")))
-    return tracked_persist(
-        toks.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+    return toks.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
     )
 
 

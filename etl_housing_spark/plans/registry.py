@@ -89,11 +89,20 @@ def oracle_stamps() -> dict[str, str]:
     has since changed is NOT a verdict on the current semantics — the
     rotation treats such ids as unverified so they re-enter the driver
     window (VERDICT r11 flagged exactly this staleness on the
-    composite-band upgrade). An empty/missing file disables the check."""
+    composite-band upgrade). A MISSING file disables the check (fresh
+    clone, pre-stamps era); a present-but-unreadable file raises — a
+    corrupted stamps file silently returning {} would turn the gate off
+    while every test stays green."""
+    if not _STAMPS_PATH.exists():
+        return {}
     try:
         return json.loads(_STAMPS_PATH.read_text())
-    except (OSError, json.JSONDecodeError):
-        return {}
+    except (OSError, json.JSONDecodeError) as e:
+        raise RuntimeError(
+            f"oracle_stamps.json exists but is unreadable ({e}); refusing "
+            "to silently disable the oracle-staleness gate - fix or delete "
+            "the file"
+        ) from e
 
 
 def driver_verified_ids() -> dict[str, str]:

@@ -3121,12 +3121,18 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _energy_banded_pairs(q_video_fingerprint(spark, sf_dir))
 
 
-def _consensus_oracle() -> str:
-    """Compose the four REGISTERED modality oracles verbatim as subqueries
-    (each keeps its own WITH scope — the audio and image chains both name
-    a CTE `dims`, so they cannot share one WITH list; and pulling the
-    component oracles from the registry means a tuned threshold or join in
-    any detector propagates here automatically instead of drifting)."""
+# The two consensus rules, defined ONCE and shared by the pair form and
+# the density-safe form (Spark and SQL) — tuning either in one place
+# propagates to both, preserving the documented restriction-commutes
+# equivalence between the forms.
+_CONSENSUS_TEXT_NMATCH = 8  # text leg: est-Jaccard >= 8/16 = 0.5
+_CONSENSUS_MIN_MODALITIES = 2
+
+
+def _detector_pair_ctes(prefix: str = "") -> str:
+    """The four registered detector oracles as MATERIALIZED pair CTEs
+    named {prefix}txt/img/aud/vid — pulling them from the registry means
+    a tuned threshold or join in any detector propagates automatically."""
     from . import pipeline_queries  # noqa: F401  (registers the text leg)
     from .registry import _REGISTRY
 
@@ -3134,25 +3140,67 @@ def _consensus_oracle() -> str:
     img_sql = _REGISTRY["q_image_neardup_banded"].oracle
     aud_sql = _REGISTRY["q_audio_neardup"].oracle
     vid_sql = _REGISTRY["q_video_neardup"].oracle
+    p = prefix
+    return f"""{p}txt AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({txt_sql}) t
+      WHERE n_match >= {_CONSENSUS_TEXT_NMATCH}),
+    {p}img AS MATERIALIZED (SELECT id_a, id_b FROM ({img_sql}) t),
+    {p}aud AS MATERIALIZED (SELECT id_a, id_b FROM ({aud_sql}) t),
+    {p}vid AS MATERIALIZED (SELECT id_a, id_b FROM ({vid_sql}) t)"""
+
+
+def _labeled_union_sql(prefix: str = "") -> str:
+    p = prefix
     return f"""
-    WITH txt AS MATERIALIZED (
-      SELECT id_a, id_b FROM ({txt_sql}) t WHERE n_match >= 8),
-    img AS MATERIALIZED (SELECT id_a, id_b FROM ({img_sql}) t),
-    aud AS MATERIALIZED (SELECT id_a, id_b FROM ({aud_sql}) t),
-    vid AS MATERIALIZED (SELECT id_a, id_b FROM ({vid_sql}) t),
-    u AS (
-      SELECT id_a, id_b, 'text' AS m FROM txt
-      UNION ALL SELECT id_a, id_b, 'image' FROM img
-      UNION ALL SELECT id_a, id_b, 'audio' FROM aud
-      UNION ALL SELECT id_a, id_b, 'video' FROM vid)
+      SELECT id_a, id_b, 'text' AS m FROM {p}txt
+      UNION ALL SELECT id_a, id_b, 'image' FROM {p}img
+      UNION ALL SELECT id_a, id_b, 'audio' FROM {p}aud
+      UNION ALL SELECT id_a, id_b, 'video' FROM {p}vid"""
+
+
+def _consensus_tail_sql(src: str) -> str:
+    """The >= MIN_MODALITIES verdict aggregate over a labeled
+    (id_a, id_b, m) pair source — one definition for both consensus
+    forms."""
+    return f"""
     SELECT id_a, id_b,
            CAST(COUNT(*) AS BIGINT) AS n_modalities,
            CAST(MAX(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS f_text,
            CAST(MAX(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS f_image,
            CAST(MAX(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS f_audio,
            CAST(MAX(CASE WHEN m = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS f_video
-    FROM u GROUP BY id_a, id_b
-    HAVING COUNT(*) >= 2
+    FROM {src} GROUP BY id_a, id_b
+    HAVING COUNT(*) >= {_CONSENSUS_MIN_MODALITIES}
+    """
+
+
+def _consensus_verdicts(uu: DataFrame) -> DataFrame:
+    """Spark twin of _consensus_tail_sql over a labeled (id_a, id_b, m)
+    pair frame."""
+    flag = lambda name: (  # noqa: E731
+        F.max(F.when(F.col("m") == name, 1).otherwise(0)).cast("bigint")
+    )
+    return (
+        uu.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_modalities"),
+            flag("text").alias("f_text"),
+            flag("image").alias("f_image"),
+            flag("audio").alias("f_audio"),
+            flag("video").alias("f_video"),
+        )
+        .filter(F.col("n_modalities") >= _CONSENSUS_MIN_MODALITIES)
+    )
+
+
+def _consensus_oracle() -> str:
+    """Compose the four REGISTERED modality oracles verbatim as subqueries
+    (each keeps its own WITH scope — the audio and image chains both name
+    a CTE `dims`, so they cannot share one WITH list)."""
+    return f"""
+    WITH {_detector_pair_ctes()},
+    u AS ({_labeled_union_sql()})
+    {_consensus_tail_sql("u")}
     """
 
 
@@ -3203,7 +3251,7 @@ def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # detector queries individually for their plans.
     txt = single_shot_checkpoint(
         q_minhash_pairs_portable(spark, sf_dir)
-        .filter(F.col("n_match") >= 8)
+        .filter(F.col("n_match") >= _CONSENSUS_TEXT_NMATCH)
         .select("id_a", "id_b")
     ).withColumn("m", F.lit("text"))
     img = single_shot_checkpoint(
@@ -3216,20 +3264,7 @@ def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_video_neardup(spark, sf_dir).select("id_a", "id_b")
     ).withColumn("m", F.lit("video"))
     u = txt.unionByName(img).unionByName(aud).unionByName(vid)
-    flag = lambda name: (  # noqa: E731
-        F.max(F.when(F.col("m") == name, 1).otherwise(0)).cast("bigint")
-    )
-    return (
-        u.groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_modalities"),
-            flag("text").alias("f_text"),
-            flag("image").alias("f_image"),
-            flag("audio").alias("f_audio"),
-            flag("video").alias("f_video"),
-        )
-        .filter(F.col("n_modalities") >= 2)
-    )
+    return _consensus_verdicts(u)
 
 
 def _modality_reps_sql() -> str:
@@ -3442,40 +3477,18 @@ def _consensus_safe_oracle() -> str:
     hashes and energy buckets are per-record; candidacy and gates are
     functions of the pair alone), so the two orders are equivalent, and
     the hash check IS the proof."""
-    from . import pipeline_queries  # noqa: F401  (registers the text leg)
-    from .registry import _REGISTRY
-
-    txt_sql = _REGISTRY["q_minhash_pairs_portable"].oracle
-    img_sql = _REGISTRY["q_image_neardup_banded"].oracle
-    aud_sql = _REGISTRY["q_audio_neardup"].oracle
-    vid_sql = _REGISTRY["q_video_neardup"].oracle
     return f"""{_modality_reps_sql()},
     keep AS MATERIALIZED (
       SELECT d.doc_id FROM documents d
       WHERE NOT EXISTS (
         SELECT 1 FROM u WHERE u.doc_id = d.doc_id AND u.rep < u.doc_id)),
-    ptxt AS MATERIALIZED (
-      SELECT id_a, id_b FROM ({txt_sql}) t WHERE n_match >= 8),
-    pimg AS MATERIALIZED (SELECT id_a, id_b FROM ({img_sql}) t),
-    paud AS MATERIALIZED (SELECT id_a, id_b FROM ({aud_sql}) t),
-    pvid AS MATERIALIZED (SELECT id_a, id_b FROM ({vid_sql}) t),
-    uu AS (
-      SELECT id_a, id_b, 'text' AS m FROM ptxt
-      UNION ALL SELECT id_a, id_b, 'image' FROM pimg
-      UNION ALL SELECT id_a, id_b, 'audio' FROM paud
-      UNION ALL SELECT id_a, id_b, 'video' FROM pvid),
+    {_detector_pair_ctes("p")},
+    uu AS ({_labeled_union_sql("p")}),
     flt AS (
       SELECT uu.id_a, uu.id_b, uu.m FROM uu
       JOIN keep ka ON uu.id_a = ka.doc_id
       JOIN keep kb ON uu.id_b = kb.doc_id)
-    SELECT id_a, id_b,
-           CAST(COUNT(*) AS BIGINT) AS n_modalities,
-           CAST(MAX(CASE WHEN m = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS f_text,
-           CAST(MAX(CASE WHEN m = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS f_image,
-           CAST(MAX(CASE WHEN m = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS f_audio,
-           CAST(MAX(CASE WHEN m = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS f_video
-    FROM flt GROUP BY id_a, id_b
-    HAVING COUNT(*) >= 2
+    {_consensus_tail_sql("flt")}
     """
 
 
@@ -3511,8 +3524,8 @@ def _consensus_safe_oracle() -> str:
 )
 def q_multimodal_consensus_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators._ckpt import single_shot_checkpoint, tracked_persist
-    from .dedup_queries import q_minhash_portable
-    from .pipeline_queries import _mh_pairs_from
+    from .dedup_queries import minhash_sigs_from
+    from .pipeline_queries import _mh_pairs_from, shingles_from
 
     ph = tracked_persist(q_image_phash(spark, sf_dir))
     afp = tracked_persist(q_audio_fingerprint(spark, sf_dir))
@@ -3521,10 +3534,9 @@ def q_multimodal_consensus_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, fps={"image": ph, "audio": afp, "video": vfp}
     )
     dup_ids = u.filter(F.col("rep") < F.col("doc_id")).select("doc_id").distinct()
+    docs = load_table(spark, sf_dir, "documents")
     keep = single_shot_checkpoint(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(dup_ids, "doc_id", "left_anti")
+        docs.select("doc_id").join(dup_ids, "doc_id", "left_anti")
     )
 
     def _keepers(fpdf: DataFrame) -> DataFrame:
@@ -3532,10 +3544,19 @@ def q_multimodal_consensus_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(keep), fpdf["media_id"] == keep["doc_id"]
         ).drop("doc_id")
 
-    sigs = q_minhash_portable(spark, sf_dir).join(F.broadcast(keep), "doc_id")
+    # restriction pushed BELOW the signature pass too: shingles and
+    # signatures are per-doc, so shingling only the keepers yields
+    # byte-identical signatures while paying the explode + 16
+    # min-aggregations for the distinct-content subset, not the corpus —
+    # at sf10 that pass over 500 k docs was the dominant text cost
+    sigs = minhash_sigs_from(
+        shingles_from(
+            docs.select("doc_id", "text").join(F.broadcast(keep), "doc_id")
+        )
+    )
     txt = single_shot_checkpoint(
         _mh_pairs_from(sigs)
-        .filter(F.col("n_match") >= 8)
+        .filter(F.col("n_match") >= _CONSENSUS_TEXT_NMATCH)
         .select("id_a", "id_b")
     ).withColumn("m", F.lit("text"))
     img = single_shot_checkpoint(
@@ -3553,17 +3574,4 @@ def q_multimodal_consensus_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _energy_banded_pairs(_keepers(vfp)).select("id_a", "id_b")
     ).withColumn("m", F.lit("video"))
     uu = txt.unionByName(img).unionByName(aud).unionByName(vid)
-    flag = lambda name: (  # noqa: E731
-        F.max(F.when(F.col("m") == name, 1).otherwise(0)).cast("bigint")
-    )
-    return (
-        uu.groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_modalities"),
-            flag("text").alias("f_text"),
-            flag("image").alias("f_image"),
-            flag("audio").alias("f_audio"),
-            flag("video").alias("f_video"),
-        )
-        .filter(F.col("n_modalities") >= 2)
-    )
+    return _consensus_verdicts(uu)

@@ -33,23 +33,34 @@ CAP_S = 250.0
 
 
 def duck_capped(con, sql: str) -> float | None:
-    """Oracle wall-clock, or None on DNF (interrupted at CAP_S)."""
+    """Oracle wall-clock, or None on DNF (interrupted at CAP_S).
+
+    Runs on a CURSOR of its own so a stale interrupt cannot poison the
+    shared connection: if the query finishes right at the cap, the
+    watcher may fire after fetchall() returned — the flag then lands on
+    this throwaway cursor, never on the caller's connection (which would
+    misrecord the NEXT query as DNF). done is set before returning, and
+    the watcher checks it again immediately before interrupting."""
+    cur = con.cursor()
     done = threading.Event()
 
     def _watch():
-        if not done.wait(CAP_S):
-            con.interrupt()
+        if not done.wait(CAP_S) and not done.is_set():
+            cur.interrupt()
 
     w = threading.Thread(target=_watch, daemon=True)
     w.start()
     t0 = time.perf_counter()
     try:
-        con.execute(sql).fetchall()
-        return time.perf_counter() - t0
+        cur.execute(sql).fetchall()
+        elapsed = time.perf_counter() - t0
+        done.set()
+        return elapsed
     except duckdb.InterruptException:
         return None
     finally:
         done.set()
+        cur.close()
 
 
 def run_sf01() -> None:
@@ -63,10 +74,11 @@ def run_sf01() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.1/{t}.parquet'"
         )
-    for name in NEW:  # warmup both SFs + oracle once
+    for name in NEW:  # warmup both SFs + oracle once (oracle capped too —
+        # a DNF-class oracle would otherwise hang the warmup forever)
         materialize(specs[name].fn(spark, floor_dir))
         materialize(specs[name].fn(spark, bench_dir))
-        con.execute(specs[name].oracle).fetchall()
+        duck_capped(con, specs[name].oracle)
         clear_pipeline_cache()
     print("| query (sf0.1) | spark (s) | floor (s) | marginal (s) | duckdb (s) | ratio | marginal ratio |")
     print("| --- | --- | --- | --- | --- | --- | --- |")

@@ -41,19 +41,33 @@ def main() -> None:
         stamps = json.loads(_STAMPS_PATH.read_text())
     except (OSError, json.JSONDecodeError):
         stamps = {}
+    # one refresh per driver round: if the newest CORRECTNESS round has
+    # already been folded into the stamps (_round marker), refreshing
+    # again would certify MID-ROUND oracle edits against a verdict that
+    # never saw them — exactly the staleness class the gate exists for.
+    prev_round = int(stamps.pop("_round", -1))
+    refresh = latest > prev_round
+    if not refresh:
+        print(
+            f"round r{latest} already folded in (stamps at r{prev_round}); "
+            "only bootstrapping never-stamped ids"
+        )
     changed = 0
     for name, spec in specs.items():
         cur = oracle_stamp(spec)
         if cur is None:
             continue
         verdict = hist.get(name)
-        if name not in stamps or (verdict is not None and verdict[1] == latest):
+        if name not in stamps or (
+            refresh and verdict is not None and verdict[1] == latest
+        ):
             if stamps.get(name) != cur:
                 changed += 1
             stamps[name] = cur
     stamps = {n: s for n, s in sorted(stamps.items()) if n in specs}
+    stamps["_round"] = max(latest, prev_round)
     _STAMPS_PATH.write_text(json.dumps(stamps, indent=0, sort_keys=True) + "\n")
-    print(f"{len(stamps)} stamps written ({changed} refreshed), latest round r{latest}")
+    print(f"{len(stamps) - 1} stamps written ({changed} refreshed), latest round r{latest}")
 
 
 if __name__ == "__main__":
