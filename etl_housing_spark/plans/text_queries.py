@@ -3375,7 +3375,9 @@ def _modality_reps(
     "md5) — one row per record regardless of duplicate-class size, the "
     "linear consensus input prescribed by the pair-enumeration root-cause "
     "analysis; one window shuffle per modality",
-    tags=("multimodal", "dedup", "pipeline"),
+    # bench-tagged as the round-12 density-safe-dedup representative: the
+    # rep reduction is the primitive both r12 consensus forms build on
+    tags=("multimodal", "dedup", "pipeline", "bench"),
 )
 def q_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _modality_reps(spark, sf_dir)
