@@ -502,3 +502,132 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("bloom_hit").cast("long").alias("n_hit"))
         .filter(F.col("n_hit") > 0)
     )
+
+
+def _rep_gate_oracle() -> str:
+    from .text_queries import _cluster_reps_oracle
+
+    return _cluster_reps_oracle()
+
+
+@query(
+    "q_stream_rep_gate",
+    # The round-12 dedup primitive in INGEST POSITION — the streaming half
+    # of the cluster-representative family, same shape as
+    # q_stream_bloom_gate: the per-modality rep-key tables (exact
+    # fingerprint -> class-minimum id) are static snapshots built
+    # batch-side (each contains an aggregate, so it is localCheckpointed
+    # once — a literal broadcast into every micro-batch), documents
+    # arrive in TWO micro-batches (doc parity split), and each batch is
+    # fingerprinted by the SAME stateless codec chains the batch queries
+    # use (mapInPandas is streaming-compatible) and broadcast-joined
+    # against the rep keys. Stateless stream-static => the streamed
+    # verdicts equal the batch verdicts for ANY batching, so this carries
+    # q_dup_cluster_reps' oracle VERBATIM — the strictly-stronger check
+    # of the stateless class. This is dedup-at-ingest for 100 TB: new
+    # records get duplicate-of-rep verdicts per modality as they land,
+    # paying one broadcast probe per modality instead of any corpus scan.
+    oracle=_rep_gate_oracle(),
+    description="streaming cluster-representative dedup gate: arriving "
+    "documents fingerprinted per modality by the batch codec chains "
+    "(stateless mapInPandas) and probed against broadcast rep-key "
+    "snapshots (exact fingerprint -> class-minimum id) — per-doc verdicts "
+    "with per-modality reps and duplicate count, hash-matching the batch "
+    "q_dup_cluster_reps for any batching; the ingest-position form of the "
+    "density-safe dedup family",
+    tags=("streaming", "multimodal", "dedup", "pipeline"),
+)
+def q_stream_rep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_table
+    from ..operators._ckpt import single_shot_checkpoint
+    from .text_queries import (
+        _audio_fp_from,
+        _image_phash_from,
+        _video_fp_from,
+        q_audio_fingerprint,
+        q_image_phash,
+        q_video_fingerprint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    img_reps = single_shot_checkpoint(
+        q_image_phash(spark, sf_dir)
+        .groupBy("phash_hi", "phash_lo")
+        .agg(F.min("media_id").alias("rep"))
+    )
+    aud_reps = single_shot_checkpoint(
+        q_audio_fingerprint(spark, sf_dir)
+        .groupBy("fp", "e_total")
+        .agg(F.min("media_id").alias("rep"))
+    )
+    vid_reps = single_shot_checkpoint(
+        q_video_fingerprint(spark, sf_dir)
+        .groupBy("fp", "e_total")
+        .agg(F.min("media_id").alias("rep"))
+    )
+    txt_reps = single_shot_checkpoint(
+        docs.select(F.md5("text").alias("k"), "doc_id")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("rep"))
+    )
+
+    def gate(stream: DataFrame) -> DataFrame:
+        ids = stream.select("doc_id")
+        t = (
+            stream.select("doc_id", F.md5("text").alias("k"))
+            .join(F.broadcast(txt_reps), "k")
+            .select("doc_id", "rep", F.lit("text").alias("m"))
+        )
+        i = (
+            _image_phash_from(ids)
+            .join(F.broadcast(img_reps), ["phash_hi", "phash_lo"])
+            .select(
+                F.col("media_id").alias("doc_id"),
+                "rep",
+                F.lit("image").alias("m"),
+            )
+        )
+        a = (
+            _audio_fp_from(ids)
+            .join(F.broadcast(aud_reps), ["fp", "e_total"])
+            .select(
+                F.col("media_id").alias("doc_id"),
+                "rep",
+                F.lit("audio").alias("m"),
+            )
+        )
+        v = (
+            _video_fp_from(ids)
+            .join(F.broadcast(vid_reps), ["fp", "e_total"])
+            .select(
+                F.col("media_id").alias("doc_id"),
+                "rep",
+                F.lit("video").alias("m"),
+            )
+        )
+        return t.unionByName(i).unionByName(a).unionByName(v)
+
+    matches = _two_batch_replay(
+        spark,
+        docs.select("doc_id", "text"),
+        F.col("doc_id") % 2 == 1,
+        "doc_id BIGINT, text STRING",
+        gate,
+        "ehs_repgate_replay_",
+    )
+    rep_of = lambda name: (  # noqa: E731
+        F.max(F.when(F.col("m") == name, F.col("rep"))).cast("bigint")
+    )
+    return (
+        matches.groupBy("doc_id")
+        .agg(
+            rep_of("text").alias("rep_text"),
+            rep_of("image").alias("rep_image"),
+            rep_of("audio").alias("rep_audio"),
+            rep_of("video").alias("rep_video"),
+            F.sum(F.when(F.col("rep") < F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_modalities"),
+        )
+        .filter(F.col("n_dup_modalities") >= 1)
+    )

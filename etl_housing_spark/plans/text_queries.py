@@ -1310,9 +1310,18 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "bench"),
 )
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _image_phash_from(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
+def _image_phash_from(docs: DataFrame) -> DataFrame:
+    """The dHash chain (fixture encode → real resize → phash) over an
+    arbitrary (doc_id) frame — stateless mapInPandas stages end to end,
+    so the same chain fingerprints a STREAMING frame (q_stream_rep_gate's
+    ingest position) with identical values."""
     from ..operators.multimodal import phash_media, resize_media
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = _png_fixture_media(docs)
     thumbs = resize_media(media, 9, 8, strict=True)
     return phash_media(thumbs, strict=True)
@@ -1692,13 +1701,20 @@ def q_image_band_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup"),
 )
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _audio_fp_from(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+
+def _audio_fp_from(docs: DataFrame) -> DataFrame:
+    """WAV-fixture encode → real audio fingerprint over an arbitrary
+    (doc_id) frame — stateless, so it also fingerprints a streaming frame
+    (q_stream_rep_gate)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from ..operators.multimodal import audio_fingerprint
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import wav as _wav
@@ -1759,16 +1775,18 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup"),
 )
 def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
+    return _video_fp_from(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
-    import pandas as pd
 
+def _video_fp_from(docs: DataFrame) -> DataFrame:
+    """AVI-fixture encode → real video fingerprint over an arbitrary
+    (doc_id) frame — stateless, so it also fingerprints a streaming frame
+    (q_stream_rep_gate)."""
     from ..operators.multimodal import video_fingerprint
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-
-    media = _avi_fixture_media(docs)
-    return video_fingerprint(media, strict=True)
+    return video_fingerprint(_avi_fixture_media(docs), strict=True)
 
 
 @query(

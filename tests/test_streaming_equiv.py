@@ -221,3 +221,25 @@ def test_stream_bloom_gate_equals_batch(spark):
         for r in qs["q_bloom_decontaminate"].fn(spark, sf).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_rep_gate_equals_batch_cluster_reps(spark):
+    """The streamed rep-gate verdicts must equal the batch
+    q_dup_cluster_reps frame exactly for the two-batch replay — the
+    stateless stream-static contract (same codec chains, same rep keys,
+    any batching)."""
+    from etl_housing_spark.plans import all_queries
+
+    specs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r.doc_id: (r.rep_text, r.rep_image, r.rep_audio, r.rep_video,
+                   r.n_dup_modalities)
+        for r in specs["q_stream_rep_gate"].fn(spark, sf).collect()
+    }
+    batch = {
+        r.doc_id: (r.rep_text, r.rep_image, r.rep_audio, r.rep_video,
+                   r.n_dup_modalities)
+        for r in specs["q_dup_cluster_reps"].fn(spark, sf).collect()
+    }
+    assert streamed == batch and streamed
