@@ -504,10 +504,11 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rep_gate_oracle() -> str:
-    from .text_queries import _cluster_reps_oracle
-
-    return _cluster_reps_oracle()
+# NOTE: evaluated at decorator time during module import, so there is no
+# point pretending to defer the text_queries dependency — the import-time
+# edge streaming_queries -> text_queries is real (and acyclic; text_queries
+# never imports this module).
+from .text_queries import _cluster_reps_oracle as _rep_gate_oracle  # noqa: E402
 
 
 @query(
@@ -573,11 +574,14 @@ def q_stream_rep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gate(stream: DataFrame) -> DataFrame:
         ids = stream.select("doc_id")
-        t = (
-            stream.select("doc_id", F.md5("text").alias("k"))
-            .join(F.broadcast(txt_reps), "k")
-            .select("doc_id", "rep", F.lit("text").alias("m"))
-        )
+        sk = stream.select("doc_id", F.md5("text").alias("sk"))
+        # null-SAFE key equality: the batch window (and the oracle's
+        # PARTITION BY md5(text)) group null-text docs into one class; a
+        # plain inner join on a NULL key would silently drop the text
+        # modality for such docs and break the streamed==batch contract
+        t = sk.join(
+            F.broadcast(txt_reps), sk["sk"].eqNullSafe(txt_reps["k"])
+        ).select("doc_id", "rep", F.lit("text").alias("m"))
         i = (
             _image_phash_from(ids)
             .join(F.broadcast(img_reps), ["phash_hi", "phash_lo"])
@@ -615,19 +619,6 @@ def q_stream_rep_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate,
         "ehs_repgate_replay_",
     )
-    rep_of = lambda name: (  # noqa: E731
-        F.max(F.when(F.col("m") == name, F.col("rep"))).cast("bigint")
-    )
-    return (
-        matches.groupBy("doc_id")
-        .agg(
-            rep_of("text").alias("rep_text"),
-            rep_of("image").alias("rep_image"),
-            rep_of("audio").alias("rep_audio"),
-            rep_of("video").alias("rep_video"),
-            F.sum(F.when(F.col("rep") < F.col("doc_id"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup_modalities"),
-        )
-        .filter(F.col("n_dup_modalities") >= 1)
-    )
+    from .text_queries import _cluster_rep_verdicts
+
+    return _cluster_rep_verdicts(matches)

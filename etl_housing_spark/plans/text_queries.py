@@ -3398,7 +3398,14 @@ def _modality_reps(
     tags=("multimodal", "dedup", "pipeline", "bench"),
 )
 def q_dup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    u = _modality_reps(spark, sf_dir)
+    return _cluster_rep_verdicts(_modality_reps(spark, sf_dir))
+
+
+def _cluster_rep_verdicts(u: DataFrame) -> DataFrame:
+    """The per-doc rep-verdict aggregate over a (doc_id, rep, m) frame —
+    one definition shared by q_dup_cluster_reps and the streaming rep
+    gate so the verdict rule (rep < doc_id, >= 1 modality) cannot drift
+    between the batch form and its ingest twin."""
     rep_of = lambda name: (  # noqa: E731
         F.max(F.when(F.col("m") == name, F.col("rep"))).cast("bigint")
     )

@@ -28,12 +28,13 @@ from etl_housing_spark.operators._ckpt import clear_pipeline_cache
 from etl_housing_spark.plans import all_queries
 from etl_housing_spark.session import get_session
 
+# override the measured set with R12_QUERIES="q_a,q_b" (whitespace ok)
 NEW = [
-    n
+    n.strip()
     for n in os.environ.get(
         "R12_QUERIES", "q_consensus_reps,q_ivfpq_sweep,q_dedup_tiered"
     ).split(",")
-    if n
+    if n.strip()
 ]
 CAP_S = 250.0
 
