@@ -528,6 +528,12 @@ from .text_queries import _cluster_reps_oracle as _rep_gate_oracle  # noqa: E402
     # of the stateless class. This is dedup-at-ingest for 100 TB: new
     # records get duplicate-of-rep verdicts per modality as they land,
     # paying one broadcast probe per modality instead of any corpus scan.
+    # Throughput note: the _two_batch_replay harness coalesce(1)s each
+    # micro-batch (a CORRECTNESS device — deterministic two-file replay),
+    # so the four codec chains run single-partition here; a production
+    # readStream delivers normally-partitioned batches and the chains are
+    # map-only, so ingest throughput is the fingerprint decode rate
+    # already measured on the batch side (~50 k payloads/s/32 cores).
     oracle=_rep_gate_oracle(),
     description="streaming cluster-representative dedup gate: arriving "
     "documents fingerprinted per modality by the batch codec chains "

@@ -1567,7 +1567,13 @@ def _semdedup_sweep_oracle() -> str:
     "hash-checked within-cluster construction — the dedup-fraction-vs-"
     "epsilon curve the paper tunes on, making the semantic tier's "
     "selectivity observable where the single 0.5 point is empty; "
-    "within-cluster pairs only, assignment persisted once",
+    "within-cluster pairs only, assignment persisted once. Tuning-run "
+    "scale note: at the FIXED k=4 of the hash-checked portable fit the "
+    "pair space is quadratic past fixture scale (4 passes of n^2/4 "
+    "pairs) — the paper's bound is k growing with the corpus, so a "
+    "production sweep runs on the production fit's bounded clusters; "
+    "this query is the fixture-scale tuning instrument, not the "
+    "at-scale operator (that is q_semdedup under a corpus-scaled k)",
     tags=("vector", "dedup", "eval"),
 )
 def q_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
