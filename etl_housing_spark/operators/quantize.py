@@ -246,6 +246,7 @@ def _ivfpq_parts(
     id_col: str,
     vec_col: str,
     label_col: str,
+    codebooks: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """(cent, qdims, lut, probe) — the shared IVFPQ query-side frames.
 
@@ -253,11 +254,20 @@ def _ivfpq_parts(
     scanned fraction against the EXACT probe the search uses, instead of
     re-deriving a parallel probe that could drift. cent and lut fan into
     multiple plan branches and are tracked_persist-ed here once.
+
+    ``codebooks``: a caller sweeping several (subspaces, nprobe) configs
+    passes one already-persisted _pq_codebooks frame — it depends on
+    neither knob, so recomputing (and re-persisting) it per config would
+    keep 6 identical copies alive per sweep (ADVICE r12).
     """
     from ._ckpt import tracked_persist
 
     per_sub = dim // subspaces
-    cent = tracked_persist(_pq_codebooks(emb, vec_col, label_col))
+    cent = (
+        codebooks
+        if codebooks is not None
+        else tracked_persist(_pq_codebooks(emb, vec_col, label_col))
+    )
     qdims = (
         emb.filter(F.col(id_col) == query_id)
         .select(F.posexplode(F.col(vec_col)).alias("i", "qx"))
@@ -290,13 +300,13 @@ def ivfpq_adc_topk(
     emb: DataFrame,
     k: int = 10,
     query_id: int = 0,
-    nprobe: int = 2,
-    subspaces: int = 4,
+    nprobe: int = 4,
+    subspaces: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
-    rerank: int | None = None,
+    rerank: int | None = 50,
     parts: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """FAISS-IVFPQ-shaped search: IVF cell pruning THEN PQ/ADC scoring.
@@ -339,6 +349,12 @@ def ivfpq_adc_topk(
     tie-break noise — the measured recall@10 = 0.1 diagnosis); the exact
     pass touches only ``rerank`` vectors, so the 100 TB scan shape is
     unchanged. Output schema swaps adc_d2 for exact_d2.
+
+    The DEFAULTS (subspaces=16, nprobe=4, rerank=50) are the operating
+    point q_ivfpq_sweep measured at recall@10 = 0.8 scanning ~38% of the
+    fixture corpus (VERDICT r12: the previously shipped (4, 2, None)
+    default measured 0.1 on the same sweep — proven-bad, replaced).
+    Callers wanting the plain ADC cut pass ``rerank=None`` explicitly.
 
     ``parts`` lets a caller that ALSO needs the query-side frames (the
     operating-point sweep reads the probe for its scanned fraction) pass

@@ -190,7 +190,7 @@ def ivf_topk(
     emb: DataFrame,
     query_id: int,
     k: int = 10,
-    nprobe: int = 2,
+    nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",

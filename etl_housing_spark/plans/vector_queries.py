@@ -106,7 +106,7 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, query_id=0, k=10, nprobe=2)
+    return S.ivf_topk(emb, query_id=0, k=10, nprobe=4)
 
 
 # --------------------------------------------------------------------------
@@ -267,7 +267,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(cent.c * CAST(q.qe[cent.i] AS DOUBLE) AS DECIMAL(38,18)))
                   AS DOUBLE) AS s
       FROM cent, q GROUP BY cent.label),
-    probe AS (SELECT label FROM lscore ORDER BY s DESC, label LIMIT 2)
+    probe AS (SELECT label FROM lscore ORDER BY s DESC, label LIMIT 4)
     SELECT e.vec_id,
            ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6)
              AS score
@@ -276,10 +276,13 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="oracle-checked IVF approximate nearest neighbors: coarse quantizer "
     "= per-label centroids (decimal-exact per-dimension means), query scores the "
-    "k centroids (a tiny aggregate), probes the top-2 cells, and scans ONLY those "
-    "cells for the exact top-10 — the inverted-file pruning that turns a full-"
-    "corpus scan into an O(probed cells) scan at 100 TB. Deterministic twin of "
-    "the operators.similarity.ann_ivf fast path; every stage hash-matches DuckDB",
+    "k centroids (a tiny aggregate), probes the top-4 cells (raised from 2 in "
+    "r13 with ivf_topk's default — the exact top-10 spans ~6 of the 10 "
+    "overlapping testdata cells, so nprobe=2 capped recall at 0.3; see "
+    "q_ann_recall), and scans ONLY those cells for the exact top-10 — the "
+    "inverted-file pruning that turns a full-corpus scan into an O(probed "
+    "cells) scan at 100 TB. Deterministic twin of the operators.similarity."
+    "ivf_topk fast path; every stage hash-matches DuckDB",
     tags=("vector", "pipeline"),
 )
 def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +309,7 @@ def q_ann_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
     )
-    probe = lscore.orderBy(F.desc("s"), "label").limit(2).select("label")
+    probe = lscore.orderBy(F.desc("s"), "label").limit(4).select("label")
     return (
         emb.join(F.broadcast(probe), "label")
         .crossJoin(F.broadcast(q))
@@ -497,11 +500,15 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC scoring cannot disagree on un-normalized inputs. codes/lut are
     # q_pq_search's CTEs with the d2 assignment restricted to probed
     # cells; the LUT builds from the UNfiltered explode — the query's own
-    # cell need not be probed.
+    # cell need not be probed. Configuration = the shipped ivfpq_adc_topk
+    # DEFAULTS, which since r13 are the sweep-proven operating point
+    # (subspaces=16, nprobe=4, IVFADC+R rerank=50 → recall@10 0.8 at ~38%
+    # scan; q_ivfpq_sweep row (16,4,50)) — the r12 verdict's "proven-bad
+    # 0.1-recall default" replaced at the entry point.
     oracle="""
     WITH expl AS MATERIALIZED (
       SELECT e.vec_id, e.label, CAST(i.i - 1 AS BIGINT) AS i,
-             (i.i - 1) // 16 AS sub,
+             (i.i - 1) // 4 AS sub,
              CAST(e.embedding[i.i] AS DOUBLE) AS x
       FROM embeddings e, range(1, 65) i(i)),
     cent AS MATERIALIZED (
@@ -520,7 +527,7 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ldist AS (
       SELECT cand, CAST(SUM(CAST(lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS d
       FROM lut GROUP BY cand),
-    probe AS (SELECT cand AS label FROM ldist ORDER BY d, cand LIMIT 2),
+    probe AS (SELECT cand AS label FROM ldist ORDER BY d, cand LIMIT 4),
     d2 AS (
       SELECT e.vec_id, e.sub, cent.cand,
              CAST(SUM(CAST((e.x - cent.c) * (e.x - cent.c) AS DECIMAL(38,18)))
@@ -532,28 +539,44 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, sub, cand AS code FROM (
         SELECT vec_id, sub, cand, d2,
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rk
-        FROM d2) t WHERE rk = 1)
-    SELECT c.vec_id,
-           ROUND(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc_d2
-    FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cand
-    GROUP BY c.vec_id
-    ORDER BY adc_d2, c.vec_id LIMIT 10
+        FROM d2) t WHERE rk = 1),
+    adc AS (
+      SELECT c.vec_id,
+             ROUND(CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE), 6) AS adc_d2
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cand
+      GROUP BY c.vec_id),
+    cand AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 50),
+    ex AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST((e.x - qd.qx) * (e.x - qd.qx) AS DECIMAL(38,18)))
+                  AS DOUBLE) AS exact_d2
+      FROM expl e
+      JOIN cand ON e.vec_id = cand.vec_id
+      JOIN (SELECT i, x AS qx FROM expl WHERE vec_id = 0) qd ON e.i = qd.i
+      GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2 FROM (
+      SELECT vec_id, exact_d2 FROM ex ORDER BY exact_d2, vec_id LIMIT 10) t
     """,
-    description="IVFPQ search (FAISS's production ANN index, Jégou et al. 2011 "
-    "§V): coarse quantizer probes the 2 L2-nearest cells — the probe distance "
-    "is the sum of each cell's subspace LUT entries, so probe and ADC share "
-    "ONE metric — then ONLY those cells' vectors are scored, by ADC lookup on "
-    "their 4-byte PQ codes, never their floats. Stacks both 100 TB wins: the "
-    "scan touches nprobe/K of the corpus, and what it touches is codes. Two "
-    "broadcast-sized aggregates (centroids, LUT; probe is a K-row LUT rollup) "
-    "+ one probed-cell assignment; with precomputed codes the query cost is "
-    "one broadcast code join. Non-residual variant, decimal-exact end to end",
+    description="IVFPQ search at the sweep-proven shipped default (FAISS's "
+    "production ANN index, Jégou et al. 2011 §V-VI; IVFADC+R): coarse "
+    "quantizer probes the 4 L2-nearest cells — the probe distance is the sum "
+    "of each cell's subspace LUT entries, so probe and ADC share ONE metric — "
+    "then ONLY those cells' vectors are scored by ADC lookup on their 16-byte "
+    "PQ codes, and the ADC top-50 is exactly re-ranked by decimal L2 on the "
+    "floats (recall@10 0.8 at ~38% scan per q_ivfpq_sweep; the r12-shipped "
+    "(4,2,no-rerank) default measured 0.1 and was replaced). Stacks both "
+    "100 TB wins: the scan touches nprobe/K of the corpus as codes, and the "
+    "exact pass touches only 50 vectors, so the scan shape is unchanged",
     tags=("vector",),
 )
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivfpq_adc_topk
 
-    return ivfpq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+    # top-10 selection orders by the UNrounded decimal-exact sum on both
+    # engines; the displayed value is rounded to 6 because the final
+    # decimal(38,18)->double cast can differ in the last ULP across engines
+    out = ivfpq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", F.round("exact_d2", 6).alias("exact_d2"))
 
 
 @query(
@@ -795,10 +818,10 @@ def _ann_recall_oracle() -> str:
     "metric an ANN index tuning loop optimizes; both sides deterministic, so "
     "the metric hash-matches the oracle; ground truth cost is one linear scan "
     "for the evaluated query set, run on a sample at corpus scale. Measured "
-    "0.3 at sf0.01: the exact top-10 spans 6 of 10 label cells (the testdata "
-    "Gaussians overlap under the dot metric), so probing 2 cells finds 3 — "
-    "exactly the diagnostic that tells the tuning loop to raise nprobe or "
-    "re-seed the coarse quantizer",
+    "0.8 at sf0.01 under the r13 default nprobe=4: the exact top-10 spans ~6 "
+    "of 10 label cells (the testdata Gaussians overlap under the dot metric), "
+    "so the r12-era nprobe=2 capped recall at 0.3 — the diagnostic that drove "
+    "the default raise in ivf_topk/q_ann_ivf_portable",
     tags=("vector", "eval"),
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,14 +884,13 @@ def _ivfpq_recall_oracle() -> str:
     "the index's own metric; losses decompose into IVF cell-miss + PQ "
     "quantization error, the two knobs (nprobe, codebook size) a tuning "
     "loop turns; both sides deterministic so the metric hash-matches. "
-    "Measured 0.1 at sf0.01 (the query row itself): the testdata Gaussians "
-    "overlap across the 10 label cells and the deterministic codebook has "
-    "only K=10 entries, so 2-cell probing plus coarse ADC misses the exact "
-    "neighbors — exactly the reading that tells the loop to raise nprobe "
-    "and K before trusting the tier (q_ann_recall's 0.3 under the same "
-    "fixture, same diagnosis). The tuning loop this row prescribes has "
-    "been RUN: q_ivfpq_sweep's frontier reaches 0.8 recall at ~38% scan "
-    "(M=16, nprobe=4, rerank=50) and 1.0 at ~79%",
+    "Measures the SHIPPED ivfpq_adc_topk default, which since r13 is the "
+    "sweep-proven (M=16, nprobe=4, rerank=50) operating point — recall@10 "
+    "0.8 at ~38% scan (q_ivfpq_sweep). The r12-shipped (4,2,no-rerank) "
+    "default measured 0.1 on this same metric (testdata Gaussians overlap "
+    "across the 10 label cells, K=10 codebooks, 2-cell probing + coarse "
+    "ADC tie plateaus) — the diagnosis that drove the sweep and the "
+    "default flip",
     tags=("vector", "eval"),
 )
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,17 +1065,22 @@ def _ivfpq_sweep_oracle() -> str:
 )
 def q_ivfpq_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators._ckpt import tracked_persist
-    from ..operators.quantize import _ivfpq_parts, ivfpq_adc_topk
+    from ..operators.quantize import _ivfpq_parts, _pq_codebooks, ivfpq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     # the truth frame (corpus-wide exploded L2 aggregate — the most
-    # expensive subtree here) and the corpus count fan into all 6 union
-    # branches: persist both or they re-execute per branch
+    # expensive subtree here), the corpus count, and the codebook frame
+    # (config-independent: depends on neither subspaces nor nprobe) fan
+    # into all 6 union branches: persist each ONCE or they re-execute —
+    # and in cent's case re-persist 6 identical copies — per branch
     total = tracked_persist(emb.agg(F.count(F.lit(1)).alias("n_total")))
     truth = tracked_persist(_exact_l2_top10(emb))
+    cent = tracked_persist(_pq_codebooks(emb, "embedding", "label"))
     out = None
     for m, np_, rr in _SWEEP_CONFIGS:
-        parts = _ivfpq_parts(emb, 0, np_, m, 64, "vec_id", "embedding", "label")
+        parts = _ivfpq_parts(
+            emb, 0, np_, m, 64, "vec_id", "embedding", "label", codebooks=cent
+        )
         probe = parts[3]
         approx = ivfpq_adc_topk(
             emb, nprobe=np_, subspaces=m, rerank=rr, parts=parts

@@ -122,7 +122,10 @@ def test_ivfpq_respects_probe_set_and_matches_pq_on_probed_cells(spark):
     from etl_housing_spark.operators.quantize import ivfpq_adc_topk, pq_adc_topk
 
     emb = load_table(spark, SF_CORRECT, "embeddings")
-    got = ivfpq_adc_topk(emb, k=50, nprobe=2).collect()
+    # pin (subspaces=4, rerank=None) so the ADC scores are comparable with
+    # pq_adc_topk's same-resolution codes (the shipped default is now the
+    # sweep-proven (16, 4, rerank=50) point, which reranks exactly)
+    got = ivfpq_adc_topk(emb, k=50, nprobe=2, subspaces=4, rerank=None).collect()
     # reconstruct the probe set the operator used: top-2 labels by the
     # full-corpus PQ ranking's cells is not the contract — recompute from
     # membership: all returned ids must map to at most 2 distinct labels
@@ -141,8 +144,10 @@ def test_ivfpq_sweep_frontier_laws(spark):
     pool); (2) scanned fraction depends on nprobe alone (the probe is
     code-resolution-independent: cell distance sums the same full-dim
     LUT); (3) the table demonstrates the tuning goal — a >= 0.8-recall@10
-    configuration that scans < 100% of the corpus; (4) the shipped default
-    (M=4, nprobe=2) is the honest 0.1 row the docstrings document."""
+    configuration that scans < 100% of the corpus; (4) the r12-era default
+    (M=4, nprobe=2, no rerank) remains the honest 0.1 row documenting why
+    it was replaced; (5) the NOW-shipped default (M=16, nprobe=4,
+    rerank=50) is on the frontier at >= 0.8."""
     from etl_housing_spark.plans import all_queries
 
     rows = all_queries()["q_ivfpq_sweep"].fn(spark, SF_CORRECT).collect()
@@ -164,6 +169,8 @@ def test_ivfpq_sweep_frontier_laws(spark):
         r.recall_at_10 >= 0.8 and r.scanned_fraction < 1 for r in rows
     )
     assert by_cfg[(4, 2, 0)].recall_at_10 == 0.1
+    # the shipped ivfpq_adc_topk defaults must stay on the proven frontier
+    assert by_cfg[(16, 4, 50)].recall_at_10 >= 0.8
 
 
 def test_ivfpq_rerank_orders_candidates_exactly(spark):
