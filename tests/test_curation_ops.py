@@ -98,6 +98,26 @@ def test_semdedup_keeps_lowest_id_per_duplicate_set(spark, tmp_path):
     assert out[2].n_dups == 2  # both lower ids of its set are duplicates
 
 
+def test_semdedup_scaled_k_and_keep_rule(spark, tmp_path):
+    # Corpus-scaled k: n=5 -> k=ceil(sqrt(5))=3. Seeds are the 3 lowest
+    # vec_ids (all the e1 vector), so every row lands in one surviving
+    # cluster and the keep rule is exercised across BOTH duplicate sets:
+    # within each identical-vector set only the lowest id survives;
+    # cross-set cosine is 0 (< 0.2 threshold).
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0] * 63 + [1.0]
+    rows = [(0, e1, 0), (1, e1, 0), (2, e1, 0), (10, e2, 1), (11, e2, 1)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r.vec_id: r for r in SPECS["q_semdedup_scaled"].fn(spark, sf).collect()}
+    assert len(out) == 5
+    assert all(r.k == 3 for r in out.values())  # ceil(sqrt(5)), from the corpus
+    assert out[0].kept == 1 and out[10].kept == 1
+    assert out[1].kept == 0 and out[2].kept == 0 and out[11].kept == 0
+    assert out[2].n_dups == 2  # both lower ids of its set are duplicates
+    for r in out.values():  # kept flag is exactly the n_dups==0 predicate
+        assert r.kept == (1 if r.n_dups == 0 else 0)
+
+
 def test_dedup_incremental_tiers(spark, tmp_path):
     # Corpus = ids 1,2,3 (not % 5); batch = ids 0,5,10.
     #   id 0: verbatim copy of corpus doc 1      -> exact_dup, match 1

@@ -613,6 +613,15 @@ def test_semdedup_assignment_broadcasts_centroids(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_scaled_same_shape_at_scaled_k(spark):
+    """The corpus-scaled-k variant must keep the fixture fit's plan shape —
+    broadcast centroid assignment, cid equi-join for pairs, no cartesian:
+    the SCALE claim is that only k changes, never the topology."""
+    plan = _plan(_q(spark, "q_semdedup_scaled"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_incremental_no_corpus_self_join(spark):
     """The incremental gate joins batch shingles against corpus shingles on
     the shingle key — equi-joins only, and the batch/corpus split must push
