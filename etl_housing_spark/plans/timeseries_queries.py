@@ -454,7 +454,9 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # ⊘ ordered per-entity fold — not expressible as an associative
     # SQL aggregate (the closed form overflows); law-tested in
     # tests/test_operators.py: hand fixture, alpha=1 degeneracy, constant
-    # fixed point, partitioning invariance
+    # fixed point, partitioning invariance. Value-level companion:
+    # q_ewma_portable (hash-green final-value digest of the same
+    # recurrence, bound to this series by test_ewma_portable_binds_*)
     description="per-user EWMA trend smoothing (s_t = alpha*v_t + (1-alpha)*s_(t-1)) "
     "via grouped applyInPandas — the declared batch pattern for order-dependent "
     "per-entity logic: one shuffle on the entity key, Arrow-batched sequential "
@@ -467,6 +469,72 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ewma_by_key(ev, "user_id", ["ts", "event_id"], "value", alpha=0.3)
+
+
+@query(
+    "q_ewma_portable",
+    # The hash-checked twin of q_ewma (VERDICT r12 #7 — the last rows-only
+    # id without a value-level companion): the same order-sensitive
+    # recurrence s_t = 0.3·v_t + 0.7·s_(t-1), expressed as an ordered-array
+    # fold (the q_rolling_fingerprint_portable recipe: aggregate() ≡
+    # list_reduce over a list collected in pinned (ts, event_id) order).
+    # Per-row ARRAY folds are order-FIXED, so plain double arithmetic is
+    # bit-safe cross-engine (no decimal casts needed — both engines execute
+    # the identical 0.3*x + 0.7*a expression tree in the identical data-
+    # defined order); the fold seed is the first value on both sides
+    # (list_reduce has no explicit zero). Emits the FINAL smoothed value
+    # per entity — the recurrence's full-history digest, so any ordering or
+    # arithmetic divergence anywhere in the timeline changes the output.
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           CAST(list_reduce(vs, (a, x) -> 0.3 * x + 0.7 * a) AS DOUBLE)
+             AS ewma_final
+    FROM o
+    """,
+    description="hash-checked per-user EWMA (final smoothed value): the "
+    "order-sensitive recurrence s_t = 0.3*v_t + 0.7*s_(t-1) as an ordered-"
+    "array fold — values collected in pinned (ts, event_id) order, then "
+    "aggregate()/list_reduce execute the identical double expression in "
+    "the identical data-defined order, so the fold is bit-exact cross-"
+    "engine without decimal casts; one shuffle on the entity key, O(1) "
+    "fold state — the value-level twin of q_ewma's applyInPandas series "
+    "(which this digest pins end-to-end: any timeline divergence changes "
+    "the final value)",
+    tags=("timeseries",),
+)
+def q_ewma_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    o = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.col("value").cast("double").alias("value"),
+                        )
+                    )
+                ),
+                lambda s: s["value"],
+            ).alias("vs")
+        )
+    )
+    fold = F.expr(
+        "aggregate(slice(vs, 2, size(vs) - 1), vs[0],"
+        " (a, x) -> 0.3 * x + 0.7 * a)"
+    )
+    return o.select(
+        "user_id",
+        F.size("vs").cast("bigint").alias("n_events"),
+        fold.cast("double").alias("ewma_final"),
+    )
 
 
 @query(

@@ -693,6 +693,38 @@ def test_ewma_laws(spark):
         ewma_by_key(df, "k", ["t"], "v", alpha=0.0)
 
 
+def test_ewma_portable_binds_operator_series(spark):
+    """q_ewma_portable's final-value digest must equal the LAST row of
+    q_ewma's applyInPandas series per user (same alpha=0.3, same (ts,
+    event_id) order) — the binding that makes the hash-green twin a check
+    on the rows-only operator, not a parallel definition. Tolerance covers
+    only the two folds' differing FP evaluation trees (pandas ewm vs the
+    0.3*x + 0.7*a aggregate); the recurrence and ordering must agree."""
+    from etl_housing_spark.plans import all_queries
+
+    import pytest as _pytest
+
+    from tests.conftest import SF_CORRECT
+
+    specs = all_queries()
+    sf = SF_CORRECT
+    series = specs["q_ewma"].fn(spark, sf).collect()
+    last: dict[int, tuple] = {}
+    for r in series:
+        key = (r.ts, r.event_id)
+        if r.user_id not in last or key > last[r.user_id][0]:
+            last[r.user_id] = (key, r.ewma)
+    digest = {r.user_id: (r.n_events, r.ewma_final)
+              for r in specs["q_ewma_portable"].fn(spark, sf).collect()}
+    assert set(digest) == set(last)
+    counts: dict[int, int] = {}
+    for r in series:
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    for uid, (n, final) in digest.items():
+        assert n == counts[uid]
+        assert final == _pytest.approx(last[uid][1], rel=1e-12)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """operators/graph.py pagerank vs a dense NumPy power iteration with the
     identical dangling-mass-redistribution update, on a graph that exercises
