@@ -622,6 +622,16 @@ def test_semdedup_scaled_same_shape_at_scaled_k(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_jdbc_roundtrip_pushes_predicate_into_relation(spark):
+    """S6 plan-asserted (VERDICT r12 #8): the registered JDBC round-trip's
+    region predicate must reach the JDBCRelation as a pushed filter — the
+    scan ships `WHERE n_regionkey < 2` to the database instead of pulling
+    the table and filtering in Spark."""
+    plan = _plan(_q(spark, "q_jdbc_roundtrip"))
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+    assert "JDBCRelation" in plan
+
+
 def test_dedup_incremental_no_corpus_self_join(spark):
     """The incremental gate joins batch shingles against corpus shingles on
     the shingle key — equi-joins only, and the batch/corpus split must push
