@@ -235,10 +235,38 @@ def join_sortmerge_bucketed(spark, prefix: str):
     )
 
 
+def _wait_until_quiet(threshold: float, max_wait_s: float, poll_s: float = 15.0) -> dict:
+    """Bounded wait for the machine to go quiet before the boot snapshot
+    (VERDICT r12 #5: the driver's BENCH artifact kept failing the repo's
+    own boot-loadavg gate because the driver launches bench right after
+    heavy verification work; loadavg_1m needs ~1-2 min to decay). Sleeps in
+    ``poll_s`` steps while loadavg_1m > ``threshold``, up to ``max_wait_s``
+    total, then proceeds regardless — the gate still flags the run honestly
+    if the wait ran out. Returns {waited_s, polls, gave_up} for the
+    artifact. Opt out with EHS_BENCH_MAX_WAIT_S=0."""
+    waited, polls = 0.0, 0
+    while waited < max_wait_s:
+        la1 = os.getloadavg()[0]
+        if la1 <= threshold:
+            break
+        step = min(poll_s, max_wait_s - waited)
+        time.sleep(step)
+        waited += step
+        polls += 1
+    gave_up = os.getloadavg()[0] > threshold
+    return {"waited_s": round(waited, 1), "polls": polls, "gave_up": gave_up}
+
+
 def main() -> None:
-    # precondition snapshot FIRST — before the session, ingest relayout and
-    # warmup pass generate self-inflicted load that loadavg_1m would still
-    # reflect at timing start (its decay constant is ~1 min)
+    # Bounded wait-until-quiet, THEN the precondition snapshot — before the
+    # session, ingest relayout and warmup pass generate self-inflicted load
+    # that loadavg_1m would still reflect at timing start (its decay
+    # constant is ~1 min)
+    ncpu_boot = os.cpu_count() or 1
+    quiet_wait = _wait_until_quiet(
+        threshold=min(2.0, 0.5 * ncpu_boot),
+        max_wait_s=float(os.environ.get("EHS_BENCH_MAX_WAIT_S", "600")),
+    )
     load_boot = _load_snapshot()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -380,7 +408,8 @@ def main() -> None:
             "load": {"boot": load_boot, "start": load_start, "end": load_end,
                      "external_cpu_frac": external_frac,
                      "steal_cpu_frac": steal_frac,
-                     "wall_s": round(wall, 2), "ncpu": ncpu},
+                     "wall_s": round(wall, 2), "ncpu": ncpu,
+                     "quiet_wait": quiet_wait},
             "sanity": {"warm_gt_2x_cold": warm_gt_2x,
                        "contaminated": flagged,
                        "reasons": reasons},

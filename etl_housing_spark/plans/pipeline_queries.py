@@ -3350,13 +3350,13 @@ def q_dedup_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_pairs(sa)
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
-        .withColumn("shit_", F.lit(1))
+        .withColumn("sem_hit", F.lit(1))
     )
     return mt.join(sdrop, "doc_id", "left").select(
         "doc_id",
         F.col("p1").alias("pass_exact"),
         F.col("p2").alias("pass_media"),
-        F.when((F.col("p2") == 1) & F.col("shit_").isNull(), 1)
+        F.when((F.col("p2") == 1) & F.col("sem_hit").isNull(), 1)
         .otherwise(0)
         .cast("bigint")
         .alias("pass_semantic"),

@@ -747,20 +747,33 @@ def _reap_scratch_dirs() -> None:
         shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
 
 
+def _host_token() -> str:
+    """Short stable token for THIS host, embedded in scratch suffixes so
+    catalog hygiene can tell same-host entries (whose liveness the local
+    filesystem can answer) from other hosts' (which it cannot)."""
+    import hashlib
+    import socket
+
+    return hashlib.md5(socket.gethostname().encode()).hexdigest()[:6]
+
+
 def _stable_tmp(prefix: str, sf_dir: str) -> str:
-    """Stable scratch dir per (prefix, sf_dir, process): repeated
+    """Stable scratch dir per (prefix, sf_dir, host, process): repeated
     invocations (value check + plan test + every bench repetition)
     OVERWRITE the same location instead of leaking a fresh mkdtemp copy of
-    the table each call; the pid suffix keeps concurrent sessions from
-    clobbering each other mid-read. Every dir is registered for atexit
-    removal so the per-process uniqueness never turns into tempdir
+    the table each call; the host+pid suffix keeps concurrent sessions —
+    including same-pid sessions on DIFFERENT hosts sharing a metastore —
+    from clobbering each other mid-read. Every dir is registered for
+    atexit removal so the per-process uniqueness never turns into tempdir
     accumulation across a fleet of test/bench processes."""
     import atexit
     import hashlib
     import os
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}_{os.getpid()}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{tag}_{_host_token()}_{os.getpid()}"
+    )
     os.makedirs(path, exist_ok=True)
     if not _SCRATCH_DIRS:
         atexit.register(_reap_scratch_dirs)
@@ -790,11 +803,17 @@ def _save_bucketed(
     # removes only their data dirs — a shared metastore would otherwise
     # accumulate one missing-path table definition per past process. A
     # stale entry is one whose scratch dir is gone; live concurrent
-    # sessions' dirs exist, so they are never touched (race-free).
+    # sessions' dirs exist, so they are never touched (race-free). The
+    # sweep is scoped to SAME-HOST entries (the host token in the suffix):
+    # a live remote session's table has no local dir, so judging it by
+    # this host's filesystem would drop it mid-read (ADVICE r12).
+    host = f"_{_host_token()}_"
     for row in spark.sql(f"SHOW TABLES LIKE '{name}_*'").collect():
         other = row.tableName
-        if other != table and not os.path.isdir(
-            os.path.join(tempfile.gettempdir(), other)
+        if (
+            other != table
+            and host in other
+            and not os.path.isdir(os.path.join(tempfile.gettempdir(), other))
         ):
             spark.sql(f"DROP TABLE IF EXISTS {other}")
     spark.sql(f"DROP TABLE IF EXISTS {table}")
