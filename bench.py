@@ -253,8 +253,11 @@ def _wait_until_quiet(threshold: float, max_wait_s: float, poll_s: float = 15.0)
         time.sleep(step)
         waited += step
         polls += 1
-    gave_up = os.getloadavg()[0] > threshold
-    return {"waited_s": round(waited, 1), "polls": polls, "gave_up": gave_up}
+    # gave_up is judged by the CALLER from the same snapshot the gate
+    # reads — three separate getloadavg() reads at different instants
+    # could make the artifact self-contradictory (wait "succeeded" yet
+    # loadavg_at_boot flagged, or vice versa)
+    return {"waited_s": round(waited, 1), "polls": polls}
 
 
 def main() -> None:
@@ -263,11 +266,15 @@ def main() -> None:
     # that loadavg_1m would still reflect at timing start (its decay
     # constant is ~1 min)
     ncpu_boot = os.cpu_count() or 1
+    boot_threshold = min(2.0, 0.5 * ncpu_boot)
     quiet_wait = _wait_until_quiet(
-        threshold=min(2.0, 0.5 * ncpu_boot),
+        threshold=boot_threshold,
         max_wait_s=float(os.environ.get("EHS_BENCH_MAX_WAIT_S", "600")),
     )
     load_boot = _load_snapshot()
+    # one shared snapshot: gave_up and the loadavg_at_boot gate agree by
+    # construction
+    quiet_wait["gave_up"] = load_boot["loadavg_1m"] > boot_threshold
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     explain = "--explain" in sys.argv

@@ -804,15 +804,21 @@ def _save_bucketed(
     # accumulate one missing-path table definition per past process. A
     # stale entry is one whose scratch dir is gone; live concurrent
     # sessions' dirs exist, so they are never touched (race-free). The
-    # sweep is scoped to SAME-HOST entries (the host token in the suffix):
-    # a live remote session's table has no local dir, so judging it by
-    # this host's filesystem would drop it mid-read (ADVICE r12).
-    host = f"_{_host_token()}_"
+    # sweep is scoped to entries this host's filesystem can JUDGE: new-
+    # format names carrying THIS host's token, plus legacy pre-host-token
+    # names ({name}_{tag}_{pid} — created before suffixes were host-
+    # qualified, when every entry was implicitly local; without this
+    # branch they would orphan forever). An entry carrying a DIFFERENT
+    # host's token is never touched — a live remote session's table has
+    # no local dir, so judging it here would drop it mid-read (ADVICE r12).
+    host = _host_token()
     for row in spark.sql(f"SHOW TABLES LIKE '{name}_*'").collect():
         other = row.tableName
+        parts = other[len(name) + 1 :].split("_")
+        local = (len(parts) >= 3 and parts[-2] == host) or len(parts) == 2
         if (
             other != table
-            and host in other
+            and local
             and not os.path.isdir(os.path.join(tempfile.gettempdir(), other))
         ):
             spark.sql(f"DROP TABLE IF EXISTS {other}")

@@ -1719,13 +1719,18 @@ _KM_SCALED_CTES = """
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
+    from ..operators._ckpt import tracked_persist
     from ..operators.clustering import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     k = int(math.ceil(math.sqrt(emb.count())))
+    # the fit fans into three plan branches (both pair-join legs + the
+    # final left join); unpersisted, the n·k assignment would re-execute
+    # per branch — at the scaled k that triples the most expensive subtree
     assigned, _cents = kmeans_fit(emb, k=k, rounds=2)
+    assigned = tracked_persist(assigned)
     dups = (
         semdedup_pairs(assigned, threshold=0.2)
         .groupBy("id_a")

@@ -63,6 +63,12 @@ def _driver_commit_md5s(latest: int) -> dict[str, str]:
             cwd=_REPO_ROOT, capture_output=True, text=True, check=True,
         ).stdout.strip()
         if not commit:
+            print(
+                f"WARNING: {art} is not committed — cannot snapshot the "
+                "driver-run oracle text; refreshed ids will stamp the "
+                "WORKING-TREE md5, which certifies any post-driver edits. "
+                "Commit the driver artifacts first, then re-run."
+            )
             return {}
         with tempfile.TemporaryDirectory() as td:
             wt = str(pathlib.Path(td) / "snap")
