@@ -1,5 +1,8 @@
-"""Minimal pure-stdlib AVI (RIFF) codec for uncompressed BI_RGB video —
+"""Minimal no-media-library AVI (RIFF) codec for uncompressed BI_RGB video —
 the video twin of functions/wav.py (audio) and functions/png.py (images).
+Container parsing is pure stdlib ``struct``; the per-pixel row repack is
+numpy-vectorized (numpy is a core project dependency, not a media library
+— the Pillow/PyAV boundary is unchanged).
 
 An AVI container with 24-bit uncompressed DIB frames is pure ``struct``
 arithmetic — RIFF chunk walking plus BITMAPINFOHEADER row unpacking — so,
@@ -22,6 +25,8 @@ a training-data pipeline needs.
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 RIFF_MAGIC = b"RIFF"
 _AVI_FOURCC = b"AVI "
@@ -60,16 +65,17 @@ def encode_rgb24(
             raise ValueError(
                 f"frame holds {len(f)} bytes, expected {3 * width * height}"
             )
-        rows = []
-        for y in range(height - 1, -1, -1):  # DIB stores bottom-up
-            row = bytearray()
-            base = y * 3 * width
-            for x in range(width):  # RGB -> BGR
-                r, g, b = f[base + 3 * x : base + 3 * x + 3]
-                row += bytes((b, g, r))
-            row += b"\x00" * (stride - 3 * width)
-            rows.append(bytes(row))
-        dib_frames.append(b"".join(rows))
+        # vectorized row flip (DIB stores bottom-up) + RGB->BGR swap +
+        # stride padding — byte-identical to the per-pixel loop it
+        # replaced, ~10x faster on the fingerprint hot path
+        arr = np.frombuffer(f, dtype=np.uint8).reshape(height, width, 3)
+        bgr = arr[::-1, :, ::-1].reshape(height, 3 * width)
+        if stride > 3 * width:
+            padded = np.zeros((height, stride), dtype=np.uint8)
+            padded[:, : 3 * width] = bgr
+            dib_frames.append(padded.tobytes())
+        else:
+            dib_frames.append(np.ascontiguousarray(bgr).tobytes())
 
     frame_bytes = stride * height
     avih = struct.pack(
@@ -179,14 +185,15 @@ def decode_rgb24(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(
                 f"truncated DIB frame: {len(raw)} bytes < {stride * height}"
             )
-        out = bytearray(3 * width * height)
-        for y in range(height):
-            src = (height - 1 - y) * stride  # bottom-up -> top-down
-            dst = y * 3 * width
-            for x in range(width):
-                b, g, r = raw[src + 3 * x : src + 3 * x + 3]
-                out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
-        frames.append(bytes(out))
+        # vectorized bottom-up -> top-down flip + BGR->RGB swap (strip the
+        # stride padding on the way) — byte-identical to the per-pixel
+        # loop it replaced; this was the dominant per-clip cost of the
+        # video fingerprint pass (r13 sf30 root-cause)
+        arr = np.frombuffer(raw, dtype=np.uint8, count=stride * height)
+        rows_ = arr.reshape(height, stride)[::-1, : 3 * width]
+        frames.append(
+            np.ascontiguousarray(rows_.reshape(height, width, 3)[:, :, ::-1]).tobytes()
+        )
     return width, height, us_per_frame, frames
 
 

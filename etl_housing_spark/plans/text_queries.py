@@ -965,6 +965,8 @@ def _png_fixture_media(docs):
     import pandas as pd
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..functions import png as _png
 
         for pdf in batches:
@@ -972,7 +974,12 @@ def _png_fixture_media(docs):
             for d in pdf["doc_id"]:
                 d = int(d)
                 w, h = 16 + d % 16, 16 + d % 8
-                pixels = bytes((d * 31 + i * 7) % 256 for i in range(w * h))
+                # vectorized: byte-identical to the per-pixel generator
+                pixels = (
+                    ((d * 31 + np.arange(w * h, dtype=np.int64) * 7) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
                 payloads.append(_png.encode_gray(w, h, pixels))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
@@ -1115,6 +1122,8 @@ def _avi_fixture_media(docs):
     import pandas as pd
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..functions import avi as _avi
 
         for pdf in batches:
@@ -1122,12 +1131,14 @@ def _avi_fixture_media(docs):
             for d in pdf["doc_id"]:
                 d = int(d)
                 w, h, nf = 8 + d % 8, 6 + d % 6, 2 + d % 3
+                # vectorized pattern gen: value depends on the pixel index
+                # i, repeated across the 3 channels — byte-identical to the
+                # per-pixel generator it replaced
+                idx7 = np.arange(w * h, dtype=np.int64) * 7
                 frames = [
-                    bytes(
-                        (d * 13 + f * 17 + i * 7) % 256
-                        for i in range(w * h)
-                        for _ in range(3)
-                    )
+                    np.repeat(
+                        ((d * 13 + f * 17 + idx7) % 256).astype(np.uint8), 3
+                    ).tobytes()
                     for f in range(nf)
                 ]
                 payloads.append(_avi.encode_rgb24(w, h, frames))
