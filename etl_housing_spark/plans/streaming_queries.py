@@ -533,7 +533,10 @@ from .text_queries import _cluster_reps_oracle as _rep_gate_oracle  # noqa: E402
     # so the four codec chains run single-partition here; a production
     # readStream delivers normally-partitioned batches and the chains are
     # map-only, so ingest throughput is the fingerprint decode rate
-    # already measured on the batch side (~50 k payloads/s/32 cores).
+    # already measured on the batch side (slowest chain, the image dHash,
+    # ~170 k payloads/s on 32 cores; video ~280 k/s, audio ~440 k/s —
+    # sf30 points after the r13 numpy vectorization of the AVI repack;
+    # the video chain was ~57 k/s before it).
     oracle=_rep_gate_oracle(),
     description="streaming cluster-representative dedup gate: arriving "
     "documents fingerprinted per modality by the batch codec chains "
