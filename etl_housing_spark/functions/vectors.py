@@ -9,6 +9,8 @@ final cast to DOUBLE rounds identically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -19,6 +21,16 @@ _ACC = "decimal(28,18)"
 
 
 def _dec_sum(arr: Column) -> Column:
+    """Order-exact array fold — or, under ``EHS_FAST_SUMS=1`` (the same
+    production switch plans/_util.fast_sums documents for dsum/davg), a
+    plain sequential double fold: same plan shape, no per-element
+    BigDecimal, not bit-reproducible against the DuckDB oracle. Read per
+    CALL at plan-construction time, exactly like dsum; duplicated rather
+    than imported because functions/ must not import plans/ (layering).
+    This is the switch that erases the decimal tax from the vector
+    family's hot paths (k-means assignment, SemDeDup cosine, ADC scan)."""
+    if os.environ.get("EHS_FAST_SUMS", "") == "1":
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     return F.aggregate(
         arr, F.lit(0).cast(_ACC), lambda acc, x: (acc + x.cast(_ACC)).cast(_ACC)
     ).cast("double")

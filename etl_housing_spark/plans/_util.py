@@ -52,7 +52,9 @@ def fast_sums() -> bool:
     not a numerical-accuracy need. A deployment that does not diff against
     an oracle flips this on and erases the decimal tax (1.4–6.3× per
     sum-heavy query, q_pricing_summary 6.3×, measured at sf10 — table in
-    BASELINE.md); results then agree with the exact sum to double
+    BASELINE.md; since r13 the switch also covers the vector family's
+    array folds, functions/vectors._dec_sum — k-means assignment, SemDeDup
+    cosine, ADC scoring); results then agree with the exact sum to double
     round-off on the documented 6dp domain (|Δ|/Σ ≲ n·2⁻⁵³ — at 1e12 rows
     still ~1e-4 relative worst-case, ~1e-10 typical random-sign error).
 
