@@ -150,3 +150,37 @@ def test_fast_sums_mode_agrees_to_roundoff_and_defaults_exact(monkeypatch):
     assert fast == pytest.approx(exact, rel=1e-12)
     after = df.agg(dsum("x").alias("s")).collect()[0].s
     assert after == exact  # env restored -> exact mode again
+
+
+def test_fast_sums_covers_vector_fold(monkeypatch):
+    """The r13 extension: EHS_FAST_SUMS=1 must also switch the vector
+    family's array fold (functions/vectors._dec_sum — k-means assignment,
+    SemDeDup cosine, ADC scoring) to a plain double fold, with the same
+    contract as dsum: opt-in, plan-visible, round-off-level agreement,
+    and exact mode restored when the env var is gone."""
+    from etl_housing_spark.functions import vectors as V
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [([float(i) / 7 for i in range(1, 65)], [float(i) / 11 for i in range(1, 65)])],
+        "a array<double>, b array<double>",
+    )
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    exact_df = df.select(V.dot(F.col("a"), F.col("b")).alias("d"))
+    assert "decimal" in plan_of(exact_df).lower(), "exact mode must fold in decimal"
+    exact = exact_df.collect()[0].d
+
+    monkeypatch.setenv("EHS_FAST_SUMS", "1")
+    fast_df = df.select(V.dot(F.col("a"), F.col("b")).alias("d"))
+    assert "decimal" not in plan_of(fast_df).lower(), (
+        "fast mode must drop the decimal fold from the vector path"
+    )
+    fast = fast_df.collect()[0].d
+    monkeypatch.delenv("EHS_FAST_SUMS")
+
+    assert fast == pytest.approx(exact, rel=1e-12)
+    after = df.select(V.dot(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    assert after == exact
