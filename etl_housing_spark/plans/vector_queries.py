@@ -1749,6 +1749,137 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ann_ivf_scaled",
+    # The at-scale ANN the r13 recall-decade measurement demanded: the
+    # shipped IVFPQ default holds its 0.8 recall only at fixture scale —
+    # measured 0.8 (sf0.01) → 0.2 (sf1) → 0.1 (sf10) — because its coarse
+    # cells AND its PQ codebook entries are the testdata's 10 labels at
+    # every corpus size, so at sf10 thousands of vectors share one code
+    # and the rerank cut is tie-break noise. Same disease as fixed-k
+    # SemDeDup, same cure as q_semdedup_scaled: the index must GROW with
+    # the corpus. Here the coarse quantizer is the corpus-scaled k-means
+    # fit (k = ceil(sqrt(n)) cells, the same hash-checked Lloyd chain),
+    # the query probes its nprobe = ceil(sqrt(k)) best cells by centroid
+    # dot product, and only probed cells' vectors are scored exactly —
+    # scan fraction ~ nprobe/k = n^(-1/4): 22% at n=500, ~5% at n=200k,
+    # ~0.6% at n=1e9. Full-dim exact scoring inside probed cells (IVFFlat,
+    # not IVFPQ): cells shrink as the index grows, so the probed set stays
+    # small without a code-quantization tier whose tie plateaus this
+    # corpus's 10-label structure makes pathological.
+    oracle=_KM_SCALED_CTES + """,
+    nsel AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS np FROM ksel),
+    pc2 AS (
+      SELECT a2.cid, i.i AS dim,
+             CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN range(0, 64) i(i) ON true
+      GROUP BY a2.cid, i.i),
+    c2 AS (SELECT cid, list(m ORDER BY dim) AS c FROM pc2 GROUP BY cid),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c2.cid,
+               row_number() OVER (ORDER BY list_dot_product(c2.c, qv.q) DESC, c2.cid) AS rn
+        FROM c2 CROSS JOIN qv)
+      WHERE rn <= (SELECT np FROM nsel))
+    SELECT e.vec_id, ROUND(list_dot_product(e.v, qv.q), 6) AS score,
+           (SELECT k FROM ksel) AS k, (SELECT np FROM nsel) AS nprobe
+    FROM a2 JOIN probe ON a2.cid = probe.cid
+    JOIN e ON e.vec_id = a2.vec_id CROSS JOIN qv
+    ORDER BY score DESC, e.vec_id LIMIT 10
+    """,
+    description="IVF ANN at the corpus-scaled index size: coarse quantizer "
+    "= k-means with k = ceil(sqrt(n)) cells computed from the corpus (the "
+    "q_semdedup_scaled regime applied to retrieval), probe nprobe = "
+    "ceil(sqrt(k)) cells by centroid dot product, exact scoring inside "
+    "probed cells only — scan fraction nprobe/k ~ n^(-1/4) shrinks as the "
+    "corpus grows, where the fixture-sized index's recall collapses "
+    "(0.8 -> 0.1 across two decades, the r13 measurement). Same "
+    "hash-checked Lloyd chain, sequential-double dot scoring, and "
+    "(score DESC, vec_id) total order as the fixture twins; top-10 plus "
+    "the k and nprobe used. Scale shape: broadcast centroids, broadcast "
+    "nprobe-row probe list, one n*k assignment (the index build — "
+    "amortized across queries in a deployment), probed-cell scan",
+    tags=("vector",),
+)
+def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators._ckpt import tracked_persist
+    from ..operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.count()
+    k = int(math.ceil(math.sqrt(n)))
+    nprobe = int(math.ceil(math.sqrt(k)))
+    # the assignment fans into the final-centroid update AND the probed
+    # scan; unpersisted, the n*k fit would re-execute per branch
+    assigned, cents = kmeans_fit(emb, k=k, rounds=2)
+    assigned = tracked_persist(assigned)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("__q"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", V.dot_seq(F.col("c"), F.col("__q")).alias("cs"))
+        .orderBy(F.desc("cs"), "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    pruned = assigned.join(F.broadcast(probed), "cid")
+    return (
+        pruned.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(V.dot_seq(F.col("v"), F.col("__q")), 6).alias("score"),
+            F.lit(k).cast("long").alias("k"),
+            F.lit(nprobe).cast("long").alias("nprobe"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ann_recall_scaled_oracle() -> str:
+    """Recall@10 of the corpus-scaled IVF against the exact brute-force
+    ground truth — both registered constructions, composed verbatim."""
+    from .registry import _REGISTRY
+
+    exact = _REGISTRY["q_similarity_topk"].oracle
+    approx = _REGISTRY["q_ann_ivf_scaled"].oracle
+    return f"""
+    SELECT CAST(10 AS BIGINT) AS k, COUNT(*) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 6) AS recall_at_k
+    FROM ({exact}) e JOIN ({approx}) a ON e.vec_id = a.vec_id
+    """
+
+
+@query(
+    "q_ann_recall_scaled",
+    # The recall-at-scale metric as a registered query, so the scaled
+    # index's quality claim is itself hash-checkable and decade-pointable
+    # — the instrument that caught the fixture index's collapse (recall
+    # 0.8 -> 0.2 -> 0.1 across sf0.01/sf1/sf10) applied to its replacement.
+    oracle=_ann_recall_scaled_oracle(),
+    description="recall@10 of the corpus-scaled IVF (q_ann_ivf_scaled) "
+    "against the exact brute-force top-10 (q_similarity_topk) — the "
+    "at-scale retrieval-quality metric; both sides deterministic, so the "
+    "number hash-matches the oracle at any sf",
+    tags=("vector", "eval"),
+)
+def q_ann_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+    approx = q_ann_ivf_scaled(spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, "vec_id", "semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Cluster-balanced sampling (the MetaCLIP balancing step — Xu et al. 2024,
 # "Demystifying CLIP Data": entries over the cap t are kept with probability
