@@ -356,6 +356,16 @@ def ivfpq_adc_topk(
     default measured 0.1 on the same sweep — proven-bad, replaced).
     Callers wanting the plain ADC cut pass ``rerank=None`` explicitly.
 
+    FIXTURE-SCALE CAVEAT (r13 recall-decade measurement): that 0.8 holds
+    only while the corpus is fixture-sized. With ``label_col`` as both
+    the coarse cells and the codebook candidates, the index has 10
+    entries at EVERY corpus size, so codes tie in plateaus as n grows —
+    recall@10 decays 0.8 (n=500) → 0.2 (n=20 k) → 0.1 (n=200 k). At
+    corpus scale the index must grow with the data: use a corpus-scaled
+    trained coarse quantizer (q_ann_ivf_scaled: k-means at k=⌈√n⌉,
+    nprobe=⌈√k⌉ — recall holds ≥ 0.8 through n=200 k on a shrinking
+    scan fraction; BASELINE.md round 13 part 3).
+
     ``parts`` lets a caller that ALSO needs the query-side frames (the
     operating-point sweep reads the probe for its scanned fraction) pass
     one _ivfpq_parts result instead of re-deriving it; the tuple must

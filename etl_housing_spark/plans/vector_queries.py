@@ -566,7 +566,11 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floats (recall@10 0.8 at ~38% scan per q_ivfpq_sweep; the r12-shipped "
     "(4,2,no-rerank) default measured 0.1 and was replaced). Stacks both "
     "100 TB wins: the scan touches nprobe/K of the corpus as codes, and the "
-    "exact pass touches only 50 vectors, so the scan shape is unchanged",
+    "exact pass touches only 50 vectors, so the scan shape is unchanged. "
+    "Fixture-scale instrument: the 10-label index does not grow with the "
+    "corpus, so this default's recall decays past fixture scale (r13 "
+    "decade measurement 0.8→0.2→0.1) — the at-scale entry point is "
+    "q_ann_ivf_scaled (corpus-scaled cells, recall holds ≥0.8)",
     tags=("vector",),
 )
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,7 +894,9 @@ def _ivfpq_recall_oracle() -> str:
     "default measured 0.1 on this same metric (testdata Gaussians overlap "
     "across the 10 label cells, K=10 codebooks, 2-cell probing + coarse "
     "ADC tie plateaus) — the diagnosis that drove the sweep and the "
-    "default flip",
+    "default flip. Run AT SCALE this metric is the collapse detector: "
+    "0.8→0.2→0.1 across sf0.01/sf1/sf10 under the fixed 10-entry index "
+    "(r13) — the finding q_ann_ivf_scaled/q_ann_recall_scaled answer",
     tags=("vector", "eval"),
 )
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
