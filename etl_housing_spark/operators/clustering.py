@@ -46,18 +46,28 @@ def kmeans_assign(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> 
     """(id, v) × broadcast centroids → (id, v, cid) by decimal-exact argmin
     under the total (dist, cid) order.
 
-    The argmin is ``min(struct(d, cid, v))`` — lexicographic struct
-    ordering never reaches ``v`` because (d, cid) is unique per id — NOT a
-    row_number window: a window would full-shuffle and sort all n×k scored
-    rows (each carrying the vector) with no partial aggregation, while the
-    grouped min combines map-side to one row per id per partition before
-    the shuffle — the difference between ~k copies of the corpus on the
-    wire and one."""
+    The argmin is ``min(struct(d, cid))`` over NARROW (id, d, cid) rows,
+    with ``v`` joined back by id afterward — the struct deliberately does
+    NOT carry the vector. A struct ``min`` is not hash-aggregable, so
+    Catalyst plans SortAggregate either way; what the width decides is
+    WHAT gets sorted. The previous form, ``min(struct(d, cid, v))``,
+    sorted the full n·k scored stream with every row carrying the
+    64-dim vector: at sf30's 600 k × 775 cells that is ~465 M rows ×
+    ~550 B ≈ 250 GB of sort spill — measured filling the disk (the r13
+    scale crash). The narrow form sorts ~26-byte rows (~12 GB at the
+    same point, 20× less), partial_min still combines map-side so only
+    n best-rows reach the shuffle, and the v join-back is one n-row
+    equi-join against the input — three orders of magnitude smaller
+    than the sort it replaces. (A row_number window would be strictly
+    worse: full shuffle of all n·k rows, no partial aggregation.)
+    Ties are impossible in the (d, cid) order because cid is unique per
+    id, so the argmin is total and the value is bit-identical to the
+    wide form (asserted by every kmeans-chain oracle parity)."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col, V.sqdist(F.col("v"), F.col("c")).alias("d"), "cid", "v"
+        id_col, V.sqdist(F.col("v"), F.col("c")).alias("d"), "cid"
     )
-    best = scored.groupBy(id_col).agg(F.min(F.struct("d", "cid", "v")).alias("m"))
-    return best.select(id_col, F.col("m.v").alias("v"), F.col("m.cid").alias("cid"))
+    best = scored.groupBy(id_col).agg(F.min(F.struct("d", "cid")).alias("m"))
+    return vecs.join(best, id_col).select(id_col, "v", F.col("m.cid").alias("cid"))
 
 
 def kmeans_update(assigned: DataFrame) -> DataFrame:

@@ -910,3 +910,29 @@ def test_dedup_tiered_no_cartesian_and_windowed_tiers(spark):
     bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
     assert all("Cross" in l for l in bnlj if "(" not in l.split()[0]), bnlj
     assert "Window" in plan
+
+
+def test_kmeans_assign_aggregates_narrow_rows(spark):
+    """The r13 scale crash in plan form: kmeans_assign's argmin aggregate
+    must fold NARROW (id, d, cid) rows — the struct min is SortAggregate
+    either way (structs are not hash-aggregable), so if the vector column
+    rides inside the min(...) the sort spills the full n*k wide stream
+    (~250 GB at sf30's 600k x 775 cells, measured filling the disk).
+    Pin: the min struct carries exactly (d, cid), never v; partial
+    aggregation still present (map-side combine before the exchange)."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.clustering import kmeans_assign, seed_centroids
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    plan = _plan(kmeans_assign(emb, seed_centroids(emb, 4)))
+    mins = [l for l in plan.splitlines() if "min(struct(d," in l]
+    assert mins, "argmin aggregate vanished from the plan"
+    assert all(" v," not in l and " v#" not in l for l in mins), (
+        "vector column rode into the argmin struct — the n*k sort is wide again:\n"
+        + "\n".join(mins)
+    )
+    assert "partial_min" in plan, "map-side combine lost"
