@@ -28,7 +28,18 @@ def _dec_sum(arr: Column) -> Column:
     CALL at plan-construction time, exactly like dsum; duplicated rather
     than imported because functions/ must not import plans/ (layering).
     This is the switch that erases the decimal tax from the vector
-    family's hot paths (k-means assignment, SemDeDup cosine, ADC scan)."""
+    family's hot paths (k-means assignment, SemDeDup cosine, ADC scan).
+
+    ARGMIN/THRESHOLD CONSUMERS (ADVICE r13): for plain sums the fast
+    fold differs from the exact fold only by round-off — but k-means
+    assignment, SemDeDup keep/drop, and ADC top-k all pass these sums
+    through a DISCRETE decision (argmin, threshold, limit), and a
+    round-off-level distance delta can flip which cluster/candidate wins
+    when two are near-tied. Fast-mode output for those consumers can
+    therefore differ DISCRETELY from exact mode (a different — still
+    valid-quality — assignment or top-k member), not just in trailing
+    digits. Exact mode remains the verification default; conftest fails
+    fast if the switch leaks into a verification session."""
     if os.environ.get("EHS_FAST_SUMS", "") == "1":
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
     return F.aggregate(

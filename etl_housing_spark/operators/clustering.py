@@ -62,7 +62,17 @@ def kmeans_assign(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> 
     worse: full shuffle of all n·k rows, no partial aggregation.)
     Ties are impossible in the (d, cid) order because cid is unique per
     id, so the argmin is total and the value is bit-identical to the
-    wide form (asserted by every kmeans-chain oracle parity)."""
+    wide form (asserted by every kmeans-chain oracle parity).
+
+    PRECONDITION (ADVICE r13): ``id_col`` must be unique and non-null —
+    the join-back is an inner equi-join on it, so null ids are DROPPED
+    and duplicate ids FAN OUT (the old groupBy form kept both; every
+    in-repo caller feeds the unique non-null ``vec_id``). The join-back
+    also evaluates the ``vecs`` lineage a second time (once under
+    ``scored``, once as the join probe): fine when vecs is a table scan
+    as in all current callers, but a caller whose vecs is an expensive
+    unpersisted subtree should persist it first (kmeans_fit's callers
+    already tracked_persist the fit output for the same reason)."""
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col, V.sqdist(F.col("v"), F.col("c")).alias("d"), "cid"
     )

@@ -57,6 +57,12 @@ def fast_sums() -> bool:
     cosine, ADC scoring); results then agree with the exact sum to double
     round-off on the documented 6dp domain (|Δ|/Σ ≲ n·2⁻⁵³ — at 1e12 rows
     still ~1e-4 relative worst-case, ~1e-10 typical random-sign error).
+    That round-off bound holds for the SUMS themselves; consumers that
+    pass a fast sum through a discrete decision — k-means argmin, a
+    SemDeDup/near-dup threshold, an ADC top-k cut — can see a near-tied
+    comparison flip, so fast mode there can change a cluster assignment
+    or top-k member outright (still valid-quality output, but discretely
+    different, not a round-off delta; ADVICE r13).
 
     Scope and timing: the flag is read by each dsum()/davg() CALL during
     driver-side plan construction — set it before building the query and

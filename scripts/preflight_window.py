@@ -42,8 +42,12 @@ def main() -> int:
     print(f"WINDOW: {ids}")
     failures = 0
     for name in ids:
-        spec = specs[name]
         try:
+            # inside the try: an unknown/typo'd id counts as that id's
+            # FAILURE (with the per-id accounting and the spark.stop()
+            # below), instead of a KeyError aborting the whole preflight
+            # (ADVICE r13)
+            spec = specs[name]
             if spec.oracle:
                 assert_parity(spark, spec, sf_dir)
                 print(f"{name}: hash OK")
