@@ -1886,6 +1886,201 @@ def q_ann_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The PQ tier of the scaled index, appended to _KM_SCALED_CTES (which ends
+# at a2, the final coarse assignment). Every fragment is a proven-green
+# construction at a new shape: pc2/c2 (final centroids) and the probe are
+# q_ann_ivf_scaled's, with the probe metric flipped to decimal L2 so probe,
+# ADC, and rerank share ONE metric (the q_ivfpq_search discipline); the
+# training sample is q_cluster_balanced_sample's overflow-free integer
+# md5-uniform; seeds/assignment/codebook-means are the _KM_SCALED_CTES
+# Lloyd fragments per subspace; LUT/ADC/rerank are q_ivfpq_search's CTEs
+# against the learned codebook.
+_PQ_SCALED_CTES = """,
+    ncnt AS (SELECT COUNT(*) AS n FROM embeddings),
+    nsel AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS np FROM ksel),
+    pc2 AS (
+      SELECT a2.cid, i.i AS dim,
+             CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN range(0, 64) i(i) ON true
+      GROUP BY a2.cid, i.i),
+    c2 AS (SELECT cid, list(m ORDER BY dim) AS c FROM pc2 GROUP BY cid),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    pd AS (
+      SELECT c2.cid,
+             CAST(SUM(CAST((c2.c[i.i + 1] - qv.q[i.i + 1]) * (c2.c[i.i + 1] - qv.q[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM c2 CROSS JOIN qv JOIN range(0, 64) i(i) ON true
+      GROUP BY c2.cid),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM pd)
+      WHERE rn <= (SELECT np FROM nsel)),
+    samp AS (
+      SELECT e.vec_id, e.v FROM e, ncnt
+      WHERE CAST('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+            <= (2048 * 4294967296 - 1) // ncnt.n),
+    pseed AS (
+      SELECT rn - 1 AS cand, v FROM (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+      WHERE rn <= 256),
+    pc0 AS (
+      SELECT cand, CAST(i.i AS BIGINT) AS i, v[i.i + 1] AS c
+      FROM pseed JOIN range(0, 64) i(i) ON true),
+    sexpl AS MATERIALIZED (
+      SELECT vec_id, CAST(i.i AS BIGINT) AS i, i.i // 4 AS sub, v[i.i + 1] AS x
+      FROM samp JOIN range(0, 64) i(i) ON true),
+    pd1 AS (
+      SELECT s.vec_id, s.sub, pc0.cand,
+             CAST(SUM(CAST((s.x - pc0.c) * (s.x - pc0.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+      FROM sexpl s JOIN pc0 ON s.i = pc0.i
+      GROUP BY s.vec_id, s.sub, pc0.cand),
+    pa1 AS (
+      SELECT vec_id, sub, cand FROM (
+        SELECT vec_id, sub, cand,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rn
+        FROM pd1) WHERE rn = 1),
+    pcb AS MATERIALIZED (
+      SELECT pa1.cand, s.i,
+             CAST(SUM(CAST(s.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+      FROM sexpl s JOIN pa1 ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
+      GROUP BY pa1.cand, s.i),
+    qd AS (
+      SELECT CAST(i.i AS BIGINT) AS i, i.i // 4 AS sub, qv.q[i.i + 1] AS qx
+      FROM qv JOIN range(0, 64) i(i) ON true),
+    lut AS MATERIALIZED (
+      SELECT qd.sub, pcb.cand,
+             CAST(SUM(CAST((qd.qx - pcb.c) * (qd.qx - pcb.c) AS DECIMAL(38,18))) AS DOUBLE)
+               AS lut_d2
+      FROM qd JOIN pcb ON qd.i = pcb.i
+      GROUP BY qd.sub, pcb.cand),
+    pex AS MATERIALIZED (
+      SELECT e.vec_id, CAST(i.i AS BIGINT) AS i, i.i // 4 AS sub, e.v[i.i + 1] AS x
+      FROM a2 JOIN probe ON a2.cid = probe.cid
+      JOIN e ON e.vec_id = a2.vec_id
+      JOIN range(0, 64) i(i) ON true),
+    cd2 AS (
+      SELECT p.vec_id, p.sub, pcb.cand,
+             CAST(SUM(CAST((p.x - pcb.c) * (p.x - pcb.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+      FROM pex p JOIN pcb ON p.i = pcb.i
+      GROUP BY p.vec_id, p.sub, pcb.cand),
+    codes AS (
+      SELECT vec_id, sub, cand AS code FROM (
+        SELECT vec_id, sub, cand,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rn
+        FROM cd2) WHERE rn = 1),
+    adc AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc_d2
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cand
+      GROUP BY c.vec_id),
+    cand50 AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 50),
+    ex AS (
+      SELECT p.vec_id,
+             CAST(SUM(CAST((p.x - qd.qx) * (p.x - qd.qx) AS DECIMAL(38,18))) AS DOUBLE)
+               AS exact_d2
+      FROM pex p JOIN cand50 ON p.vec_id = cand50.vec_id
+      JOIN qd ON p.i = qd.i
+      GROUP BY p.vec_id)"""
+
+
+@query(
+    "q_ivfpq_scaled",
+    # IVFADC+R with BOTH tiers corpus-scaled/corpus-trained — the
+    # composition VERDICT r13 flagged as the missing 100 TB memory/IO
+    # shape: q_ann_ivf_scaled proved decade-stable recall needs a coarse
+    # quantizer that grows with the corpus but scans full-width floats in
+    # probed cells (IVFFlat); q_ivfpq_search owns the codes-only scan but
+    # rides the fixture's 10-label index whose recall collapses past
+    # fixture scale. This query composes the proven pieces: scaled
+    # k-means cells (k = ceil(sqrt(n)), nprobe = ceil(sqrt(k)) — scan
+    # fraction ~ n^(-1/4)) + PQ codebooks TRAINED on a deterministic
+    # md5-capped corpus sample (256 entries/subspace, the 8-bit FAISS
+    # standard; codebook resolution is a per-vector knob and need not
+    # grow with n, unlike cell count) + ADC over probed cells' 16-byte
+    # codes + exact decimal-L2 rerank of the top 50. ONE metric (L2) end
+    # to end: probe, ADC, and rerank cannot disagree on un-normalized
+    # inputs.
+    oracle=_KM_SCALED_CTES + _PQ_SCALED_CTES + """
+    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
+           (SELECT k FROM ksel) AS k, (SELECT np FROM nsel) AS nprobe
+    FROM ex ORDER BY exact_d2, vec_id LIMIT 10
+    """,
+    description="IVFADC+R at the corpus-scaled index size (Jégou et al. "
+    "2011 §V-VI composed with the q_ann_ivf_scaled regime): coarse "
+    "quantizer = k-means with k = ceil(sqrt(n)) cells computed from the "
+    "corpus, probe nprobe = ceil(sqrt(k)) cells by decimal L2, then ONLY "
+    "probed cells' vectors are scored by ADC lookup on their 16-byte PQ "
+    "codes — whose per-subspace codebooks are trained on a deterministic "
+    "md5-capped sample of the CORPUS (256 entries, nearest-seed "
+    "assignment + decimal-exact means), not the fixture labels — and the "
+    "ADC top-50 is exactly re-ranked by decimal L2 on the floats. Both "
+    "index tiers grow/learn with the data, so recall survives the decades "
+    "where the fixture index collapses, AND the scan reads codes (16 B) "
+    "instead of float vectors (256 B) — the IVFADC memory/IO shape "
+    "stacked on the n^(-1/4) scan fraction. Scale shape: the corpus-sized "
+    "work is the coarse fit (index build, amortized across queries) and "
+    "the probed-cell code assignment (code build, likewise amortized); "
+    "the per-query work is a kc-row probe aggregate, a code join, and a "
+    "50-vector exact rerank",
+    tags=("vector",),
+)
+def q_ivfpq_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import ivfpq_scaled_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return ivfpq_scaled_topk(emb)
+
+
+def _ivfpq_recall_scaled_oracle() -> str:
+    """Recall@10 of the scaled IVFADC+R against the decimal-exact
+    brute-force L2 ground truth — both registered constructions verbatim,
+    scored in the index's own metric (the q_ivfpq_recall discipline)."""
+    from .registry import _REGISTRY
+
+    approx = _REGISTRY["q_ivfpq_scaled"].oracle
+    return f"""
+    SELECT CAST(10 AS BIGINT) AS k, COUNT(*) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 6) AS recall_at_k
+    FROM ({_exact_l2_top10_sql()}) e JOIN ({approx}) a ON e.vec_id = a.vec_id
+    """
+
+
+@query(
+    "q_ivfpq_recall_scaled",
+    # The collapse detector pointed at the cure's compressed form: the
+    # instrument that caught the fixture index's 0.8→0.2→0.1 decay
+    # (q_ivfpq_recall) applied to the corpus-scaled IVFADC+R, so the
+    # at-scale compressed-scan quality claim is itself hash-checkable and
+    # decade-pointable.
+    oracle=_ivfpq_recall_scaled_oracle(),
+    description="recall@10 of the corpus-scaled IVFADC+R (q_ivfpq_scaled) "
+    "against the decimal-exact brute-force L2 top-10 — the at-scale "
+    "retrieval-quality metric for the COMPRESSED scan path, scored in the "
+    "index's own metric; both sides deterministic, so the number "
+    "hash-matches the oracle at any sf",
+    tags=("vector", "eval"),
+)
+def q_ivfpq_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import ivfpq_scaled_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    exact = _exact_l2_top10(emb)
+    approx = ivfpq_scaled_topk(vecs).select("vec_id")
+    hits = exact.join(approx, "vec_id", "semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).cast("long").alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, 6).alias("recall_at_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Cluster-balanced sampling (the MetaCLIP balancing step — Xu et al. 2024,
 # "Demystifying CLIP Data": entries over the cap t are kept with probability

@@ -1018,3 +1018,66 @@ def test_oph_estimate_tracks_true_jaccard(spark):
     # common shingles of ~98 per doc -> J ~ 0.42; 16 slots: sd ~ 0.14, 3sd
     assert 0.0 < agree < 0.95
     assert abs(agree - 0.42) < 0.42  # very loose: just not degenerate
+
+
+def test_pq_corpus_codebooks_shape_and_bounds(spark):
+    """Corpus-trained PQ codebooks: per-subspace entries are complete
+    (every surviving candidate covers all per_sub dims of its subspace),
+    bounded by the data range, and capped at kpq candidates."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.quantize import pq_corpus_codebooks
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = vecs.count()
+    cb = pq_corpus_codebooks(vecs, n, subspaces=16, dim=64, kpq=256).cache()
+    # each (cand, sub) that exists covers exactly per_sub=4 dims
+    cover = (
+        cb.withColumn("sub", F.expr("i div 4"))
+        .groupBy("cand", "sub")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    assert cover.filter(F.col("nd") != 4).count() == 0
+    assert cb.select("cand").distinct().count() <= 256
+    # a mean of observed values stays inside the observed per-dim range
+    rng = (
+        emb.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"),
+             F.max(F.col("x").cast("double")).alias("hi"))
+    )
+    viol = cb.join(rng, "i").filter(
+        (F.col("c") < F.col("lo") - 1e-12) | (F.col("c") > F.col("hi") + 1e-12)
+    )
+    assert viol.count() == 0
+    cb.unpersist()
+
+
+def test_ivfpq_scaled_exact_duplicates_rank_first(spark, tmp_path):
+    """Tiny-corpus law: exact duplicates of the query vector come back
+    first with exact_d2 = 0, and the scaled-index knobs are computed from
+    the corpus (k = ceil(sqrt(n)), nprobe = ceil(sqrt(k)))."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.operators.quantize import ivfpq_scaled_topk
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0] * 63 + [1.0]
+    e3 = [0.0] * 31 + [1.0] + [0.0] * 32
+    rows = [(0, e1, 0), (1, e1, 0), (2, e1, 0), (10, e2, 1), (11, e2, 1), (20, e3, 2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    vecs = df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    out = ivfpq_scaled_topk(vecs, k=10, query_id=0).collect()
+    assert all(r.k == 3 and r.nprobe == 2 for r in out)  # ceil(sqrt(6)), ceil(sqrt(3))
+    got = [(r.vec_id, r.exact_d2) for r in out]
+    # the three identical vectors (query included) lead at distance 0
+    assert got[0] == (0, 0.0) and got[1] == (1, 0.0) and got[2] == (2, 0.0)
+    # everything returned is exactly scored: d2(e1, e2) = 2
+    for vid, d2 in got[3:]:
+        assert d2 == 2.0, (vid, d2)

@@ -936,3 +936,16 @@ def test_kmeans_assign_aggregates_narrow_rows(spark):
         + "\n".join(mins)
     )
     assert "partial_min" in plan, "map-side combine lost"
+
+
+def test_ivfpq_scaled_no_cartesian_and_broadcast_pruning(spark):
+    """The scaled IVFADC+R composition must keep every join broadcast-side:
+    probe list, codebooks, LUT, and rerank candidates are all tiny frames
+    broadcast against scans — no CartesianProduct, and the probed-cell
+    prune must be a broadcast hash join on cid (the scan-fraction claim
+    depends on it staying a prune, not a shuffle)."""
+    plan = _plan(_q(spark, "q_ivfpq_scaled"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the kmeans argmin stays narrow (the r13 sort-spill pin, inherited)
+    assert "min(struct(d, cid))" in plan or "partial_min" in plan
