@@ -504,6 +504,41 @@ def pq_corpus_codebooks(
     )
 
 
+def ivfpq_scaled_index(
+    vecs: DataFrame,
+    subspaces: int = 16,
+    dim: int = 64,
+    kpq: int = 256,
+    train_cap: int = 2048,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    n: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Build the corpus-scaled IVFADC index state: (assigned, cents,
+    codebooks, kc, nprobe).
+
+    The index HALF of ivfpq_scaled_topk, split out so a deployment (or a
+    measurement) can build once and serve many queries — the stateless
+    registered query rebuilds per call by driver contract, but the
+    amortized shape is build-once (BASELINE.md round 13 "amortized
+    search"). ``assigned`` is the final coarse assignment (id, v, cid),
+    ``cents`` the final kc centroids, ``codebooks`` the (cand, i, c) PQ
+    frame. Frames are returned UNpersisted — the caller decides whether
+    to tracked_persist (one query) or checkpoint/write (a served index:
+    see plans/vector_queries q_ann_index_persist)."""
+    import math
+
+    from .clustering import kmeans_fit
+
+    if n is None:
+        n = vecs.count()
+    kc = int(math.ceil(math.sqrt(n)))
+    nprobe = int(math.ceil(math.sqrt(kc)))
+    assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
+    cb = pq_corpus_codebooks(vecs, n, subspaces, dim, kpq, train_cap, id_col, "v")
+    return assigned, cents, cb, kc, nprobe
+
+
 def ivfpq_scaled_topk(
     vecs: DataFrame,
     k: int = 10,
@@ -516,6 +551,7 @@ def ivfpq_scaled_topk(
     rounds: int = 2,
     id_col: str = "vec_id",
     n: int | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame, int, int] | None = None,
 ) -> DataFrame:
     """IVFADC+R with a CORPUS-SCALED index — the 100 TB ANN shape.
 
@@ -550,27 +586,26 @@ def ivfpq_scaled_topk(
     ``vecs`` must be (id_col, v: array<double>) with unique non-null ids
     (the kmeans_assign precondition); ``n`` is the corpus count if the
     caller already took it (the scaled queries' one driver-side value).
+    ``index`` lets a caller that built (or loaded) the index once serve
+    this query from it — the ivfpq_scaled_index tuple, already persisted
+    or table-backed; without it the index is built in-call and
+    tracked_persist-ed (the stateless driver-contract shape).
     """
-    import math
-
     from ..functions import vectors as V
     from ._ckpt import tracked_persist
-    from .clustering import kmeans_fit
 
     per_sub = dim // subspaces
-    if n is None:
-        n = vecs.count()
-    kc = int(math.ceil(math.sqrt(n)))
-    nprobe = int(math.ceil(math.sqrt(kc)))
-    # the assignment feeds the final-centroid update AND the probed scan;
-    # the codebooks feed the LUT AND the code assignment — persist both
-    assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
-    assigned = tracked_persist(assigned)
-    cb = tracked_persist(
-        pq_corpus_codebooks(
-            vecs, n, subspaces, dim, kpq, train_cap, id_col, "v"
+    if index is not None:
+        assigned, cents, cb, kc, nprobe = index
+    else:
+        assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(
+            vecs, subspaces, dim, kpq, train_cap, rounds, id_col, n
         )
-    )
+        # the assignment feeds the final-centroid update AND the probed
+        # scan; the codebooks feed the LUT AND the code assignment —
+        # persist both
+        assigned = tracked_persist(assigned)
+        cb = tracked_persist(cb)
     qv = vecs.filter(F.col(id_col) == query_id).select(F.col("v").alias("__q"))
     probe = (
         cents.crossJoin(F.broadcast(qv))

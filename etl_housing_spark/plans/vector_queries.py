@@ -2081,6 +2081,187 @@ def q_ivfpq_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ann_index_persist",
+    # The persisted-index LIFECYCLE (VERDICT r13 item 2): the registered
+    # scaled queries rebuild the index per call because the driver
+    # contract is stateless, but the deployment shape is build-once /
+    # serve-many (BASELINE r13 measured 92.5 s build, then 0.5–1.0 s per
+    # query). This query registers that shape: build the scaled IVFADC
+    # index state (coarse assignment, cell centroids, PQ codebooks),
+    # WRITE all three to parquet tables, read them BACK, and serve the
+    # search from the persisted frames only — the source corpus is never
+    # touched after the write (the query side reads its vectors from the
+    # persisted assignment). Parquet round-trips doubles bit-exactly, so
+    # the served answer is the same construction q_ivfpq_scaled's oracle
+    # computes — the lifecycle is hash-checked, not just rows-counted.
+    oracle=_KM_SCALED_CTES + _PQ_SCALED_CTES + """
+    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
+           (SELECT k FROM ksel) AS k, (SELECT np FROM nsel) AS nprobe
+    FROM ex ORDER BY exact_d2, vec_id LIMIT 10
+    """,
+    description="persisted-ANN-index lifecycle: build the corpus-scaled "
+    "IVFADC index (coarse assignment + cell centroids + PQ codebooks), "
+    "write the three frames to parquet warehouse tables, read them back, "
+    "and serve the top-10 search FROM THE PERSISTED INDEX only — the "
+    "corpus is not rescanned after the build (query-side vectors come "
+    "from the persisted assignment table). Doubles round-trip parquet "
+    "bit-exactly, so the served answer hash-matches the same oracle as "
+    "the stateless q_ivfpq_scaled — the build-once/serve-many deployment "
+    "shape, value-verified. Scale shape: the write is one pass over the "
+    "corpus partitioned by nothing the search needs to shuffle later; "
+    "serving reads centroids (kc rows) + codebooks (<=16k rows) broadcast "
+    "and the probed slice of the assignment table",
+    tags=("vector",),
+)
+def q_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.quantize import ivfpq_scaled_index, ivfpq_scaled_topk
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(vecs)
+    out = tempfile.mkdtemp(prefix="ehs_ann_idx_")
+    assigned.write.mode("overwrite").parquet(out + "/assign")
+    cents.write.mode("overwrite").parquet(out + "/cells")
+    cb.write.mode("overwrite").parquet(out + "/codebooks")
+    p_assign = spark.read.parquet(out + "/assign")
+    p_cells = spark.read.parquet(out + "/cells")
+    p_cb = spark.read.parquet(out + "/codebooks")
+    served_vecs = p_assign.select("vec_id", "v")
+    return ivfpq_scaled_topk(
+        served_vecs, index=(p_assign, p_cells, p_cb, kc, nprobe)
+    )
+
+
+# The incremental-assign chain: the scaled Lloyd fit run on the OLD 80%
+# of the corpus (vec_id % 10 < 8 — the deterministic batch split), final
+# centroids from its last assignment, then the NEW 20% assigned to those
+# frozen cells. Structure = _KM_SCALED_CTES with e filtered; kept as its
+# own text because the fit corpus (eo) and the k source differ.
+_KM_INCR_CTES = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    eo AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 10 < 8),
+    eb AS (SELECT * FROM e WHERE vec_id % 10 >= 8),
+    ko AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k,
+                  COUNT(*) AS n_old FROM eo),
+    kt AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k_due,
+                  COUNT(*) AS n_total FROM e),
+    seeds AS (
+      SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM eo),
+    c0 AS (
+      SELECT rn - 1 AS cid, v AS c FROM seeds, ko WHERE rn <= ko.k),
+    d1 AS (
+      SELECT eo.vec_id, c0.cid,
+             CAST(SUM(CAST((eo.v[i.i + 1] - c0.c[i.i + 1]) * (eo.v[i.i + 1] - c0.c[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM eo CROSS JOIN c0 JOIN range(0, 64) i(i) ON true
+      GROUP BY eo.vec_id, c0.cid),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1),
+    p1 AS (
+      SELECT a1.cid, i.i AS dim,
+             CAST(SUM(CAST(eo.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM a1 JOIN eo ON a1.vec_id = eo.vec_id JOIN range(0, 64) i(i) ON true
+      GROUP BY a1.cid, i.i),
+    c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM p1 GROUP BY cid),
+    d2 AS (
+      SELECT eo.vec_id, c1.cid,
+             CAST(SUM(CAST((eo.v[i.i + 1] - c1.c[i.i + 1]) * (eo.v[i.i + 1] - c1.c[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM eo CROSS JOIN c1 JOIN range(0, 64) i(i) ON true
+      GROUP BY eo.vec_id, c1.cid),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1),
+    pc2 AS (
+      SELECT a2.cid, i.i AS dim,
+             CAST(SUM(CAST(eo.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM a2 JOIN eo ON a2.vec_id = eo.vec_id JOIN range(0, 64) i(i) ON true
+      GROUP BY a2.cid, i.i),
+    c2 AS (SELECT cid, list(m ORDER BY dim) AS c FROM pc2 GROUP BY cid),
+    bd AS (
+      SELECT eb.vec_id, c2.cid,
+             CAST(SUM(CAST((eb.v[i.i + 1] - c2.c[i.i + 1]) * (eb.v[i.i + 1] - c2.c[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM eb CROSS JOIN c2 JOIN range(0, 64) i(i) ON true
+      GROUP BY eb.vec_id, c2.cid),
+    ba AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM bd) WHERE rn = 1)"""
+
+
+@query(
+    "q_ann_index_incremental",
+    # Corpus growth against a persisted index — the exact scenario the
+    # r13 recall-collapse finding warns about (an index sized for
+    # yesterday's corpus serving today's): a NEW batch of vectors (the
+    # deterministic 20% split) is assigned to the EXISTING cells (fit on
+    # the old 80%) without refitting — assignment is pointwise, so the
+    # per-batch cost is batch_rows x k, never a corpus rescan — plus the
+    # drift metric that flags when the corpus has outgrown the cell
+    # count: refit_due once k_due = ceil(sqrt(n_total)) exceeds the
+    # fitted k by >25% (4*k_due > 5*k_old in overflow-free integer
+    # form). The q_dedup_incremental pattern applied to the vector index.
+    oracle=_KM_INCR_CTES + """
+    SELECT ba.vec_id, ba.cid,
+           (SELECT n_old FROM ko) AS n_old,
+           (SELECT k FROM ko) AS k_old,
+           (SELECT n_total FROM kt) AS n_total,
+           (SELECT k_due FROM kt) AS k_due,
+           CAST(4 * (SELECT k_due FROM kt) > 5 * (SELECT k FROM ko) AS INT)
+             AS refit_due
+    FROM ba
+    """,
+    description="incremental index maintenance: the corpus-scaled k-means "
+    "index is fit on the OLD 80% of the corpus (vec_id % 10 < 8, the "
+    "deterministic growth split), then the NEW 20% batch is assigned to "
+    "the frozen cells by the same decimal-exact argmin — per-batch cost "
+    "is batch x k (one broadcast-centroid pass over the batch only, no "
+    "corpus rescan) — with the refit-due drift flag: k_due = "
+    "ceil(sqrt(n_total)) vs the fitted k_old, flagged when the corpus "
+    "has outgrown the cell count by >25% (integer-form 4*k_due > "
+    "5*k_old). Incremental assignment is pointwise-identical to what a "
+    "full re-assign against the same centroids would produce "
+    "(tests/test_operators.py law), so serving stays correct between "
+    "refits; the flag bounds how long 'between' may last",
+    tags=("vector", "pipeline"),
+)
+def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.clustering import kmeans_assign, kmeans_fit
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    old = vecs.filter(F.col("vec_id") % 10 < 8)
+    batch = vecs.filter(F.col("vec_id") % 10 >= 8)
+    n_old = old.count()
+    n_total = vecs.count()
+    k_old = int(math.ceil(math.sqrt(n_old)))
+    k_due = int(math.ceil(math.sqrt(n_total)))
+    _assigned, cents = kmeans_fit(old, k=k_old, rounds=2)
+    ba = kmeans_assign(batch, cents)
+    return ba.select(
+        "vec_id",
+        "cid",
+        F.lit(n_old).cast("long").alias("n_old"),
+        F.lit(k_old).cast("long").alias("k_old"),
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(k_due).cast("long").alias("k_due"),
+        F.lit(1 if 4 * k_due > 5 * k_old else 0).cast("int").alias("refit_due"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Cluster-balanced sampling (the MetaCLIP balancing step — Xu et al. 2024,
 # "Demystifying CLIP Data": entries over the cap t are kept with probability

@@ -1081,3 +1081,54 @@ def test_ivfpq_scaled_exact_duplicates_rank_first(spark, tmp_path):
     # everything returned is exactly scored: d2(e1, e2) = 2
     for vid, d2 in got[3:]:
         assert d2 == 2.0, (vid, d2)
+
+
+def test_incremental_assign_pointwise_law(spark):
+    """Incremental-index law (VERDICT r13 item 2): assignment is pointwise,
+    so assigning a batch against frozen centroids equals the full
+    re-assignment of (old ∪ batch) restricted to the batch — serving
+    between refits returns exactly what a rebuild would, for rows the
+    cells already cover."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    vecs = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    old = vecs.filter(F.col("vec_id") % 10 < 8)
+    batch = vecs.filter(F.col("vec_id") % 10 >= 8)
+    _a, cents = kmeans_fit(old, k=20, rounds=2)
+    cents = cents.cache()
+    inc = {r.vec_id: r.cid for r in kmeans_assign(batch, cents).collect()}
+    full = {
+        r.vec_id: r.cid
+        for r in kmeans_assign(vecs, cents).filter(F.col("vec_id") % 10 >= 8).collect()
+    }
+    assert inc == full and len(inc) > 0
+    cents.unpersist()
+
+
+def test_refit_due_flag_fires_on_outgrown_index(spark, tmp_path):
+    """The drift metric must flag refit when the corpus outgrows the
+    fitted cell count by >25%: old = 4 rows (k_old = 2), total = 100
+    (k_due = 10) -> refit_due = 1; and on the balanced 80/20 testdata
+    split (k_due/k_old ≈ 1.12) it stays 0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.plans import all_queries
+
+    specs = all_queries()
+    rng = np.random.default_rng(7)
+    ids = [0, 1, 2, 3] + [8 + 10 * i for i in range(48)] + [9 + 10 * i for i in range(48)]
+    rows = [(i, [float(x) for x in rng.normal(size=64)], 0) for i in sorted(ids)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = specs["q_ann_index_incremental"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 96
+    assert all(r.n_old == 4 and r.k_old == 2 and r.k_due == 10 for r in out)
+    assert all(r.refit_due == 1 for r in out)
+    balanced = specs["q_ann_index_incremental"].fn(spark, "/root/testdata/sf0.01")
+    assert balanced.agg(F.max("refit_due")).first()[0] == 0
