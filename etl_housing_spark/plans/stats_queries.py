@@ -1403,7 +1403,7 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d(d+1)/2 partials on the wire, no explode, no decimal tax — rows-only "
     "(float accumulation order is partitioning-dependent); tolerance-pinned "
     "against the hash-checked exact twin",
-    tags=("stats", "vector"),
+    tags=("stats", "vector", "bench"),
 )
 def q_corr_matrix_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linalg import corr_from_gram, gram_moments
