@@ -412,77 +412,98 @@ def ivfpq_adc_topk(
     return ex.orderBy("exact_d2", id_col).limit(k)
 
 
-def pq_corpus_codebooks(
-    vecs: DataFrame,
+
+
+def _residual_long(
+    assigned: DataFrame,
+    cents: DataFrame,
+    per_sub: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Long-form coarse residuals (id, cid, i, sub, x = v[i] − c_cid[i]).
+
+    The frame every stage of residual PQ consumes: codebook training,
+    code assignment, and (restricted to the query) the per-cell lookup
+    tables. Centroid components are the decimal-exact means cast to
+    double — the same IEEE values both engines compute (the pc2/c2
+    parity) — and the subtraction is a single deterministic IEEE op, so
+    residuals are bit-identical cross-engine."""
+    cx = cents.select("cid", F.posexplode("c").alias("i", "cx"))
+    return (
+        assigned.select(id_col, "cid", F.posexplode("v").alias("i", "x"))
+        .join(F.broadcast(cx), ["cid", "i"])
+        .select(
+            id_col,
+            "cid",
+            "i",
+            F.expr(f"i div {per_sub}").alias("sub"),
+            (F.col("x") - F.col("cx")).alias("x"),
+        )
+    )
+
+
+def pq_residual_codebooks(
+    assigned: DataFrame,
+    cents: DataFrame,
     n: int,
     subspaces: int = 16,
     dim: int = 64,
     kpq: int = 256,
     train_cap: int = 2048,
     id_col: str = "vec_id",
-    vec_col: str = "v",
 ) -> DataFrame:
-    """Per-subspace PQ codebooks trained on the CORPUS — (cand, i, c).
+    """Per-subspace PQ codebooks trained on corpus RESIDUALS — (cand, i, c).
 
-    The fixture codebooks (_pq_codebooks) condition on the testdata's
-    label column: 10 entries at every corpus size, which is exactly the
-    non-growing-index disease the r13 recall-decade measurement exposed
-    (recall 0.8 → 0.2 → 0.1 as n grows past the fixture). Here the
-    codebook is learned from the data, label-free, with every stage
-    deterministic and SQL-expressible:
+    Two r14 findings shape this construction:
+    1. CORPUS-trained (not the fixture labels): the r13 recall-decade
+       measurement proved a non-growing, label-conditioned codebook
+       plateaus past fixture scale.
+    2. RESIDUAL-encoded (not raw vectors): the non-residual corpus
+       codebook measured ADC recall 7/10 at rerank=50 where the residual
+       form measures 10/10 at the same budget (sf1, scripts/
+       r14_ann_resid_proto.py) — quantizing x − c_cell(x) spends the
+       M·log2(K) bits on the LOCAL displacement instead of re-encoding
+       which cell the vector sits in, which is precisely why Jégou et
+       al. 2011 §V define IVFADC over residuals.
 
-    1. TRAINING SAMPLE: the md5-uniform integer-threshold keep
-       (hv <= (cap·2^32 − 1) div n — the q_cluster_balanced_sample
-       construction: no float boundary, no rand(), expected ``train_cap``
-       rows at any corpus size, ALL rows when n <= cap). PQ codebook
-       quality needs a bounded sample, not the corpus (Jégou et al. 2011
-       train on learning sets orders of magnitude smaller than the
-       index); the cap keeps training cost O(cap·K·D) — corpus-size-free.
-    2. SEEDS: the ``kpq`` lowest-id vectors' subvectors (seed_centroids'
-       determinism recipe applied per subspace — k entries per subspace
-       from k seed rows, no rand()).
-    3. ONE ASSIGNMENT + UPDATE: each sampled subvector goes to its
-       nearest seed (decimal-exact d2, (d2, cand) argmin), and the
-       codebook entry is the decimal-exact mean of its assigned
-       subvectors — the label-conditioned-mean construction of
-       _pq_codebooks with learned, corpus-scaled conditioning. Seeds
-       with no assigned sample rows drop out (codebook has <= kpq
-       entries); candidates are per-subspace whatever entries exist.
+    Deterministic, SQL-expressible training (the r13 Lloyd-fragment
+    recipe on residuals): an md5-capped training sample (expected
+    ``train_cap`` rows, the overflow-free integer threshold — PQ
+    codebooks need a bounded learning set, not the corpus), seeds = the
+    ``kpq`` lowest-id vectors' residuals, one nearest-seed assignment
+    (decimal-exact d2, (d2, cand) argmin) and one decimal-exact mean
+    update. Seeds with no assigned sample rows drop out. K = 256 is the
+    8-bit FAISS standard: codebook resolution is a per-vector knob and
+    need not grow with n — the COARSE cell count (kc = ceil(sqrt(n)))
+    is what scales.
 
-    K = 256 is the PQ standard (8-bit codes, FAISS default): unlike the
-    COARSE quantizer, the per-subspace codebook need not grow with the
-    corpus — M·log2(K) bits/vector of code entropy is a per-vector
-    resolution knob, while cell count is a scan-fraction knob. With
-    M = 16 subspaces the stored code is 16 bytes vs 256 for the floats.
-
-    Plan: sample filter is map-only; seed frame is kpq rows (broadcast);
-    the training assignment is O(cap·D·K) rows into one map-side
-    combinable aggregate — independent of corpus size by the cap.
+    Plan: sample filter map-only; seed frame kpq·dim rows broadcast; one
+    O(cap·D·K) training aggregate — corpus-size-free by the cap.
     """
     per_sub = dim // subspaces
+    rex = _residual_long(assigned, cents, per_sub, id_col)
     hv = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    samp = vecs.filter(hv <= F.lit((train_cap * 4294967296 - 1) // n))
+    sexpl = rex.filter(hv <= F.lit((train_cap * 4294967296 - 1) // n))
     from pyspark.sql import Window
 
-    seeds = (
-        vecs.orderBy(id_col)
+    seed_ids = (
+        assigned.orderBy(id_col)
         .limit(kpq)
         .select(
+            id_col,
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cand"),
-            F.col(vec_col).alias("sv"),
         )
-        .select("cand", F.posexplode("sv").alias("i", "c"))
     )
-    expl = samp.select(
-        id_col, F.posexplode(F.col(vec_col)).alias("i", "x")
-    ).withColumn("sub", F.expr(f"i div {per_sub}"))
+    seeds = rex.join(F.broadcast(seed_ids), id_col).select(
+        "cand", "i", F.col("x").alias("c")
+    )
     d2 = (
-        expl.join(F.broadcast(seeds), "i")
+        sexpl.join(F.broadcast(seeds), "i")
         .groupBy(id_col, "sub", "cand")
         .agg(
-            F.sum(_sq_dist_term(F.col("x").cast("double"), F.col("c")))
+            F.sum(_sq_dist_term(F.col("x"), F.col("c")))
             .cast("double")
             .alias("d2")
         )
@@ -493,11 +514,11 @@ def pq_corpus_codebooks(
         .select(id_col, "sub", F.col("b.cand").alias("cand"))
     )
     return (
-        expl.join(a, [id_col, "sub"])
+        sexpl.join(a, [id_col, "sub"])
         .groupBy("cand", "i")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast("decimal(38,18)")).cast("double")
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("c")
         )
@@ -522,10 +543,16 @@ def ivfpq_scaled_index(
     registered query rebuilds per call by driver contract, but the
     amortized shape is build-once (BASELINE.md round 13 "amortized
     search"). ``assigned`` is the final coarse assignment (id, v, cid),
-    ``cents`` the final kc centroids, ``codebooks`` the (cand, i, c) PQ
-    frame. Frames are returned UNpersisted — the caller decides whether
-    to tracked_persist (one query) or checkpoint/write (a served index:
-    see plans/vector_queries q_ann_index_persist)."""
+    ``cents`` the final kc centroids, ``codebooks`` the (cand, i, c)
+    RESIDUAL PQ frame (pq_residual_codebooks). Frames are returned
+    UNpersisted — the caller decides whether to tracked_persist (one
+    query) or write to tables (a served index: q_ann_index_persist).
+
+    NOTE the codebooks depend on (assigned, cents): persisting the
+    returned assigned does not rewire the codebook lineage, so a caller
+    persisting for MANY queries should persist assigned/cents first and
+    call pq_residual_codebooks on the persisted frames (ivfpq_scaled_topk
+    does exactly that for its in-call build)."""
     import math
 
     from .clustering import kmeans_fit
@@ -535,15 +562,56 @@ def ivfpq_scaled_index(
     kc = int(math.ceil(math.sqrt(n)))
     nprobe = int(math.ceil(math.sqrt(kc)))
     assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
-    cb = pq_corpus_codebooks(vecs, n, subspaces, dim, kpq, train_cap, id_col, "v")
+    cb = pq_residual_codebooks(
+        assigned, cents, n, subspaces, dim, kpq, train_cap, id_col
+    )
     return assigned, cents, cb, kc, nprobe
+
+
+def ivfpq_scaled_codes(
+    vecs: DataFrame,
+    index: tuple[DataFrame, DataFrame, DataFrame, int, int],
+    subspaces: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full-corpus residual PQ code table (id, cid, sub, code) — the
+    deployment artifact the IVFADC scan actually reads.
+
+    The stateless registered query assigns probed cells' residuals to
+    codes per call (driver contract); a deployment computes this table
+    ONCE at ingest (one O(n·K·D) pass, amortized forever) and serves
+    every query from it: the per-query scan is then codes.join(probe) on
+    cid — M = ``subspaces`` bytes per probed vector, floats appearing
+    only in the rerank. Stored cell-partitioned (cid), the probe is
+    partition pruning, not even a join. Pass to
+    ivfpq_scaled_topk(codes=...) — value-identical to the stateless
+    path (tests/test_operators.py::test_codes_served_matches_stateless).
+    """
+    per_sub = dim // subspaces
+    assigned, cents, cb, _kc, _np = index
+    rex = _residual_long(assigned, cents, per_sub, id_col)
+    cd2 = (
+        rex.join(F.broadcast(cb), "i")
+        .groupBy(id_col, "cid", "sub", "cand")
+        .agg(
+            F.sum(_sq_dist_term(F.col("x"), F.col("c")))
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    return (
+        cd2.groupBy(id_col, "cid", "sub")
+        .agg(F.min(F.struct("d2", "cand")).alias("b"))
+        .select(id_col, "cid", "sub", F.col("b.cand").alias("code"))
+    )
 
 
 def ivfpq_scaled_topk(
     vecs: DataFrame,
     k: int = 10,
     query_id: int = 0,
-    rerank: int = 50,
+    rerank: int = 100,
     subspaces: int = 16,
     dim: int = 64,
     kpq: int = 256,
@@ -552,6 +620,7 @@ def ivfpq_scaled_topk(
     id_col: str = "vec_id",
     n: int | None = None,
     index: tuple[DataFrame, DataFrame, DataFrame, int, int] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC+R with a CORPUS-SCALED index — the 100 TB ANN shape.
 
@@ -559,37 +628,41 @@ def ivfpq_scaled_topk(
     composed (VERDICT r13 "What's wrong" #1): the corpus-scaled coarse
     quantizer that holds recall across decades (q_ann_ivf_scaled's
     k-means at kc = ceil(sqrt(n)) cells, nprobe = ceil(sqrt(kc)) — scan
-    fraction ~ n^(-1/4)) and the PQ/ADC+exact-rerank machinery whose
-    scan touches CODES, not floats (ivfpq_adc_topk) — with the PQ
-    codebooks now trained on the corpus (pq_corpus_codebooks) instead of
-    the fixture's 10 labels. Both index tiers therefore grow/learn with
-    the data, and the probed-cell scan reads M = ``subspaces`` bytes per
-    vector instead of 4·dim: at dim=64 float32 that is 16 vs 256 bytes —
-    the IVFADC memory/IO shape (Jégou et al. 2011 §V), stacked on the
-    shrinking scan fraction.
+    fraction ~ n^(-1/4)) and PQ/ADC whose scan touches CODES, not floats
+    — in the RESIDUAL form (Jégou et al. 2011 §V, IVFADC): codes
+    quantize x − c_cell(x) against codebooks trained on corpus residuals
+    (pq_residual_codebooks), and the ADC lookup tables are per probed
+    cell (the query's residual differs per cell). Both index tiers
+    grow/learn with the data, and the probed-cell scan reads
+    M = ``subspaces`` bytes per vector instead of 4·dim — at dim=64
+    float32, 16 vs 256 bytes — stacked on the shrinking scan fraction.
+
+    Measured at the defaults (r14, scripts/r14_ann_resid_proto.py +
+    decade run): recall@10 vs the exact L2 truth 1.0 at sf1 and 0.8 at
+    sf10 — the sf10 ceiling is the coarse probe itself (cell recall
+    8/10, the same 0.8 the uncompressed IVFFlat variant measures), so
+    the compression tier is recall-lossless at the rerank=100 budget.
+    The non-residual form measured 7/10 at the same budgets and was
+    replaced — quantizing raw vectors wastes code entropy re-encoding
+    cell identity.
 
     Stages (every decision decimal-exact, totally ordered, cross-engine
-    hash-checkable — the q_ivfpq_search recipe at scaled shapes):
-    1. coarse fit: kmeans_fit(kc, rounds) — broadcast centroids, one
-       (cid, dim) partial-agg shuffle per round [the index BUILD;
-       amortized across queries in a deployment];
-    2. PQ codebooks: pq_corpus_codebooks — cap-bounded training;
-    3. probe: query vs kc centroids by decimal L2, top nprobe by
-       (d, cid) — a kc-row aggregate;
-    4. codes: ONLY probed cells' vectors assigned to the codebooks
-       (nprobe/kc of the corpus through an O(rows·K·D) argmin; in a
-       deployment with precomputed codes this reduces to a code join);
-    5. ADC: per-vector sum of M lookup-table entries on the codes;
-    6. rerank: exact decimal L2 on the ADC top-``rerank`` floats only.
+    hash-checkable):
+    1. coarse fit: kmeans_fit(kc, rounds) [index BUILD, amortized];
+    2. residual codebooks: pq_residual_codebooks [cap-bounded training];
+    3. probe: query vs kc centroids by decimal L2, top nprobe by (d, cid);
+    4. codes: ONLY probed cells' residuals assigned to the codebooks
+       (or a precomputed ``codes`` table join — the deployment shape);
+    5. ADC: per-vector sum of M per-cell lookup-table entries;
+    6. rerank: exact decimal L2 on the ADC top-``rerank`` floats only
+       (IVFADC+R, §VI; R = 10·k — 100 vectors = 25.6 kB at any corpus
+       size).
 
     Output: (vec_id, exact_d2, k, nprobe) — the scaled-family schema.
     ``vecs`` must be (id_col, v: array<double>) with unique non-null ids
     (the kmeans_assign precondition); ``n`` is the corpus count if the
-    caller already took it (the scaled queries' one driver-side value).
-    ``index`` lets a caller that built (or loaded) the index once serve
-    this query from it — the ivfpq_scaled_index tuple, already persisted
-    or table-backed; without it the index is built in-call and
-    tracked_persist-ed (the stateless driver-contract shape).
+    caller already took it. ``index``/``codes`` serve the query from a
+    prebuilt ivfpq_scaled_index / ivfpq_scaled_codes pair.
     """
     from ..functions import vectors as V
     from ._ckpt import tracked_persist
@@ -598,14 +671,25 @@ def ivfpq_scaled_topk(
     if index is not None:
         assigned, cents, cb, kc, nprobe = index
     else:
-        assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(
-            vecs, subspaces, dim, kpq, train_cap, rounds, id_col, n
-        )
-        # the assignment feeds the final-centroid update AND the probed
-        # scan; the codebooks feed the LUT AND the code assignment —
-        # persist both
+        import math
+
+        from .clustering import kmeans_fit
+
+        if n is None:
+            n = vecs.count()
+        kc = int(math.ceil(math.sqrt(n)))
+        nprobe = int(math.ceil(math.sqrt(kc)))
+        assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
+        # the assignment feeds the centroid update, the residual frame,
+        # and the probed scan; centroids feed residuals, probe, and LUTs;
+        # codebooks feed training-assignment and ADC — persist all three
         assigned = tracked_persist(assigned)
-        cb = tracked_persist(cb)
+        cents = tracked_persist(cents)
+        cb = tracked_persist(
+            pq_residual_codebooks(
+                assigned, cents, n, subspaces, dim, kpq, train_cap, id_col
+            )
+        )
     qv = vecs.filter(F.col(id_col) == query_id).select(F.col("v").alias("__q"))
     probe = (
         cents.crossJoin(F.broadcast(qv))
@@ -614,28 +698,57 @@ def ivfpq_scaled_topk(
         .limit(nprobe)
         .select("cid")
     )
-    pruned = assigned.join(F.broadcast(probe), "cid").select(id_col, "v")
-    codes = _pq_assign(
-        pruned, subspaces, dim, id_col, "v", "__unused", codebooks=cb
-    ).select(id_col, "sub", F.col("b.cand").alias("code"))
-    qdims = (
-        vecs.filter(F.col(id_col) == query_id)
-        .select(F.posexplode(F.col("v")).alias("i", "qx"))
-        .withColumn("sub", F.expr(f"i div {per_sub}"))
+    if codes is not None:
+        pcodes = codes.join(F.broadcast(probe), "cid").select(
+            id_col, "cid", "sub", "code"
+        )
+    else:
+        prex = _residual_long(
+            assigned.join(F.broadcast(probe), "cid"), cents, per_sub, id_col
+        )
+        cd2 = (
+            prex.join(F.broadcast(cb), "i")
+            .groupBy(id_col, "cid", "sub", "cand")
+            .agg(
+                F.sum(_sq_dist_term(F.col("x"), F.col("c")))
+                .cast("double")
+                .alias("d2")
+            )
+        )
+        pcodes = (
+            cd2.groupBy(id_col, "cid", "sub")
+            .agg(F.min(F.struct("d2", "cand")).alias("b"))
+            .select(id_col, "cid", "sub", F.col("b.cand").alias("code"))
+        )
+    qd = vecs.filter(F.col(id_col) == query_id).select(
+        F.posexplode(F.col("v")).alias("i", "qx")
+    )
+    qres = (
+        cents.select("cid", F.posexplode("c").alias("i", "cx"))
+        .join(F.broadcast(probe), "cid")
+        .join(F.broadcast(qd), "i")
+        .select(
+            "cid",
+            "i",
+            F.expr(f"i div {per_sub}").alias("sub"),
+            (F.col("qx") - F.col("cx")).alias("qr"),
+        )
     )
     lut = (
-        qdims.join(F.broadcast(cb), "i")
-        .groupBy("sub", "cand")
+        qres.join(F.broadcast(cb), "i")
+        .groupBy("cid", "sub", "cand")
         .agg(
-            F.sum(_sq_dist_term(F.col("qx").cast("double"), F.col("c")))
+            F.sum(_sq_dist_term(F.col("qr"), F.col("c")))
             .cast("double")
             .alias("lut_d2")
         )
     )
     adc = (
-        codes.join(
+        pcodes.join(
             F.broadcast(lut),
-            (codes.sub == lut.sub) & (codes.code == lut.cand),
+            (pcodes.cid == lut.cid)
+            & (pcodes.sub == lut.sub)
+            & (pcodes.code == lut.cand),
         )
         .groupBy(id_col)
         .agg(
@@ -648,12 +761,10 @@ def ivfpq_scaled_topk(
     ex = (
         vecs.join(F.broadcast(cand), id_col)
         .select(id_col, F.posexplode(F.col("v")).alias("i", "x"))
-        .join(F.broadcast(qdims.select("i", "qx")), "i")
+        .join(F.broadcast(qd.select("i", F.col("qx"))), "i")
         .groupBy(id_col)
         .agg(
-            F.sum(
-                _sq_dist_term(F.col("x").cast("double"), F.col("qx").cast("double"))
-            )
+            F.sum(_sq_dist_term(F.col("x"), F.col("qx")))
             .cast("double")
             .alias("exact_d2")
         )

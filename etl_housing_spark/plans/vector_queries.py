@@ -1886,15 +1886,23 @@ def q_ann_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The PQ tier of the scaled index, appended to _KM_SCALED_CTES (which ends
-# at a2, the final coarse assignment). Every fragment is a proven-green
-# construction at a new shape: pc2/c2 (final centroids) and the probe are
-# q_ann_ivf_scaled's, with the probe metric flipped to decimal L2 so probe,
-# ADC, and rerank share ONE metric (the q_ivfpq_search discipline); the
-# training sample is q_cluster_balanced_sample's overflow-free integer
-# md5-uniform; seeds/assignment/codebook-means are the _KM_SCALED_CTES
-# Lloyd fragments per subspace; LUT/ADC/rerank are q_ivfpq_search's CTEs
-# against the learned codebook.
+# The RESIDUAL PQ tier of the scaled index (IVFADC, Jégou et al. 2011 §V),
+# appended to _KM_SCALED_CTES (which ends at a2, the final coarse
+# assignment). Every fragment is a proven-green construction at a new
+# shape: pc2/c2 (final centroids) and the probe are q_ann_ivf_scaled's,
+# with the probe metric flipped to decimal L2 so probe, ADC, and rerank
+# share ONE metric (the q_ivfpq_search discipline); rx is the residual
+# frame (v − c_cell, single IEEE subtraction of cross-engine-identical
+# values); the training sample is q_cluster_balanced_sample's
+# overflow-free integer md5-uniform; seeds/assignment/codebook-means are
+# the _KM_SCALED_CTES Lloyd fragments on residuals; LUT is PER PROBED
+# CELL (the query's residual differs per cell); ADC/rerank are
+# q_ivfpq_search's CTEs against the learned codebook with R = 100.
+# Residual (not raw-vector) codes because measurement said so: the
+# non-residual corpus codebook ranked true neighbors at ADC rank 200-400
+# (7/10 recall at R=50-100, sf1), the residual form ranks them inside
+# R=50 (10/10) — raw-vector codes waste entropy re-encoding cell
+# identity (scripts/r14_ann_resid_proto.py; BASELINE.md round 14).
 _PQ_SCALED_CTES = """,
     ncnt AS (SELECT COUNT(*) AS n FROM embeddings),
     nsel AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS np FROM ksel),
@@ -1915,20 +1923,24 @@ _PQ_SCALED_CTES = """,
       SELECT cid FROM (
         SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM pd)
       WHERE rn <= (SELECT np FROM nsel)),
-    samp AS (
-      SELECT e.vec_id, e.v FROM e, ncnt
-      WHERE CAST('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+    cx AS MATERIALIZED (
+      SELECT cid, CAST(i.i AS BIGINT) AS i, c[i.i + 1] AS cx
+      FROM c2 JOIN range(0, 64) i(i) ON true),
+    rx AS MATERIALIZED (
+      SELECT a2.vec_id, a2.cid, cx.i, cx.i // 4 AS sub,
+             e.v[cx.i + 1] - cx.cx AS x
+      FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN cx ON a2.cid = cx.cid),
+    sexpl AS MATERIALIZED (
+      SELECT rx.vec_id, rx.i, rx.sub, rx.x FROM rx, ncnt
+      WHERE CAST('0x' || substr(md5(CAST(rx.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
             <= (2048 * 4294967296 - 1) // ncnt.n),
     pseed AS (
-      SELECT rn - 1 AS cand, v FROM (
-        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+      SELECT vec_id, rn - 1 AS cand FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
       WHERE rn <= 256),
     pc0 AS (
-      SELECT cand, CAST(i.i AS BIGINT) AS i, v[i.i + 1] AS c
-      FROM pseed JOIN range(0, 64) i(i) ON true),
-    sexpl AS MATERIALIZED (
-      SELECT vec_id, CAST(i.i AS BIGINT) AS i, i.i // 4 AS sub, v[i.i + 1] AS x
-      FROM samp JOIN range(0, 64) i(i) ON true),
+      SELECT pseed.cand, rx.i, rx.x AS c
+      FROM rx JOIN pseed ON rx.vec_id = pseed.vec_id),
     pd1 AS (
       SELECT s.vec_id, s.sub, pc0.cand,
              CAST(SUM(CAST((s.x - pc0.c) * (s.x - pc0.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
@@ -1945,42 +1957,42 @@ _PQ_SCALED_CTES = """,
       FROM sexpl s JOIN pa1 ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
       GROUP BY pa1.cand, s.i),
     qd AS (
-      SELECT CAST(i.i AS BIGINT) AS i, i.i // 4 AS sub, qv.q[i.i + 1] AS qx
+      SELECT CAST(i.i AS BIGINT) AS i, qv.q[i.i + 1] AS qx
       FROM qv JOIN range(0, 64) i(i) ON true),
+    qres AS (
+      SELECT cx.cid, cx.i, cx.i // 4 AS sub, qd.qx - cx.cx AS qr
+      FROM cx JOIN probe ON cx.cid = probe.cid JOIN qd ON cx.i = qd.i),
     lut AS MATERIALIZED (
-      SELECT qd.sub, pcb.cand,
-             CAST(SUM(CAST((qd.qx - pcb.c) * (qd.qx - pcb.c) AS DECIMAL(38,18))) AS DOUBLE)
+      SELECT q.cid, q.sub, pcb.cand,
+             CAST(SUM(CAST((q.qr - pcb.c) * (q.qr - pcb.c) AS DECIMAL(38,18))) AS DOUBLE)
                AS lut_d2
-      FROM qd JOIN pcb ON qd.i = pcb.i
-      GROUP BY qd.sub, pcb.cand),
+      FROM qres q JOIN pcb ON q.i = pcb.i
+      GROUP BY q.cid, q.sub, pcb.cand),
     pex AS MATERIALIZED (
-      SELECT e.vec_id, CAST(i.i AS BIGINT) AS i, i.i // 4 AS sub, e.v[i.i + 1] AS x
-      FROM a2 JOIN probe ON a2.cid = probe.cid
-      JOIN e ON e.vec_id = a2.vec_id
-      JOIN range(0, 64) i(i) ON true),
+      SELECT rx.vec_id, rx.cid, rx.i, rx.sub, rx.x
+      FROM rx JOIN probe ON rx.cid = probe.cid),
     cd2 AS (
-      SELECT p.vec_id, p.sub, pcb.cand,
+      SELECT p.vec_id, p.cid, p.sub, pcb.cand,
              CAST(SUM(CAST((p.x - pcb.c) * (p.x - pcb.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
       FROM pex p JOIN pcb ON p.i = pcb.i
-      GROUP BY p.vec_id, p.sub, pcb.cand),
+      GROUP BY p.vec_id, p.cid, p.sub, pcb.cand),
     codes AS (
-      SELECT vec_id, sub, cand AS code FROM (
-        SELECT vec_id, sub, cand,
+      SELECT vec_id, cid, sub, cand AS code FROM (
+        SELECT vec_id, cid, sub, cand,
                row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rn
         FROM cd2) WHERE rn = 1),
     adc AS (
       SELECT c.vec_id,
              CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc_d2
-      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cand
+      FROM codes c JOIN lut l ON c.cid = l.cid AND c.sub = l.sub AND c.code = l.cand
       GROUP BY c.vec_id),
-    cand50 AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 50),
+    candr AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 100),
     ex AS (
-      SELECT p.vec_id,
-             CAST(SUM(CAST((p.x - qd.qx) * (p.x - qd.qx) AS DECIMAL(38,18))) AS DOUBLE)
-               AS exact_d2
-      FROM pex p JOIN cand50 ON p.vec_id = cand50.vec_id
-      JOIN qd ON p.i = qd.i
-      GROUP BY p.vec_id)"""
+      SELECT e.vec_id,
+             CAST(SUM(CAST((e.v[qd.i + 1] - qd.qx) * (e.v[qd.i + 1] - qd.qx)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS exact_d2
+      FROM e JOIN candr ON e.vec_id = candr.vec_id CROSS JOIN qd
+      GROUP BY e.vec_id)"""
 
 
 @query(
@@ -1993,13 +2005,16 @@ _PQ_SCALED_CTES = """,
     # rides the fixture's 10-label index whose recall collapses past
     # fixture scale. This query composes the proven pieces: scaled
     # k-means cells (k = ceil(sqrt(n)), nprobe = ceil(sqrt(k)) — scan
-    # fraction ~ n^(-1/4)) + PQ codebooks TRAINED on a deterministic
-    # md5-capped corpus sample (256 entries/subspace, the 8-bit FAISS
-    # standard; codebook resolution is a per-vector knob and need not
-    # grow with n, unlike cell count) + ADC over probed cells' 16-byte
-    # codes + exact decimal-L2 rerank of the top 50. ONE metric (L2) end
-    # to end: probe, ADC, and rerank cannot disagree on un-normalized
-    # inputs.
+    # fraction ~ n^(-1/4)) + RESIDUAL PQ codebooks trained on a
+    # deterministic md5-capped corpus sample (256 entries/subspace, the
+    # 8-bit FAISS standard; codebook resolution is a per-vector knob and
+    # need not grow with n, unlike cell count) + per-cell ADC over probed
+    # cells' 16-byte codes + exact decimal-L2 rerank of the top 100
+    # (R = 10·k). ONE metric (L2) end to end: probe, ADC, and rerank
+    # cannot disagree on un-normalized inputs. Residual codes because
+    # the r14 measurement demanded it: raw-vector codes ranked 3 of the
+    # true top-10 past ADC rank 200 (recall 0.7 at sf1); residual codes
+    # put all 10 inside rank 50 at the same bit budget.
     oracle=_KM_SCALED_CTES + _PQ_SCALED_CTES + """
     SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
            (SELECT k FROM ksel) AS k, (SELECT np FROM nsel) AS nprobe
@@ -2009,19 +2024,22 @@ _PQ_SCALED_CTES = """,
     "2011 §V-VI composed with the q_ann_ivf_scaled regime): coarse "
     "quantizer = k-means with k = ceil(sqrt(n)) cells computed from the "
     "corpus, probe nprobe = ceil(sqrt(k)) cells by decimal L2, then ONLY "
-    "probed cells' vectors are scored by ADC lookup on their 16-byte PQ "
-    "codes — whose per-subspace codebooks are trained on a deterministic "
-    "md5-capped sample of the CORPUS (256 entries, nearest-seed "
-    "assignment + decimal-exact means), not the fixture labels — and the "
-    "ADC top-50 is exactly re-ranked by decimal L2 on the floats. Both "
-    "index tiers grow/learn with the data, so recall survives the decades "
-    "where the fixture index collapses, AND the scan reads codes (16 B) "
-    "instead of float vectors (256 B) — the IVFADC memory/IO shape "
-    "stacked on the n^(-1/4) scan fraction. Scale shape: the corpus-sized "
-    "work is the coarse fit (index build, amortized across queries) and "
-    "the probed-cell code assignment (code build, likewise amortized); "
-    "the per-query work is a kc-row probe aggregate, a code join, and a "
-    "50-vector exact rerank",
+    "probed cells' RESIDUALS (v − cell centroid) are scored by per-cell "
+    "ADC lookup on their 16-byte PQ codes — whose per-subspace codebooks "
+    "are trained on a deterministic md5-capped sample of the corpus "
+    "residuals (256 entries, nearest-seed assignment + decimal-exact "
+    "means), not the fixture labels — and the ADC top-100 is exactly "
+    "re-ranked by decimal L2 on the floats. Both index tiers grow/learn "
+    "with the data, so recall survives the decades where the fixture "
+    "index collapses (measured 1.0 at sf1, 0.8 at sf10 = the coarse-probe "
+    "ceiling, i.e. the compression tier is recall-lossless), AND the scan "
+    "reads codes (16 B) instead of float vectors (256 B) — the IVFADC "
+    "memory/IO shape stacked on the n^(-1/4) scan fraction. Scale shape: "
+    "the corpus-sized work is the coarse fit (index build, amortized "
+    "across queries) and the probed-cell code assignment (code build, "
+    "likewise amortized; precomputable via ivfpq_scaled_codes); the "
+    "per-query work is a kc-row probe aggregate, a code join, and a "
+    "100-vector exact rerank",
     tags=("vector",),
 )
 def q_ivfpq_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1020,22 +1020,27 @@ def test_oph_estimate_tracks_true_jaccard(spark):
     assert abs(agree - 0.42) < 0.42  # very loose: just not degenerate
 
 
-def test_pq_corpus_codebooks_shape_and_bounds(spark):
-    """Corpus-trained PQ codebooks: per-subspace entries are complete
+def test_pq_residual_codebooks_shape_and_bounds(spark):
+    """Residual-trained PQ codebooks: per-subspace entries are complete
     (every surviving candidate covers all per_sub dims of its subspace),
-    bounded by the data range, and capped at kpq candidates."""
+    capped at kpq candidates, and bounded by the observed residual range
+    (a mean of residuals cannot leave their hull)."""
     from pyspark.sql import functions as F
 
     from etl_housing_spark.catalog import load_table
-    from etl_housing_spark.operators.quantize import pq_corpus_codebooks
+    from etl_housing_spark.operators.clustering import kmeans_fit
+    from etl_housing_spark.operators.quantize import (
+        _residual_long,
+        pq_residual_codebooks,
+    )
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-    vecs = emb.select(
+    vecs = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     n = vecs.count()
-    cb = pq_corpus_codebooks(vecs, n, subspaces=16, dim=64, kpq=256).cache()
-    # each (cand, sub) that exists covers exactly per_sub=4 dims
+    assigned, cents = kmeans_fit(vecs, k=23)
+    assigned = assigned.cache()
+    cb = pq_residual_codebooks(assigned, cents, n, subspaces=16, dim=64).cache()
     cover = (
         cb.withColumn("sub", F.expr("i div 4"))
         .groupBy("cand", "sub")
@@ -1043,18 +1048,16 @@ def test_pq_corpus_codebooks_shape_and_bounds(spark):
     )
     assert cover.filter(F.col("nd") != 4).count() == 0
     assert cb.select("cand").distinct().count() <= 256
-    # a mean of observed values stays inside the observed per-dim range
     rng = (
-        emb.select(F.posexplode("embedding").alias("i", "x"))
+        _residual_long(assigned, cents, 4)
         .groupBy("i")
-        .agg(F.min(F.col("x").cast("double")).alias("lo"),
-             F.max(F.col("x").cast("double")).alias("hi"))
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     )
     viol = cb.join(rng, "i").filter(
         (F.col("c") < F.col("lo") - 1e-12) | (F.col("c") > F.col("hi") + 1e-12)
     )
     assert viol.count() == 0
-    cb.unpersist()
+    cb.unpersist(); assigned.unpersist()
 
 
 def test_ivfpq_scaled_exact_duplicates_rank_first(spark, tmp_path):
@@ -1132,3 +1135,31 @@ def test_refit_due_flag_fires_on_outgrown_index(spark, tmp_path):
     assert all(r.refit_due == 1 for r in out)
     balanced = specs["q_ann_index_incremental"].fn(spark, "/root/testdata/sf0.01")
     assert balanced.agg(F.max("refit_due")).first()[0] == 0
+
+
+def test_codes_served_matches_stateless(spark):
+    """Deployment-shape law: serving from a precomputed ivfpq_scaled_codes
+    table (codes scan + rerank) returns exactly the stateless per-call
+    result — precomputing the code table changes where the bytes live,
+    never the answer."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.quantize import (
+        ivfpq_scaled_codes,
+        ivfpq_scaled_index,
+        ivfpq_scaled_topk,
+    )
+
+    vecs = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    idx = ivfpq_scaled_index(vecs)
+    idx = (idx[0].cache(), idx[1], idx[2].cache(), idx[3], idx[4])
+    codes = ivfpq_scaled_codes(vecs, idx).cache()
+    stateless = [tuple(r) for r in ivfpq_scaled_topk(vecs, index=idx).collect()]
+    served = [
+        tuple(r) for r in ivfpq_scaled_topk(vecs, index=idx, codes=codes).collect()
+    ]
+    assert stateless == served and len(served) == 10
+    idx[0].unpersist(); idx[2].unpersist(); codes.unpersist()
