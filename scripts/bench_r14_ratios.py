@@ -47,7 +47,7 @@ NEW = [
     if n.strip()
 ]
 CAP_S = 250.0
-DIM, M, KPQ, RERANK = 64, 16, 256, 50
+DIM, M, KPQ, RERANK = 64, 16, 256, 100
 
 
 def duck_capped(con, sql: str) -> float | None:
@@ -286,10 +286,6 @@ def run_sf30() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
-    {"sf0.1": run_sf01, "decade": run_decade, "amortized": run_amortized,
-     "sf30": run_sf30, "media_recall": run_media_recall}[mode]()
 
 
 def run_media_recall() -> None:
@@ -330,3 +326,9 @@ def run_media_recall() -> None:
             clear_pipeline_cache()
             print(f"  {tag} {name}: verified pairs={n_pairs} wall={wall:.1f}s")
     spark.stop()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
+    {"sf0.1": run_sf01, "decade": run_decade, "amortized": run_amortized,
+     "sf30": run_sf30, "media_recall": run_media_recall}[mode]()
