@@ -568,6 +568,81 @@ def ivfpq_scaled_index(
     return assigned, cents, cb, kc, nprobe
 
 
+def _residual_subs(
+    assigned: DataFrame,
+    cents: DataFrame,
+    subspaces: int,
+    per_sub: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Subvector-form residuals (id, cid, sub, rv: array<double>[per_sub])
+    — built IN-ROW (broadcast centroid join + slice/zip_with), no explode
+    to dim rows. The code-assignment consumer computes each candidate
+    distance as an in-row fold over rv, so no per-dim rows ever exist."""
+    pairs = assigned.join(F.broadcast(cents), "cid")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                F.zip_with(
+                    F.slice(F.col("v"), s * per_sub + 1, per_sub),
+                    F.slice(F.col("c"), s * per_sub + 1, per_sub),
+                    lambda a, b: a - b,
+                ).alias("rv"),
+            )
+            for s in range(subspaces)
+        ]
+    )
+    return pairs.select(id_col, "cid", F.inline(subs))
+
+
+def _codebook_subs(cb: DataFrame, per_sub: int) -> DataFrame:
+    """Codebook reshaped to subvector arrays (sub, cand, cv) — K·M rows,
+    one tiny aggregate, broadcast by every consumer."""
+    return (
+        cb.withColumn("sub", F.expr(f"i div {per_sub}"))
+        .groupBy("sub", "cand")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    )
+
+
+def _assign_codes_subs(
+    rsub: DataFrame, cbsub: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, cid, sub, code): nearest codebook entry per subvector, computed
+    SHUFFLE-FREE up to the argmin — the r14 spill fix.
+
+    The per-dim form (explode to (id, i) rows ⋈ codebook on i → SUM keyed
+    (id, cid, sub, cand) → argmin) pushes n·M·K GROUPS through the sum
+    aggregation: at sf30 that is 2.5 G groups whose partial-aggregate
+    hash tables overflow to sort-spill — measured FILLING THE DISK
+    (>60 GB) during the r14 code-table build, the same disease as the
+    r13 wide-argmin crash one operator over. Here each candidate
+    distance is an in-row decimal fold over the per_sub-element
+    subvectors (functions.vectors.sqdist — exact mode bit-equal to the
+    oracle's DECIMAL(38,18) SUM, since decimal addition is order-free
+    and both are exact), so the only aggregate left is the argmin —
+    min(struct(d2, cand)), map-side partial_min over rows that are
+    already co-partitioned with their group (the K-fan stays inside the
+    partition), collapsing n·M·K scored rows to n·M before the shuffle."""
+    from ..functions import vectors as V
+
+    scored = rsub.join(F.broadcast(cbsub), "sub").select(
+        id_col, "cid", "sub",
+        V.sqdist(F.col("rv"), F.col("cv")).alias("d2"),
+        "cand",
+    )
+    return (
+        scored.groupBy(id_col, "cid", "sub")
+        .agg(F.min(F.struct("d2", "cand")).alias("b"))
+        .select(id_col, "cid", "sub", F.col("b.cand").alias("code"))
+    )
+
+
 def ivfpq_scaled_codes(
     vecs: DataFrame,
     index: tuple[DataFrame, DataFrame, DataFrame, int, int],
@@ -587,24 +662,14 @@ def ivfpq_scaled_codes(
     partition pruning, not even a join. Pass to
     ivfpq_scaled_topk(codes=...) — value-identical to the stateless
     path (tests/test_operators.py::test_codes_served_matches_stateless).
-    """
+
+    Assignment runs in the subvector form (_assign_codes_subs): in-row
+    candidate distances, argmin the only aggregate — the per-dim form's
+    n·M·K-group sum spilled >60 GB and filled the disk at sf30."""
     per_sub = dim // subspaces
     assigned, cents, cb, _kc, _np = index
-    rex = _residual_long(assigned, cents, per_sub, id_col)
-    cd2 = (
-        rex.join(F.broadcast(cb), "i")
-        .groupBy(id_col, "cid", "sub", "cand")
-        .agg(
-            F.sum(_sq_dist_term(F.col("x"), F.col("c")))
-            .cast("double")
-            .alias("d2")
-        )
-    )
-    return (
-        cd2.groupBy(id_col, "cid", "sub")
-        .agg(F.min(F.struct("d2", "cand")).alias("b"))
-        .select(id_col, "cid", "sub", F.col("b.cand").alias("code"))
-    )
+    rsub = _residual_subs(assigned, cents, subspaces, per_sub, id_col)
+    return _assign_codes_subs(rsub, _codebook_subs(cb, per_sub), id_col)
 
 
 def ivfpq_scaled_topk(
@@ -703,23 +768,11 @@ def ivfpq_scaled_topk(
             id_col, "cid", "sub", "code"
         )
     else:
-        prex = _residual_long(
-            assigned.join(F.broadcast(probe), "cid"), cents, per_sub, id_col
+        rsub = _residual_subs(
+            assigned.join(F.broadcast(probe), "cid"), cents, subspaces,
+            per_sub, id_col,
         )
-        cd2 = (
-            prex.join(F.broadcast(cb), "i")
-            .groupBy(id_col, "cid", "sub", "cand")
-            .agg(
-                F.sum(_sq_dist_term(F.col("x"), F.col("c")))
-                .cast("double")
-                .alias("d2")
-            )
-        )
-        pcodes = (
-            cd2.groupBy(id_col, "cid", "sub")
-            .agg(F.min(F.struct("d2", "cand")).alias("b"))
-            .select(id_col, "cid", "sub", F.col("b.cand").alias("code"))
-        )
+        pcodes = _assign_codes_subs(rsub, _codebook_subs(cb, per_sub), id_col)
     qd = vecs.filter(F.col(id_col) == query_id).select(
         F.posexplode(F.col("v")).alias("i", "qx")
     )
