@@ -2140,7 +2140,20 @@ def q_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(vecs)
+    from ..operators._ckpt import tracked_persist
+    from ..operators.quantize import pq_residual_codebooks
+
+    n = vecs.count()
+    assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(vecs, n=n)
+    # three writes follow; unpersisted, each would re-execute the fit
+    # lineage from scratch (the kmeans_assign double-eval note; the
+    # sf0.1 protocol row measured 116 s before this persist) — persist
+    # the fit once and rebuild the codebooks ON the persisted frames so
+    # the codebook write reuses the cached fit (the ivfpq_scaled_index
+    # docstring's build-for-many-queries recipe)
+    assigned = tracked_persist(assigned)
+    cents = tracked_persist(cents)
+    cb = pq_residual_codebooks(assigned, cents, n)
     out = tempfile.mkdtemp(prefix="ehs_ann_idx_")
     assigned.write.mode("overwrite").parquet(out + "/assign")
     cents.write.mode("overwrite").parquet(out + "/cells")
