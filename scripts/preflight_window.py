@@ -2,7 +2,7 @@
 """Pre-flight a set of query ids through the driver-replica parity harness.
 
 Usage: python scripts/preflight_window.py q_a q_b ...   (default: the
-round-13 new/changed-oracle ids). Runs each id's Spark form and oracle SQL
+round-14 new/changed-oracle ids). Runs each id's Spark form and oracle SQL
 at sf0.01 through tests/parity.assert_parity (the type-strict, bit-exact
 local replica of the driver's hash check) and prints ok/FAIL per id.
 """
@@ -22,19 +22,16 @@ from etl_housing_spark.operators._ckpt import clear_pipeline_cache  # noqa: E402
 from etl_housing_spark.plans import all_queries  # noqa: E402
 from etl_housing_spark.session import get_session  # noqa: E402
 
-R13_DEFAULT = [
-    "q_ivfpq_search",
-    "q_ivfpq_recall",
-    "q_ann_ivf_portable",
-    "q_ann_recall",
-    "q_semdedup_scaled",
-    "q_ewma_portable",
-    "q_jdbc_roundtrip",
+R14_DEFAULT = [
+    "q_ivfpq_scaled",
+    "q_ivfpq_recall_scaled",
+    "q_ann_index_persist",
+    "q_ann_index_incremental",
 ]
 
 
 def main() -> int:
-    ids = sys.argv[1:] or R13_DEFAULT
+    ids = sys.argv[1:] or R14_DEFAULT
     sf_dir = "/root/testdata/sf0.01"
     specs = all_queries()
     spark = get_session(app_name="ehs-preflight")
