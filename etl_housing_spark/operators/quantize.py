@@ -665,11 +665,23 @@ def ivfpq_scaled_codes(
 
     Assignment runs in the subvector form (_assign_codes_subs): in-row
     candidate distances, argmin the only aggregate — the per-dim form's
-    n·M·K-group sum spilled >60 GB and filled the disk at sf30."""
+    n·M·K-group sum spilled >60 GB and filled the disk at sf30.
+
+    Output is PACKED, one row per vector with codes in subspace order
+    (FAISS's own storage layout): the served ADC is then an in-row fold
+    of M map lookups over n_probed ROWS — no code join, no per-query
+    aggregation keyed by id — and the scan row count matches the
+    16-bytes-per-vector story instead of carrying M× row overhead."""
     per_sub = dim // subspaces
     assigned, cents, cb, _kc, _np = index
     rsub = _residual_subs(assigned, cents, subspaces, per_sub, id_col)
-    return _assign_codes_subs(rsub, _codebook_subs(cb, per_sub), id_col)
+    long_codes = _assign_codes_subs(rsub, _codebook_subs(cb, per_sub), id_col)
+    return long_codes.groupBy(id_col, "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
 
 
 def ivfpq_scaled_topk(
@@ -763,16 +775,6 @@ def ivfpq_scaled_topk(
         .limit(nprobe)
         .select("cid")
     )
-    if codes is not None:
-        pcodes = codes.join(F.broadcast(probe), "cid").select(
-            id_col, "cid", "sub", "code"
-        )
-    else:
-        rsub = _residual_subs(
-            assigned.join(F.broadcast(probe), "cid"), cents, subspaces,
-            per_sub, id_col,
-        )
-        pcodes = _assign_codes_subs(rsub, _codebook_subs(cb, per_sub), id_col)
     qd = vecs.filter(F.col(id_col) == query_id).select(
         F.posexplode(F.col("v")).alias("i", "qx")
     )
@@ -796,20 +798,63 @@ def ivfpq_scaled_topk(
             .alias("lut_d2")
         )
     )
-    adc = (
-        pcodes.join(
-            F.broadcast(lut),
-            (pcodes.cid == lut.cid)
-            & (pcodes.sub == lut.sub)
-            & (pcodes.code == lut.cand),
+    if codes is not None:
+        # packed serving (the deployment fast path): per-cell LUT folded
+        # into ONE broadcast map keyed sub·4096+cand, ADC = an in-row
+        # decimal fold of M map lookups per PROBED ROW — no code join,
+        # no per-query aggregation keyed by id; the scan is n_probed
+        # rows of M codes, map-only into TakeOrderedAndProject. The
+        # 16-element decimal fold equals the long form's DECIMAL SUM
+        # (order-free exact arithmetic), so values are identical.
+        lutm = lut.groupBy("cid").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        (F.col("sub") * 4096 + F.col("cand")).cast("long"),
+                        F.col("lut_d2"),
+                    )
+                )
+            ).alias("m")
         )
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("lut_d2").cast("decimal(38,18)"))
+        pc = codes.join(F.broadcast(probe), "cid").join(
+            F.broadcast(lutm), "cid"
+        )
+        terms = F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(F.col("m"), (s * 4096 + c).cast("long")),
+        )
+        adc = pc.select(
+            id_col,
+            F.aggregate(
+                terms,
+                F.lit(0).cast("decimal(28,18)"),
+                lambda acc, x: (acc + x.cast("decimal(28,18)")).cast(
+                    "decimal(28,18)"
+                ),
+            )
             .cast("double")
-            .alias("adc_d2")
+            .alias("adc_d2"),
         )
-    )
+    else:
+        rsub = _residual_subs(
+            assigned.join(F.broadcast(probe), "cid"), cents, subspaces,
+            per_sub, id_col,
+        )
+        pcodes = _assign_codes_subs(rsub, _codebook_subs(cb, per_sub), id_col)
+        adc = (
+            pcodes.join(
+                F.broadcast(lut),
+                (pcodes.cid == lut.cid)
+                & (pcodes.sub == lut.sub)
+                & (pcodes.code == lut.cand),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.col("lut_d2").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("adc_d2")
+            )
+        )
     cand = adc.orderBy("adc_d2", id_col).limit(rerank).select(id_col)
     ex = (
         vecs.join(F.broadcast(cand), id_col)
