@@ -799,41 +799,30 @@ def ivfpq_scaled_topk(
         )
     )
     if codes is not None:
-        # packed serving (the deployment fast path): per-cell LUT folded
-        # into ONE broadcast map keyed sub·4096+cand, ADC = an in-row
-        # decimal fold of M map lookups per PROBED ROW — no code join,
-        # no per-query aggregation keyed by id; the scan is n_probed
-        # rows of M codes, map-only into TakeOrderedAndProject. The
-        # 16-element decimal fold equals the long form's DECIMAL SUM
-        # (order-free exact arithmetic), so values are identical.
-        lutm = lut.groupBy("cid").agg(
-            F.map_from_entries(
-                F.collect_list(
-                    F.struct(
-                        (F.col("sub") * 4096 + F.col("cand")).cast("long"),
-                        F.col("lut_d2"),
-                    )
-                )
-            ).alias("m")
+        # packed-table serving (the deployment path): the scan reads
+        # n_probed PACKED rows (M bytes of codes each — the storage
+        # story), explodes them transiently, and scores through a
+        # BROADCAST HASH join against the per-cell LUT. A map-typed
+        # in-row lookup was tried first and REVERTED: Spark's MapType
+        # element_at is a linear scan (O(K) per lookup — measured
+        # ~1.2 s/query slower than the hash join at sf10), so the
+        # broadcast hash join IS the fast lookup structure here.
+        pc = codes.join(F.broadcast(probe), "cid").select(
+            id_col, "cid", F.posexplode("codes").alias("sub", "code")
         )
-        pc = codes.join(F.broadcast(probe), "cid").join(
-            F.broadcast(lutm), "cid"
-        )
-        terms = F.transform(
-            F.col("codes"),
-            lambda c, s: F.element_at(F.col("m"), (s * 4096 + c).cast("long")),
-        )
-        adc = pc.select(
-            id_col,
-            F.aggregate(
-                terms,
-                F.lit(0).cast("decimal(28,18)"),
-                lambda acc, x: (acc + x.cast("decimal(28,18)")).cast(
-                    "decimal(28,18)"
-                ),
+        adc = (
+            pc.join(
+                F.broadcast(lut),
+                (pc.cid == lut.cid)
+                & (pc.sub == lut.sub)
+                & (pc.code == lut.cand),
             )
-            .cast("double")
-            .alias("adc_d2"),
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.col("lut_d2").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("adc_d2")
+            )
         )
     else:
         rsub = _residual_subs(
