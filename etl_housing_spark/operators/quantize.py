@@ -644,24 +644,31 @@ def _assign_codes_subs(
 
 
 def ivfpq_scaled_codes(
-    vecs: DataFrame,
     index: tuple[DataFrame, DataFrame, DataFrame, int, int],
     subspaces: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Full-corpus residual PQ code table (id, cid, sub, code) — the
+    """Full-corpus residual PQ code table (id, cid, codes) — the
     deployment artifact the IVFADC scan actually reads.
+
+    Codes are derived ENTIRELY from the index tuple (its assigned frame
+    carries the vectors and their cell ids) — there is deliberately no
+    separate vectors parameter, so the API cannot encode codes for a
+    different vector set than the index was built on (ADVICE r14: a
+    caller-supplied vecs was never used and could mislead).
 
     The stateless registered query assigns probed cells' residuals to
     codes per call (driver contract); a deployment computes this table
     ONCE at ingest (one O(n·K·D) pass, amortized forever) and serves
-    every query from it: the per-query scan is then codes.join(probe) on
-    cid — M = ``subspaces`` bytes per probed vector, floats appearing
-    only in the rerank. Stored cell-partitioned (cid), the probe is
-    partition pruning, not even a join. Pass to
-    ivfpq_scaled_topk(codes=...) — value-identical to the stateless
-    path (tests/test_operators.py::test_codes_served_matches_stateless).
+    every query from it: stored cell-partitioned (partitionBy("cid")),
+    the probe is PARTITION PRUNING — ivfpq_scaled_topk(codes=...)
+    filters on the collected probe cids, which a cid-partitioned parquet
+    read resolves at file-listing time (PartitionFilters), so only
+    nprobe/kc of the files are ever opened; M = ``subspaces`` bytes per
+    probed vector, floats appearing only in the rerank. Value-identical
+    to the stateless path
+    (tests/test_operators.py::test_codes_served_matches_stateless).
 
     Assignment runs in the subvector form (_assign_codes_subs): in-row
     candidate distances, argmin the only aggregate — the per-dim form's
@@ -745,6 +752,17 @@ def ivfpq_scaled_topk(
     from ._ckpt import tracked_persist
 
     per_sub = dim // subspaces
+    if codes is not None and index is None:
+        # a codes table is only meaningful against the index that
+        # produced it: serving caller codes against a rebuilt stateless
+        # index would join on (cid, sub, code) numerically and silently
+        # produce wrong ADC distances if the snapshots/knobs differ
+        # (ADVICE r14) — demand the matching tuple instead of relying on
+        # deterministic-rebuild coincidence
+        raise ValueError(
+            "codes= requires index=: pass the ivfpq_scaled_index tuple "
+            "the codes table was built from"
+        )
     if index is not None:
         assigned, cents, cb, kc, nprobe = index
     else:
@@ -807,7 +825,18 @@ def ivfpq_scaled_topk(
         # element_at is a linear scan (O(K) per lookup — measured
         # ~1.2 s/query slower than the hash join at sf10), so the
         # broadcast hash join IS the fast lookup structure here.
-        pc = codes.join(F.broadcast(probe), "cid").select(
+        #
+        # The probe binds as a STATIC filter, not a join: collect the
+        # nprobe cell ids (a kc-row aggregate — the tiny-metadata
+        # collect pattern) and push cid IN (...) into the codes scan.
+        # When codes is a cid-partitioned parquet read (the
+        # q_ann_index_serve artifact), that filter resolves at
+        # FILE-LISTING time (PartitionFilters) — only nprobe/kc of the
+        # files are opened, zero rows of unprobed cells are read or
+        # shuffled, which a join-form probe cannot guarantee (DPP is
+        # best-effort and the LIMIT in the probe blocks it).
+        probe_cids = [r["cid"] for r in probe.collect()]
+        pc = codes.filter(F.col("cid").isin(probe_cids)).select(
             id_col, "cid", F.posexplode("codes").alias("sub", "code")
         )
         adc = (

@@ -143,7 +143,7 @@ def _built_index(spark, sf_dir):
     build_s = time.perf_counter() - t0
     idx = (assigned, cents, cb, kc, nprobe)
     t0 = time.perf_counter()
-    codes = ivfpq_scaled_codes(vecs, idx).cache()
+    codes = ivfpq_scaled_codes(idx).cache()
     codes.count()
     codes_s = time.perf_counter() - t0
     print(

@@ -1156,7 +1156,7 @@ def test_codes_served_matches_stateless(spark):
     )
     idx = ivfpq_scaled_index(vecs)
     idx = (idx[0].cache(), idx[1], idx[2].cache(), idx[3], idx[4])
-    codes = ivfpq_scaled_codes(vecs, idx).cache()
+    codes = ivfpq_scaled_codes(idx).cache()
     stateless = [tuple(r) for r in ivfpq_scaled_topk(vecs, index=idx).collect()]
     served = [
         tuple(r) for r in ivfpq_scaled_topk(vecs, index=idx, codes=codes).collect()

@@ -949,3 +949,21 @@ def test_ivfpq_scaled_no_cartesian_and_broadcast_pruning(spark):
     assert "BroadcastHashJoin" in plan
     # the kmeans argmin stays narrow (the r13 sort-spill pin, inherited)
     assert "min(struct(d, cid))" in plan or "partial_min" in plan
+
+
+def test_ann_serve_codes_scan_partition_pruned(spark):
+    """q_ann_index_serve's deployment claim lives in the plan: the persisted
+    packed-codes scan must carry the probe as a PartitionFilters entry on
+    cid (bound at FILE-LISTING time — only nprobe of kc cell directories
+    are listed, zero rows of unprobed cells decoded), not as a post-scan
+    Filter or a join; and the serving path keeps the scaled family's
+    broadcast discipline (no cartesian, LUT/candidates broadcast)."""
+    plan = _plan(_q(spark, "q_ann_index_serve"))
+    part = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "cid" in l and "IN (" in l.upper()
+    ]
+    assert part, [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
