@@ -2040,7 +2040,7 @@ _PQ_SCALED_CTES = """,
     "likewise amortized; precomputable via ivfpq_scaled_codes); the "
     "per-query work is a kc-row probe aggregate, a code join, and a "
     "100-vector exact rerank",
-    tags=("vector",),
+    tags=("vector", "bench"),
 )
 def q_ivfpq_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivfpq_scaled_topk
