@@ -874,9 +874,25 @@ def ivfpq_scaled_topk(
             )
         )
     cand = adc.orderBy("adc_d2", id_col).limit(rerank).select(id_col)
+    if codes is not None:
+        # deployment rerank: the R candidate ids are collected (R=100
+        # longs — bounded at any corpus size) and pushed into the float
+        # scan as literals, so the reader skips row groups by min/max
+        # stats instead of scanning the corpus into a broadcast join;
+        # candidates all live in probed cells, so when ``vecs`` carries
+        # the cell column (the cid-partitioned assignment artifact) the
+        # scan ALSO prunes to nprobe/kc of the files at listing time.
+        # The collect additionally means the ADC plan executes exactly
+        # once (the rerank consumes ids, not the adc lineage).
+        cand_ids = [r[0] for r in cand.collect()]
+        rer = vecs
+        if "cid" in rer.columns:
+            rer = rer.filter(F.col("cid").isin(probe_cids))
+        rer = rer.filter(F.col(id_col).isin(cand_ids))
+    else:
+        rer = vecs.join(F.broadcast(cand), id_col)
     ex = (
-        vecs.join(F.broadcast(cand), id_col)
-        .select(id_col, F.posexplode(F.col("v")).alias("i", "x"))
+        rer.select(id_col, F.posexplode(F.col("v")).alias("i", "x"))
         .join(F.broadcast(qd.select("i", F.col("qx"))), "i")
         .groupBy(id_col)
         .agg(

@@ -2239,22 +2239,28 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = tracked_persist(pq_residual_codebooks(assigned, cents, n))
     codes = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
     out = _index_dir(sf_dir)
-    assigned.write.mode("overwrite").parquet(out + "/assign")
+    # the deployment artifacts: one directory per cell for BOTH the code
+    # table and the float vectors (FAISS keeps the vectors in the
+    # inverted lists for exactly this reason), so a probe's cid IN (...)
+    # prunes at file listing — "the probe is partition pruning, not even
+    # a join" (ivfpq_scaled_codes docstring) — for the ADC scan AND the
+    # rerank's candidate reads. kc = ceil(sqrt(n)) directories: 775 at
+    # sf10, ~32k at n=10^9 — at the extreme end a deployment would
+    # bucket cid ranges, same pruning law
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        out + "/assign_by_cell"
+    )
     cents.write.mode("overwrite").parquet(out + "/cells")
     cb.write.mode("overwrite").parquet(out + "/codebooks")
-    # the deployment artifact: one directory per cell, so a probe's
-    # cid IN (...) prunes at file listing — "the probe is partition
-    # pruning, not even a join" (ivfpq_scaled_codes docstring). kc =
-    # ceil(sqrt(n)) directories: 775 at sf10, ~32k at n=10^9 — at the
-    # extreme end a deployment would bucket cid ranges, same pruning law
     codes.write.mode("overwrite").partitionBy("cid").parquet(out + "/codes")
-    p_assign = spark.read.parquet(out + "/assign")
+    p_assign = spark.read.parquet(out + "/assign_by_cell").select(
+        "vec_id", "v", "cid"
+    )
     p_cells = spark.read.parquet(out + "/cells")
     p_cb = spark.read.parquet(out + "/codebooks")
     p_codes = spark.read.parquet(out + "/codes")
-    served_vecs = p_assign.select("vec_id", "v")
     return ivfpq_scaled_topk(
-        served_vecs,
+        p_assign,
         index=(p_assign, p_cells, p_cb, kc, nprobe),
         codes=p_codes,
     )

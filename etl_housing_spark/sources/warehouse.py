@@ -29,8 +29,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _staged_swap_write(df: DataFrame, path: str) -> None:
+def _staged_swap_write(
+    df: DataFrame, path: str, block_bytes: int = 128 * 1024 * 1024
+) -> None:
     """Write ``df`` to a staging sibling of ``path`` and swap via rename.
+
+    The write pins ``parquet.block.size`` (the row-group size) explicitly:
+    row groups are the unit of reader parallelism, so a maintenance
+    rewrite must never emit a file whose whole payload is one row group
+    (assert_rowgroup_layout — the r14 single-row-group finding).
 
     Safe overwrite-of-input: the plan may still be reading the files under
     ``path`` while the staging write runs (nothing is deleted), and the
@@ -42,7 +49,9 @@ def _staged_swap_write(df: DataFrame, path: str) -> None:
     """
     token = uuid.uuid4().hex[:8]
     staging = f"{path}.staging-{token}"
-    df.write.mode("overwrite").parquet(staging)
+    df.write.mode("overwrite").option(
+        "parquet.block.size", int(block_bytes)
+    ).parquet(staging)
     old = f"{path}.old-{token}"
     os.rename(path, old)
     try:
@@ -256,7 +265,12 @@ def _closed_value(col_name: str, eff, valid_to: str, is_current: str):
     return eff if col_name == valid_to else F.lit(False)
 
 
-def compact_table(spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000) -> int:
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    block_bytes: int = 128 * 1024 * 1024,
+) -> int:
     """Small-files compaction: rewrite a parquet directory into
     ``ceil(rows / target_rows_per_file)`` files.
 
@@ -277,8 +291,61 @@ def compact_table(spark: SparkSession, path: str, target_rows_per_file: int = 1_
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    _staged_swap_write(df.repartition(n_files), path.rstrip("/"))
+    _staged_swap_write(
+        df.repartition(n_files), path.rstrip("/"), block_bytes=block_bytes
+    )
+    assert_rowgroup_layout(path.rstrip("/"), block_bytes=block_bytes)
     return n_files
+
+
+def assert_rowgroup_layout(
+    path: str, block_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Row-group layout contract: no large parquet file may be a
+    single-row-group monolith.
+
+    The round-14 decade run found the anti-pattern the hard way: a
+    multi-hundred-MB file written as ONE row group collapses every
+    reader to a single task — Spark splits parquet work by row group, so
+    the file's writer controls every future reader's parallelism (the
+    sf10 exact fit ran one core for 70+ minutes until the relayout;
+    341→77.9 s after). The bench routes its inputs through
+    bench.ingest_layout; this check makes the ENGINE's writers unable to
+    reproduce the disease: every file larger than 1.5× ``block_bytes``
+    must contain more than one row group. Returns
+    {files, large_files, max_rows_per_group}; raises ValueError naming
+    offenders otherwise."""
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    bad, large, max_rows = [], 0, 0
+    for f in files:
+        size = os.path.getsize(f)
+        if size <= 1.5 * block_bytes:
+            continue
+        large += 1
+        md = pq.ParquetFile(f).metadata
+        max_rows = max(
+            max_rows,
+            max(md.row_group(i).num_rows for i in range(md.num_row_groups)),
+        )
+        if md.num_row_groups < 2:
+            bad.append((f, size, md.num_row_groups))
+    if bad:
+        raise ValueError(
+            "single-row-group monolith(s) — the writer controls the "
+            f"reader's parallelism (SCALE.md r14): {bad}"
+        )
+    return {
+        "files": len(files),
+        "large_files": large,
+        "max_rows_per_group": max_rows,
+    }
 
 
 def write_training_shards(

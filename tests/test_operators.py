@@ -635,6 +635,47 @@ def test_compact_table_reduces_files_and_preserves_rows(spark, tmp_path):
     assert back.groupBy().sum("id").collect()[0][0] == sum(range(10_000))
 
 
+def test_compacted_large_files_have_multiple_rowgroups(spark, tmp_path):
+    """Write-side row-group contract (SCALE.md r14: the writer controls the
+    reader's parallelism): a compacted table whose files exceed the block
+    size must carry >1 row group per large file — and the checker must
+    reject a deliberately-monolithic file. Exercised at a 64 KiB block so
+    the test stays small; the law is size-relative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_housing_spark.sources.warehouse import (
+        assert_rowgroup_layout,
+        compact_table,
+    )
+
+    path = str(tmp_path / "wide")
+    spark.range(0, 40_000).selectExpr(
+        "id", "repeat('x', 32) AS pad"
+    ).repartition(8).write.parquet(path)
+    block = 64 * 1024
+    # one output file of ~40k * ~40B >> 1.5 * 64 KiB
+    compact_table(spark, path, target_rows_per_file=1_000_000, block_bytes=block)
+    report = assert_rowgroup_layout(path, block_bytes=block)
+    assert report["large_files"] >= 1
+    back = spark.read.parquet(path)
+    assert back.count() == 40_000
+
+    # negative control: a single-row-group monolith must be rejected
+    mono = tmp_path / "mono"
+    mono.mkdir()
+    tbl = pa.table({"id": list(range(50_000)), "pad": ["y" * 32] * 50_000})
+    pq.write_table(
+        tbl, str(mono / "part-0.parquet"), row_group_size=50_000,
+        compression="none",
+    )
+    try:
+        assert_rowgroup_layout(str(mono), block_bytes=block)
+        raise AssertionError("monolith passed the row-group contract")
+    except ValueError as e:
+        assert "single-row-group" in str(e)
+
+
 def test_observed_write_counts_without_second_scan(spark, tmp_path):
     """observed_write must return the same violation counts check() computes,
     from the write job itself — verified by scan-counting the executed plan."""
