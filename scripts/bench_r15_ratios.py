@@ -244,6 +244,123 @@ def run_sweep() -> None:
     spark.stop()
 
 
+def run_media_recall() -> None:
+    """VERDICT r14 item 6: image per-bin band-layout recall AT SF10 via a
+    SAMPLED truth. The registered harness (q_image_band_recall) died at
+    sf10 because its truth side grows ~n² on the repeated-image fixture —
+    instrument cost, not detector cost. This instrument bounds it two ways:
+    (1) truth membership is capped per 8-bit-band bucket by deterministic
+    md5 order (the repo's standard sampling), so pair formation is
+    <= CAP² per bucket instead of m²; (2) detection is evaluated
+    ROW-LOCALLY on the carried hash halves (a pair is detected by a
+    layout iff ANY of its bands is equal — the same pigeonhole algebra the
+    candidate join buckets on), so there is no candidate-side join at
+    all. Sampling is independent of the hash structure, so per-bin recall
+    on the sampled pairs estimates the full-truth recall; the pigeonhole
+    bins (d<=1 for 2x32, d<=3 for 4x16) must still be EXACTLY 1.0 on any
+    sample — that part is n-free."""
+    from pyspark.sql.window import Window
+
+    from etl_housing_spark.operators._ckpt import tracked_persist
+    from etl_housing_spark.operators.multimodal import phash_media, resize_media
+    from etl_housing_spark.plans.text_queries import (
+        _phash_band_exprs,
+        _phash_bands_spark,
+        _phash_hamming,
+        _png_fixture_media,
+    )
+
+    cap = int(os.environ.get("R15_TRUTH_CAP", "24"))
+    spark = get_session(app_name="ehs-r15-media-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    sfs = [
+        s
+        for s in os.environ.get(
+            "R15_MEDIA_SFS",
+            "/root/repo/.benchdata/sf1,/root/repo/.benchdata/sf10",
+        ).split(",")
+        if s
+    ]
+
+    def _detected(width: int):
+        exprs = _phash_band_exprs(width, "shiftright({h}, {s})")
+        eqs = [
+            "("
+            + e.replace("phash_lo", "la").replace("phash_hi", "ha")
+            + " = "
+            + e.replace("phash_lo", "lb").replace("phash_hi", "hb")
+            + ")"
+            for e in exprs
+        ]
+        return F.expr(" OR ".join(eqs)).cast("int")
+
+    for sf_dir in sfs:
+        tag = os.path.basename(sf_dir)
+        sf_dir = ingest_layout(spark, sf_dir)
+        t0 = time.perf_counter()
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        ph = tracked_persist(
+            phash_media(
+                resize_media(_png_fixture_media(docs), 9, 8, strict=True),
+                strict=True,
+            ).select("media_id", "phash_hi", "phash_lo")
+        )
+        bands = ph.selectExpr(
+            "media_id", "phash_hi", "phash_lo", _phash_bands_spark(8)
+        )
+        w = Window.partitionBy("bd", "bval").orderBy(
+            F.md5(F.concat_ws(":", F.lit("truthcap"), F.col("media_id"))),
+            "media_id",
+        )
+        samp = (
+            bands.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap)
+            .drop("rn")
+        )
+        a = samp.select(
+            F.col("media_id").alias("id_a"), F.col("phash_hi").alias("ha"),
+            F.col("phash_lo").alias("la"), "bd", "bval",
+        )
+        b = samp.select(
+            F.col("media_id").alias("id_b"), F.col("phash_hi").alias("hb"),
+            F.col("phash_lo").alias("lb"), "bd", "bval",
+        )
+        truth = (
+            a.join(b, ["bd", "bval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ha", "la", "hb", "lb")
+            .distinct()
+            .withColumn("d", _phash_hamming().cast("bigint"))
+            .filter(F.col("d") <= 6)
+        )
+        rows = (
+            truth.select(
+                "d",
+                _detected(32).alias("d32"),
+                _detected(16).alias("d16"),
+            )
+            .groupBy("d")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("d32").alias("det32"),
+                F.sum("d16").alias("det16"),
+            )
+            .orderBy("d")
+            .collect()
+        )
+        wall = time.perf_counter() - t0
+        for r in rows:
+            print(
+                f"  {tag} d={r.d}: sampled-truth={r.n_pairs} | "
+                f"b2x32 recall={r.det32 / r.n_pairs:.4f} | "
+                f"b4x16 recall={r.det16 / r.n_pairs:.4f}"
+            )
+        print(f"  {tag} sampled-truth harness wall {wall:.1f}s (cap={cap})")
+        ph.unpersist()
+        clear_pipeline_cache()
+    spark.stop()
+
+
 def run_sf01() -> None:
     import duckdb
 
@@ -287,4 +404,9 @@ def run_sf01() -> None:
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "serve"
-    {"serve": run_serve, "sweep": run_sweep, "sf0.1": run_sf01}[cmd]()
+    {
+        "serve": run_serve,
+        "sweep": run_sweep,
+        "sf0.1": run_sf01,
+        "media_recall": run_media_recall,
+    }[cmd]()
