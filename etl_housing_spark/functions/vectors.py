@@ -94,3 +94,41 @@ def sqdist(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def dec_sum_static(terms: list[Column]) -> Column:
+    """Statically unrolled ``_dec_sum`` over a known list of double terms:
+    left-associated additions with the same running (28,18) casts as the
+    fold (decimal addition is exact, so the value is identical), but a
+    plain expression tree Catalyst whole-stage-codegens — the HOF fold is
+    interpreted per row. Honors EHS_FAST_SUMS like ``_dec_sum`` (plain
+    left-associated double sum, bitwise the fast fold's order)."""
+    if os.environ.get("EHS_FAST_SUMS", "") == "1":
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+    acc = (F.lit(0).cast(_ACC) + terms[0].cast(_ACC)).cast(_ACC)
+    for t in terms[1:]:
+        acc = (acc + t.cast(_ACC)).cast(_ACC)
+    return acc.cast("double")
+
+
+def sqdist_static(a: Column, b: Column, dim: int) -> Column:
+    """``sqdist`` as a STATICALLY UNROLLED expression tree for a known
+    ``dim`` — value-identical (left-associated additions with the same
+    running (28,18) casts as the fold; decimal addition is exact, so
+    association cannot change the value) but whole-stage-codegen'd where
+    the ``aggregate``/``zip_with`` higher-order form is INTERPRETED
+    per-row (Catalyst does not codegen HOF lambdas; measured r15: the
+    sf10 ADC/LUT scoring jobs spend most of their wall in ArrayAggregate
+    interpretation). Use on scan-side scoring with fixed dimensionality;
+    keep ``sqdist`` for dynamic dims. Honors EHS_FAST_SUMS identically
+    (plain left-associated double sum — the same order the fast fold
+    takes, so the two forms agree bitwise in BOTH modes)."""
+    terms = [
+        (a.getItem(i).cast("double") - b.getItem(i).cast("double"))
+        * (a.getItem(i).cast("double") - b.getItem(i).cast("double"))
+        for i in range(dim)
+    ]
+    return dec_sum_static(terms)

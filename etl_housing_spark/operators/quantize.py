@@ -705,6 +705,7 @@ def ivfpq_scaled_topk(
     n: int | None = None,
     index: tuple[DataFrame, DataFrame, DataFrame, int, int] | None = None,
     codes: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVFADC+R with a CORPUS-SCALED index — the 100 TB ANN shape.
 
@@ -746,7 +747,10 @@ def ivfpq_scaled_topk(
     ``vecs`` must be (id_col, v: array<double>) with unique non-null ids
     (the kmeans_assign precondition); ``n`` is the corpus count if the
     caller already took it. ``index``/``codes`` serve the query from a
-    prebuilt ivfpq_scaled_index / ivfpq_scaled_codes pair.
+    prebuilt ivfpq_scaled_index / ivfpq_scaled_codes pair. ``query_vec``
+    supplies the query vector as a literal (the deployment shape — a
+    user query is not a corpus row and must not cost a corpus scan to
+    fetch); without it the vector is looked up as ``vecs[query_id]``.
     """
     from ..functions import vectors as V
     from ._ckpt import tracked_persist
@@ -785,16 +789,31 @@ def ivfpq_scaled_topk(
                 assigned, cents, n, subspaces, dim, kpq, train_cap, id_col
             )
         )
-    qv = vecs.filter(F.col(id_col) == query_id).select(F.col("v").alias("__q"))
+    if query_vec is not None:
+        # deployment serving shape: the query vector ARRIVES as a
+        # parameter (a user query is not a corpus row) — build it as a
+        # literal so no job ever scans the corpus just to fetch it. The
+        # lookup form below re-reads the vectors table inside every job
+        # that references qv/qd; against a cell-partitioned persisted
+        # index that is a full file-listing + scan per job, measured
+        # ~10x the whole serving cost at sf10.
+        lit_q = F.array(*[F.lit(float(x)) for x in query_vec])
+        one = vecs.sparkSession.range(1)
+        qv = one.select(lit_q.alias("__q"))
+        qd = one.select(F.posexplode(lit_q).alias("i", "qx"))
+    else:
+        qv = vecs.filter(F.col(id_col) == query_id).select(
+            F.col("v").alias("__q")
+        )
+        qd = vecs.filter(F.col(id_col) == query_id).select(
+            F.posexplode(F.col("v")).alias("i", "qx")
+        )
     probe = (
         cents.crossJoin(F.broadcast(qv))
         .select("cid", V.sqdist(F.col("c"), F.col("__q")).alias("d"))
         .orderBy("d", "cid")
         .limit(nprobe)
         .select("cid")
-    )
-    qd = vecs.filter(F.col(id_col) == query_id).select(
-        F.posexplode(F.col("v")).alias("i", "qx")
     )
     qres = (
         cents.select("cid", F.posexplode("c").alias("i", "cx"))
@@ -807,6 +826,16 @@ def ivfpq_scaled_topk(
             (F.col("qx") - F.col("cx")).alias("qr"),
         )
     )
+    # LUT in the per-dim codegen form: nprobe·64·K scored rows through a
+    # (cid, sub, cand)-keyed decimal SUM — all whole-stage codegen. Two
+    # alternatives were MEASURED at sf10 (r15) and rejected: an in-row
+    # HOF fold over reshaped subvectors (fewer rows, but Catalyst
+    # interprets higher-order lambdas per row — no faster) and a fully
+    # static unrolled expression tree (codegen'd, but the per-QUERY
+    # literals force a fresh Janino compile of the big tree each call —
+    # packed serving 1.7 s → 9.0 s). The LUT is nprobe·M·K entries at
+    # ANY corpus size — never the scale bottleneck; latency here is
+    # stage overhead, and the grouped-SUM form carries the least of it.
     lut = (
         qres.join(F.broadcast(cb), "i")
         .groupBy("cid", "sub", "cand")
@@ -820,11 +849,17 @@ def ivfpq_scaled_topk(
         # packed-table serving (the deployment path): the scan reads
         # n_probed PACKED rows (M bytes of codes each — the storage
         # story), explodes them transiently, and scores through a
-        # BROADCAST HASH join against the per-cell LUT. A map-typed
-        # in-row lookup was tried first and REVERTED: Spark's MapType
-        # element_at is a linear scan (O(K) per lookup — measured
-        # ~1.2 s/query slower than the hash join at sf10), so the
-        # broadcast hash join IS the fast lookup structure here.
+        # BROADCAST HASH join against the per-cell LUT — every stage
+        # whole-stage codegen. Two in-row alternatives were MEASURED
+        # and rejected: a MAP-typed lookup (r14 — MapType element_at is
+        # a linear scan, ~1.2 s/query slower) and an ARRAY-matrix
+        # lookup (r15 — O(1) element_at, but the dense-scatter build
+        # plus Catalyst's INTERPRETED evaluation of the zip_with/
+        # aggregate lambdas measured 1.7 s → 4.5 s at sf10; a static
+        # unrolled tree re-pays Janino compilation per query, → 9.0 s).
+        # The codegen'd explode + hash join is the fast shape at every
+        # scale tried — the fan-out is transient (M rows per probed
+        # vector into a map-side partial agg), nothing wide shuffles.
         #
         # The probe binds as a STATIC filter, not a join: collect the
         # nprobe cell ids (a kc-row aggregate — the tiny-metadata
@@ -891,16 +926,25 @@ def ivfpq_scaled_topk(
         rer = rer.filter(F.col(id_col).isin(cand_ids))
     else:
         rer = vecs.join(F.broadcast(cand), id_col)
-    ex = (
-        rer.select(id_col, F.posexplode(F.col("v")).alias("i", "x"))
-        .join(F.broadcast(qd.select("i", F.col("qx"))), "i")
-        .groupBy(id_col)
-        .agg(
-            F.sum(_sq_dist_term(F.col("x"), F.col("qx")))
-            .cast("double")
-            .alias("exact_d2")
+    if query_vec is not None:
+        # literal query: the exact distance is one in-row fold per
+        # candidate — no explode, no per-dim join, no aggregate
+        # (decimal fold ≡ the oracle's grouped decimal SUM, order-free;
+        # R=100 rows, so the interpreted-HOF cost is irrelevant here)
+        ex = rer.select(
+            id_col, V.sqdist(F.col("v"), lit_q).alias("exact_d2")
         )
-    )
+    else:
+        ex = (
+            rer.select(id_col, F.posexplode(F.col("v")).alias("i", "x"))
+            .join(F.broadcast(qd.select("i", F.col("qx"))), "i")
+            .groupBy(id_col)
+            .agg(
+                F.sum(_sq_dist_term(F.col("x"), F.col("qx")))
+                .cast("double")
+                .alias("exact_d2")
+            )
+        )
     return (
         ex.orderBy("exact_d2", id_col)
         .limit(k)
@@ -910,4 +954,159 @@ def ivfpq_scaled_topk(
             F.lit(kc).cast("long").alias("k"),
             F.lit(nprobe).cast("long").alias("nprobe"),
         )
+    )
+
+
+def ivfpq_scaled_topk_batch(
+    vecs: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    rerank: int = 100,
+    subspaces: int = 16,
+    dim: int = 64,
+    kpq: int = 256,
+    train_cap: int = 2048,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    n: int | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame, int, int] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """BATCH IVFADC+R against one shared corpus-scaled index: Q queries
+    answered by ONE plan — the throughput shape of a retrieval service
+    (FAISS's own search() is batched for the same reason).
+
+    Identical math to ivfpq_scaled_topk, keyed by qid where the
+    single-query form is keyed by nothing: per-query probes ranked by a
+    qid-partitioned window, per-(qid, cid) ADC lookup tables, and ONE
+    pass over the union of all probed cells' codes — a cell probed by
+    several queries is read once and fanned out through the broadcast
+    (qid, cid) probe join, so per-query marginal cost FALLS with batch
+    size wherever probes overlap. The expensive corpus-side stages
+    (coarse fit, codebook training, code assignment) are all
+    query-count-independent; everything per-query is kc-, nprobe- or
+    R-sized and broadcast.
+
+    Output: (query_id, rnk, vec_id, exact_d2) — top ``k`` per query in
+    exact-rerank order. Decimal-exact and totally ordered end to end,
+    so the batch is hash-checkable cross-engine (q_ann_serve_batch).
+    ``index``/``codes`` as in ivfpq_scaled_topk (codes requires index).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import vectors as V
+    from ._ckpt import tracked_persist
+
+    per_sub = dim // subspaces
+    if codes is not None and index is None:
+        raise ValueError(
+            "codes= requires index=: pass the ivfpq_scaled_index tuple "
+            "the codes table was built from"
+        )
+    if index is not None:
+        assigned, cents, cb, kc, nprobe = index
+    else:
+        import math
+
+        from .clustering import kmeans_fit
+
+        if n is None:
+            n = vecs.count()
+        kc = int(math.ceil(math.sqrt(n)))
+        nprobe = int(math.ceil(math.sqrt(kc)))
+        assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
+        assigned = tracked_persist(assigned)
+        cents = tracked_persist(cents)
+        cb = tracked_persist(
+            pq_residual_codebooks(
+                assigned, cents, n, subspaces, dim, kpq, train_cap, id_col
+            )
+        )
+    qvs = vecs.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("qid").orderBy("d", "cid")
+    probe = (
+        cents.crossJoin(F.broadcast(qvs))
+        .select("qid", "cid", V.sqdist(F.col("c"), F.col("qv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cid")
+    )
+    qd = qvs.select("qid", F.posexplode("qv").alias("i", "qx"))
+    qres = (
+        cents.select("cid", F.posexplode("c").alias("i", "cx"))
+        .join(F.broadcast(probe), "cid")
+        .join(F.broadcast(qd), ["qid", "i"])
+        .select(
+            "qid", "cid", "i",
+            F.expr(f"i div {per_sub}").alias("sub"),
+            (F.col("qx") - F.col("cx")).alias("qr"),
+        )
+    )
+    lut = (
+        qres.join(F.broadcast(cb), "i")
+        .groupBy("qid", "cid", "sub", "cand")
+        .agg(
+            F.sum(_sq_dist_term(F.col("qr"), F.col("c")))
+            .cast("double")
+            .alias("lut_d2")
+        )
+    )
+    # the union of all probed cells — each cell's codes are read/derived
+    # ONCE however many queries probe it
+    pcell_rows = probe.select("cid").distinct()
+    if codes is not None:
+        pcells = [r.cid for r in pcell_rows.collect()]
+        pc = codes.filter(F.col("cid").isin(pcells)).select(
+            id_col, "cid", F.posexplode("codes").alias("sub", "code")
+        )
+    else:
+        rsub = _residual_subs(
+            assigned.join(F.broadcast(pcell_rows), "cid"), cents, subspaces,
+            per_sub, id_col,
+        )
+        pc = _assign_codes_subs(rsub, _codebook_subs(cb, per_sub), id_col)
+    adc = (
+        pc.join(F.broadcast(probe), "cid")
+        .join(
+            F.broadcast(lut),
+            ["qid", "cid", "sub"],
+        )
+        .filter(F.col("code") == F.col("cand"))
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum(F.col("lut_d2").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    w_cand = Window.partitionBy("qid").orderBy("adc_d2", id_col)
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= rerank)
+        .select("qid", id_col)
+    )
+    ex = (
+        vecs.join(F.broadcast(cand), id_col)
+        .select("qid", id_col, F.posexplode(F.col("v")).alias("i", "x"))
+        .join(F.broadcast(qd), ["qid", "i"])
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum(_sq_dist_term(F.col("x"), F.col("qx")))
+            .cast("double")
+            .alias("exact_d2")
+        )
+    )
+    w_k = Window.partitionBy("qid").orderBy("exact_d2", id_col)
+    return (
+        ex.withColumn("rnk", F.row_number().over(w_k))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rnk").cast("long").alias("rnk"),
+            id_col,
+            F.round("exact_d2", 6).alias("exact_d2"),
+        )
+        .orderBy("query_id", "rnk")
     )

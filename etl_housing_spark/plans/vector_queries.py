@@ -2247,22 +2247,33 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rerank's candidate reads. kc = ceil(sqrt(n)) directories: 775 at
     # sf10, ~32k at n=10^9 — at the extreme end a deployment would
     # bucket cid ranges, same pruning law
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        out + "/assign_by_cell"
-    )
+    # repartition("cid") before the partitioned writes: ONE file per cell
+    # directory instead of (writer tasks × cells) shards — without it the
+    # sf10 artifact came out as ~14k tiny files and every serving job
+    # paid the file-listing/open cost (measured ~10x the query itself)
+    assigned.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/assign_by_cell")
     cents.write.mode("overwrite").parquet(out + "/cells")
     cb.write.mode("overwrite").parquet(out + "/codebooks")
-    codes.write.mode("overwrite").partitionBy("cid").parquet(out + "/codes")
+    codes.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/codes")
     p_assign = spark.read.parquet(out + "/assign_by_cell").select(
         "vec_id", "v", "cid"
     )
     p_cells = spark.read.parquet(out + "/cells")
     p_cb = spark.read.parquet(out + "/codebooks")
     p_codes = spark.read.parquet(out + "/codes")
+    # the query vector arrives as a VALUE in a deployment; fetch it once
+    # here (the fixture's query is corpus row 0) so no serving job scans
+    # the corpus to find it
+    qvec = list(p_assign.filter(F.col("vec_id") == 0).select("v").first()[0])
     return ivfpq_scaled_topk(
         p_assign,
         index=(p_assign, p_cells, p_cb, kc, nprobe),
         codes=p_codes,
+        query_vec=qvec,
     )
 
 
@@ -2624,3 +2635,152 @@ def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cs", 6).alias("cent_sim"),
         F.when(F.col("dr").isNull(), 1).otherwise(0).alias("kept"),
     )
+
+
+# Batch-serving oracle: the query-independent training CTEs are copied
+# verbatim from _PQ_SCALED_CTES (ncnt..pcb — kept as one literal there to
+# preserve that oracle's committed text); the per-query CTEs generalize
+# qv/pd/probe/qd/qres/lut/adc/candr/ex with a qid dimension, and the codes
+# CTEs range over the UNION of all probed cells.
+_PQ_BATCH_CTES = """,
+    ncnt AS (SELECT COUNT(*) AS n FROM embeddings),
+    nsel AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS np FROM ksel),
+    pc2 AS (
+      SELECT a2.cid, i.i AS dim,
+             CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+      FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN range(0, 64) i(i) ON true
+      GROUP BY a2.cid, i.i),
+    c2 AS (SELECT cid, list(m ORDER BY dim) AS c FROM pc2 GROUP BY cid),
+    cx AS MATERIALIZED (
+      SELECT cid, CAST(i.i AS BIGINT) AS i, c[i.i + 1] AS cx
+      FROM c2 JOIN range(0, 64) i(i) ON true),
+    rx AS MATERIALIZED (
+      SELECT a2.vec_id, a2.cid, cx.i, cx.i // 4 AS sub,
+             e.v[cx.i + 1] - cx.cx AS x
+      FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN cx ON a2.cid = cx.cid),
+    sexpl AS MATERIALIZED (
+      SELECT rx.vec_id, rx.i, rx.sub, rx.x FROM rx, ncnt
+      WHERE CAST('0x' || substr(md5(CAST(rx.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+            <= (2048 * 4294967296 - 1) // ncnt.n),
+    pseed AS (
+      SELECT vec_id, rn - 1 AS cand FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+      WHERE rn <= 256),
+    pc0 AS (
+      SELECT pseed.cand, rx.i, rx.x AS c
+      FROM rx JOIN pseed ON rx.vec_id = pseed.vec_id),
+    pd1 AS (
+      SELECT s.vec_id, s.sub, pc0.cand,
+             CAST(SUM(CAST((s.x - pc0.c) * (s.x - pc0.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+      FROM sexpl s JOIN pc0 ON s.i = pc0.i
+      GROUP BY s.vec_id, s.sub, pc0.cand),
+    pa1 AS (
+      SELECT vec_id, sub, cand FROM (
+        SELECT vec_id, sub, cand,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rn
+        FROM pd1) WHERE rn = 1),
+    pcb AS MATERIALIZED (
+      SELECT pa1.cand, s.i,
+             CAST(SUM(CAST(s.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+      FROM sexpl s JOIN pa1 ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
+      GROUP BY pa1.cand, s.i),
+    qids AS (SELECT UNNEST([0, 17, 29]) AS qid),
+    qvb AS (SELECT e.vec_id AS qid, e.v AS q FROM e JOIN qids ON e.vec_id = qids.qid),
+    pdb AS (
+      SELECT qvb.qid, c2.cid,
+             CAST(SUM(CAST((c2.c[i.i + 1] - qvb.q[i.i + 1]) * (c2.c[i.i + 1] - qvb.q[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM c2 CROSS JOIN qvb JOIN range(0, 64) i(i) ON true
+      GROUP BY qvb.qid, c2.cid),
+    probeb AS MATERIALIZED (
+      SELECT qid, cid FROM (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        FROM pdb)
+      WHERE rn <= (SELECT np FROM nsel)),
+    pcells AS (SELECT DISTINCT cid FROM probeb),
+    qdb AS (
+      SELECT qvb.qid, CAST(i.i AS BIGINT) AS i, qvb.q[i.i + 1] AS qx
+      FROM qvb JOIN range(0, 64) i(i) ON true),
+    qresb AS (
+      SELECT p.qid, cx.cid, cx.i, cx.i // 4 AS sub, qdb.qx - cx.cx AS qr
+      FROM cx JOIN probeb p ON cx.cid = p.cid
+      JOIN qdb ON cx.i = qdb.i AND qdb.qid = p.qid),
+    lutb AS MATERIALIZED (
+      SELECT q.qid, q.cid, q.sub, pcb.cand,
+             CAST(SUM(CAST((q.qr - pcb.c) * (q.qr - pcb.c) AS DECIMAL(38,18))) AS DOUBLE)
+               AS lut_d2
+      FROM qresb q JOIN pcb ON q.i = pcb.i
+      GROUP BY q.qid, q.cid, q.sub, pcb.cand),
+    pexb AS MATERIALIZED (
+      SELECT rx.vec_id, rx.cid, rx.i, rx.sub, rx.x
+      FROM rx JOIN pcells ON rx.cid = pcells.cid),
+    cd2b AS (
+      SELECT p.vec_id, p.cid, p.sub, pcb.cand,
+             CAST(SUM(CAST((p.x - pcb.c) * (p.x - pcb.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+      FROM pexb p JOIN pcb ON p.i = pcb.i
+      GROUP BY p.vec_id, p.cid, p.sub, pcb.cand),
+    codesb AS MATERIALIZED (
+      SELECT vec_id, cid, sub, cand AS code FROM (
+        SELECT vec_id, cid, sub, cand,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rn
+        FROM cd2b) WHERE rn = 1),
+    adcb AS (
+      SELECT l.qid, c.vec_id,
+             CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc_d2
+      FROM codesb c JOIN lutb l
+        ON c.cid = l.cid AND c.sub = l.sub AND c.code = l.cand
+      GROUP BY l.qid, c.vec_id),
+    candb AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn
+        FROM adcb) WHERE rn <= 100),
+    exb AS (
+      SELECT cb.qid, e.vec_id,
+             CAST(SUM(CAST((e.v[qdb.i + 1] - qdb.qx) * (e.v[qdb.i + 1] - qdb.qx)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS exact_d2
+      FROM e JOIN candb cb ON e.vec_id = cb.vec_id
+      JOIN qdb ON qdb.qid = cb.qid
+      GROUP BY cb.qid, e.vec_id)"""
+
+
+@query(
+    "q_ann_serve_batch",
+    # The retrieval-SERVICE shape: Q queries against ONE shared
+    # corpus-scaled IVFADC+R index in a single plan. Every corpus-sized
+    # stage (coarse fit, residual codebook training, code assignment over
+    # the probed-cell union) is query-count-independent; the per-query
+    # work (probe ranking, per-(qid,cid) LUTs, ADC fan-out, R=100 rerank)
+    # is kc-/nprobe-/R-sized and broadcast — so per-query marginal cost
+    # FALLS with batch size wherever probes overlap (FAISS batches its
+    # search() for the same reason). Decimal-exact and totally ordered at
+    # every decision, so the whole batch is one hash-checkable frame.
+    oracle=_KM_SCALED_CTES + _PQ_BATCH_CTES + """
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           ROUND(exact_d2, 6) AS exact_d2
+    FROM (
+      SELECT qid, vec_id, exact_d2,
+             row_number() OVER (PARTITION BY qid ORDER BY exact_d2, vec_id) AS rnk
+      FROM exb)
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+    description="batched ANN serving: three query vectors (vec_id 0, 17, "
+    "29) answered by ONE IVFADC+R plan over the shared corpus-scaled "
+    "index — per-query probes ranked by a qid-partitioned window, "
+    "per-(query, cell) ADC lookup tables, one pass over the UNION of all "
+    "probed cells' codes (a cell probed by several queries is read once "
+    "and fanned out through the broadcast probe join), exact decimal-L2 "
+    "rerank of each query's ADC top-100, top-10 per query. Scale shape: "
+    "the corpus-side stages are query-count-independent, so batch size Q "
+    "divides the index/scan overheads across queries — the throughput "
+    "form of the serving path (q_ann_index_serve is the latency form)",
+    tags=("vector",),
+)
+def q_ann_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import ivfpq_scaled_topk_batch
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return ivfpq_scaled_topk_batch(emb, query_ids=[0, 17, 29])

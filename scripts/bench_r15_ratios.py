@@ -74,12 +74,14 @@ def _persisted_index(spark, sf_dir):
     cb = tracked_persist(pq_residual_codebooks(assigned, cents, n))
     codes = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
     out = _index_dir(sf_dir)
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        out + "/assign_by_cell"
-    )
+    assigned.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/assign_by_cell")
     cents.write.mode("overwrite").parquet(out + "/cells")
     cb.write.mode("overwrite").parquet(out + "/codebooks")
-    codes.write.mode("overwrite").partitionBy("cid").parquet(out + "/codes")
+    codes.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/codes")
     build_s = time.perf_counter() - t0
     clear_pipeline_cache()
     p_assign = spark.read.parquet(out + "/assign_by_cell").select(
@@ -95,13 +97,29 @@ def _persisted_index(spark, sf_dir):
     return p_assign, p_cells, p_cb, p_codes, kc, nprobe, n
 
 
-def _probe_cids(p_cells, p_assign, qid, nprobe):
+def _qvecs(spark, sf_dir, qids):
+    """Query vectors as VALUES (the deployment shape: a user query is not
+    a corpus row) — fetched once from the compact source table, outside
+    any timed region."""
+    rows = (
+        _vecs(spark, sf_dir)
+        .filter(F.col("vec_id").isin(list(qids)))
+        .collect()
+    )
+    return {r.vec_id: list(r.v) for r in rows}
+
+
+def _lit_q(qvec):
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def _probe_cids(p_cells, qvec, nprobe):
     from etl_housing_spark.functions import vectors as V
 
-    qv = p_assign.filter(F.col("vec_id") == qid).select(F.col("v").alias("__q"))
     probe = (
-        p_cells.crossJoin(F.broadcast(qv))
-        .select("cid", V.sqdist(F.col("c"), F.col("__q")).alias("d"))
+        p_cells.select(
+            "cid", V.sqdist(F.col("c"), _lit_q(qvec)).alias("d")
+        )
         .orderBy("d", "cid")
         .limit(nprobe)
         .select("cid")
@@ -109,17 +127,17 @@ def _probe_cids(p_cells, p_assign, qid, nprobe):
     return [r.cid for r in probe.collect()]
 
 
-def _ivfflat_pruned(p_assign, p_cells, qid, nprobe, k=10):
-    """Served IVFFlat: probe cids collected, float scan partition-pruned."""
+def _ivfflat_pruned(p_assign, p_cells, qvec, nprobe, k=10):
+    """Served IVFFlat: probe cids collected, float scan partition-pruned,
+    query vector a literal, scoring a static codegen expression."""
     from etl_housing_spark.functions import vectors as V
 
-    cids = _probe_cids(p_cells, p_assign, qid, nprobe)
-    qv = p_assign.filter(F.col("vec_id") == qid).select(F.col("v").alias("__q"))
+    cids = _probe_cids(p_cells, qvec, nprobe)
     return (
         p_assign.filter(F.col("cid").isin(cids))
-        .crossJoin(F.broadcast(qv))
         .select(
-            "vec_id", F.round(V.sqdist(F.col("v"), F.col("__q")), 6).alias("d2")
+            "vec_id",
+            F.round(V.sqdist(F.col("v"), _lit_q(qvec)), 6).alias("d2"),
         )
         .orderBy("d2", "vec_id")
         .limit(k)
@@ -138,15 +156,17 @@ def run_serve() -> None:
         spark, sf_dir
     )
     idx = (p_assign, p_cells, p_cb, kc, nprobe)
+    qvecs = _qvecs(spark, sf_dir, QIDS)
     paths = {
         "IVFFlat(pruned floats)": lambda qid: _ivfflat_pruned(
-            p_assign, p_cells, qid, nprobe
+            p_assign, p_cells, qvecs[qid], nprobe
         ),
         "IVFPQ(stateless reassign)": lambda qid: ivfpq_scaled_topk(
-            p_assign, query_id=qid, index=idx
+            p_assign, query_id=qid, index=idx, query_vec=qvecs[qid]
         ),
         "IVFPQ(packed persisted)": lambda qid: ivfpq_scaled_topk(
-            p_assign, query_id=qid, index=idx, codes=p_codes
+            p_assign, query_id=qid, index=idx, codes=p_codes,
+            query_vec=qvecs[qid],
         ),
     }
     for name, fn in paths.items():
@@ -166,7 +186,7 @@ def run_serve() -> None:
             + f" ms (median warm {sorted(warm)[len(warm) // 2] * 1000:.0f} ms)"
         )
     # bytes per query (the storage story, from actual probed counts)
-    cids = _probe_cids(p_cells, p_assign, QIDS[0], nprobe)
+    cids = _probe_cids(p_cells, qvecs[QIDS[0]], nprobe)
     n_probed = p_assign.filter(F.col("cid").isin(cids)).count()
     flat_b = n_probed * DIM * 4
     pq_b = n_probed * M + 100 * DIM * 4 + KPQ * DIM * 8 + kc * DIM * 8
@@ -178,19 +198,19 @@ def run_serve() -> None:
     spark.stop()
 
 
-def _truth_top10(p_assign, qid):
+def _truth_top10(p_assign, qvec):
     """Float brute-force L2 top-10 (ties broken by id) — the sweep truth.
     Float, not decimal: recall only needs the SET of the true neighbors,
     and the corpus has no coincident distances at these scales."""
-    qv = p_assign.filter(F.col("vec_id") == qid).select(F.col("v").alias("__q"))
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("__q"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    lq = _lit_q(qvec)
+    d2 = None
+    for i in range(DIM):
+        t = (F.col("v").getItem(i) - lq.getItem(i)) * (
+            F.col("v").getItem(i) - lq.getItem(i)
+        )
+        d2 = t if d2 is None else d2 + t
     rows = (
-        p_assign.crossJoin(F.broadcast(qv))
-        .select("vec_id", d2.alias("d2"))
+        p_assign.select("vec_id", d2.alias("d2"))
         .orderBy("d2", "vec_id")
         .limit(10)
         .collect()
@@ -212,7 +232,8 @@ def run_sweep() -> None:
         p_assign, p_cells, p_cb, p_codes, kc, np0, n = _persisted_index(
             spark, sf_dir
         )
-        truths = {qid: _truth_top10(p_assign, qid) for qid in QIDS}
+        qvecs = _qvecs(spark, sf_dir, QIDS)
+        truths = {qid: _truth_top10(p_assign, qvecs[qid]) for qid in QIDS}
         for mult in (1.0, 1.5, 2.0, 3.0):
             nprobe = min(kc, int(math.ceil(np0 * mult)))
             idx = (p_assign, p_cells, p_cb, kc, nprobe)
@@ -226,12 +247,13 @@ def run_sweep() -> None:
                         for r in ivfpq_scaled_topk(
                             p_assign, query_id=qid, index=idx,
                             codes=p_codes, rerank=rerank,
+                            query_vec=qvecs[qid],
                         ).collect()
                     }
                     wall += time.perf_counter() - t0
                     hits += len(got & truths[qid])
                 if scan_frac is None:
-                    cids = _probe_cids(p_cells, p_assign, QIDS[0], nprobe)
+                    cids = _probe_cids(p_cells, qvecs[QIDS[0]], nprobe)
                     n_probed = p_assign.filter(F.col("cid").isin(cids)).count()
                     scan_frac = 100.0 * n_probed / n
                 print(
@@ -364,16 +386,23 @@ def run_media_recall() -> None:
 def run_sf01() -> None:
     import duckdb
 
+    names = [
+        n.strip()
+        for n in os.environ.get(
+            "R15_QUERIES", "q_ann_index_serve,q_ann_serve_batch"
+        ).split(",")
+        if n.strip()
+    ]
     specs = all_queries()
     spark = get_session(app_name="ehs-r15-sf01")
     spark.sparkContext.setLogLevel("ERROR")
     bench_dir = ingest_layout(spark, "/root/testdata/sf0.1")
-    name = "q_ann_index_serve"
-    for rep in ("cold", "warm"):
-        t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, bench_dir))
-        print(f"  {name} sf0.1 {rep}: {time.perf_counter() - t0:.2f}s")
-        clear_pipeline_cache()
+    for name in names:
+        for rep in ("cold", "warm"):
+            t0 = time.perf_counter()
+            materialize(specs[name].fn(spark, bench_dir))
+            print(f"  {name} sf0.1 {rep}: {time.perf_counter() - t0:.2f}s")
+            clear_pipeline_cache()
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -383,22 +412,27 @@ def run_sf01() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'/root/testdata/sf0.1/{t}.parquet'"
         )
-    done = threading.Event()
-    cur = con.cursor()
+    for name in names:
+        done = threading.Event()
+        cur = con.cursor()
 
-    def _watch():
-        if not done.wait(CAP_S) and not done.is_set():
-            cur.interrupt()
+        def _watch():
+            if not done.wait(CAP_S) and not done.is_set():
+                cur.interrupt()
 
-    w = threading.Thread(target=_watch, daemon=True)
-    w.start()
-    t0 = time.perf_counter()
-    try:
-        cur.execute(specs[name].oracle).fetchall()
-        print(f"  duckdb oracle sf0.1: {time.perf_counter() - t0:.2f}s")
-    except Exception as e:  # noqa: BLE001
-        print(f"  duckdb oracle sf0.1: DNF ({type(e).__name__}) at {CAP_S}s")
-    done.set()
+        w = threading.Thread(target=_watch, daemon=True)
+        w.start()
+        t0 = time.perf_counter()
+        try:
+            cur.execute(specs[name].oracle).fetchall()
+            print(
+                f"  duckdb {name} sf0.1: {time.perf_counter() - t0:.2f}s"
+            )
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"  duckdb {name} sf0.1: DNF ({type(e).__name__}) at {CAP_S}s"
+            )
+        done.set()
     spark.stop()
 
 

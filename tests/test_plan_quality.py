@@ -966,4 +966,10 @@ def test_ann_serve_codes_scan_partition_pruned(spark):
     ]
     assert part, [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    # the returned (rerank) job is scan → in-row fold → TakeOrdered: the
+    # ADC ran inside the candidate collect, the candidate ids are pushed
+    # as literals (row-group skipping), and no join or aggregate remains
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("In(vec_id" in l for l in pushed), pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # zero shuffles in the serving job
