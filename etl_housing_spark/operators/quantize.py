@@ -560,7 +560,7 @@ def ivfpq_scaled_index(
     if n is None:
         n = vecs.count()
     kc = int(math.ceil(math.sqrt(n)))
-    nprobe = int(math.ceil(math.sqrt(kc)))
+    nprobe = int(math.ceil(2 * math.sqrt(kc)))
     assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
     cb = pq_residual_codebooks(
         assigned, cents, n, subspaces, dim, kpq, train_cap, id_col
@@ -712,8 +712,10 @@ def ivfpq_scaled_topk(
     Composes the two r13-proven pieces the verdict flagged as never
     composed (VERDICT r13 "What's wrong" #1): the corpus-scaled coarse
     quantizer that holds recall across decades (q_ann_ivf_scaled's
-    k-means at kc = ceil(sqrt(n)) cells, nprobe = ceil(sqrt(kc)) — scan
-    fraction ~ n^(-1/4)) and PQ/ADC whose scan touches CODES, not floats
+    k-means at kc = ceil(sqrt(n)) cells, nprobe = ceil(2*sqrt(kc)) — scan
+    fraction ~ 2*n^(-1/4); the 2x is the r15 sweep-adopted operating
+    point: 1x measured recall 0.70 at sf10 over 3 query ids, 2x
+    restores 1.000 at 9.6% scan and ~+15% wall) and PQ/ADC whose scan touches CODES, not floats
     — in the RESIDUAL form (Jégou et al. 2011 §V, IVFADC): codes
     quantize x − c_cell(x) against codebooks trained on corpus residuals
     (pq_residual_codebooks), and the ADC lookup tables are per probed
@@ -723,10 +725,12 @@ def ivfpq_scaled_topk(
     float32, 16 vs 256 bytes — stacked on the shrinking scan fraction.
 
     Measured at the defaults (r14, scripts/r14_ann_resid_proto.py +
-    decade run): recall@10 vs the exact L2 truth 1.0 at sf1 and 0.8 at
-    sf10 — the sf10 ceiling is the coarse probe itself (cell recall
-    8/10, the same 0.8 the uncompressed IVFFlat variant measures), so
-    the compression tier is recall-lossless at the rerank=100 budget.
+    decade run): recall@10 vs the exact L2 truth 1.0 at BOTH sf1 and
+    sf10 at the r15-adopted nprobe (the r14 1x-sqrt default measured
+    0.8 single-query / 0.70 over 3 query ids at sf10 — a coarse-probe
+    ceiling, not a compression loss: the uncompressed IVFFlat variant
+    measured the same, so the compression tier is recall-lossless at
+    the rerank=100 budget at every measured point).
     The non-residual form measured 7/10 at the same budgets and was
     replaced — quantizing raw vectors wastes code entropy re-encoding
     cell identity.
@@ -777,7 +781,7 @@ def ivfpq_scaled_topk(
         if n is None:
             n = vecs.count()
         kc = int(math.ceil(math.sqrt(n)))
-        nprobe = int(math.ceil(math.sqrt(kc)))
+        nprobe = int(math.ceil(2 * math.sqrt(kc)))
         assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
         # the assignment feeds the centroid update, the residual frame,
         # and the probed scan; centroids feed residuals, probe, and LUTs;
@@ -1013,7 +1017,7 @@ def ivfpq_scaled_topk_batch(
         if n is None:
             n = vecs.count()
         kc = int(math.ceil(math.sqrt(n)))
-        nprobe = int(math.ceil(math.sqrt(kc)))
+        nprobe = int(math.ceil(2 * math.sqrt(kc)))
         assigned, cents = kmeans_fit(vecs, k=kc, rounds=rounds, id_col=id_col)
         assigned = tracked_persist(assigned)
         cents = tracked_persist(cents)

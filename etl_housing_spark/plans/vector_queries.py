@@ -1766,15 +1766,17 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup, same cure as q_semdedup_scaled: the index must GROW with
     # the corpus. Here the coarse quantizer is the corpus-scaled k-means
     # fit (k = ceil(sqrt(n)) cells, the same hash-checked Lloyd chain),
-    # the query probes its nprobe = ceil(sqrt(k)) best cells by centroid
-    # dot product, and only probed cells' vectors are scored exactly —
-    # scan fraction ~ nprobe/k = n^(-1/4): 22% at n=500, ~5% at n=200k,
+    # the query probes its nprobe = ceil(2*sqrt(k)) best cells by
+    # centroid dot product (the r15 sweep-adopted operating point:
+    # 1x sqrt(k) measured recall 0.70 at sf10 over 3 query ids, 2x
+    # restores 1.000 at 9.6% scan), and only probed cells' vectors are
+    # scored exactly — scan fraction ~ nprobe/k = 2*n^(-1/4),
     # ~0.6% at n=1e9. Full-dim exact scoring inside probed cells (IVFFlat,
     # not IVFPQ): cells shrink as the index grows, so the probed set stays
     # small without a code-quantization tier whose tie plateaus this
     # corpus's 10-label structure makes pathological.
     oracle=_KM_SCALED_CTES + """,
-    nsel AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS np FROM ksel),
+    nsel AS (SELECT CAST(CEIL(2 * SQRT(k)) AS BIGINT) AS np FROM ksel),
     pc2 AS (
       SELECT a2.cid, i.i AS dim,
              CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
@@ -1797,7 +1799,8 @@ def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="IVF ANN at the corpus-scaled index size: coarse quantizer "
     "= k-means with k = ceil(sqrt(n)) cells computed from the corpus (the "
     "q_semdedup_scaled regime applied to retrieval), probe nprobe = "
-    "ceil(sqrt(k)) cells by centroid dot product, exact scoring inside "
+    "ceil(2*sqrt(k)) cells by centroid dot product (the r15 sweep-adopted "
+    "operating point), exact scoring inside "
     "probed cells only — scan fraction nprobe/k ~ n^(-1/4) shrinks as the "
     "corpus grows, where the fixture-sized index's recall collapses "
     "(0.8 -> 0.1 across two decades, the r13 measurement). Same "
@@ -1819,7 +1822,7 @@ def q_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = emb.count()
     k = int(math.ceil(math.sqrt(n)))
-    nprobe = int(math.ceil(math.sqrt(k)))
+    nprobe = int(math.ceil(2 * math.sqrt(k)))
     # the assignment fans into the final-centroid update AND the probed
     # scan; unpersisted, the n*k fit would re-execute per branch
     assigned, cents = kmeans_fit(emb, k=k, rounds=2)
@@ -1905,7 +1908,7 @@ def q_ann_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity (scripts/r14_ann_resid_proto.py; BASELINE.md round 14).
 _PQ_SCALED_CTES = """,
     ncnt AS (SELECT COUNT(*) AS n FROM embeddings),
-    nsel AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS np FROM ksel),
+    nsel AS (SELECT CAST(CEIL(2 * SQRT(k)) AS BIGINT) AS np FROM ksel),
     pc2 AS (
       SELECT a2.cid, i.i AS dim,
              CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
@@ -2004,7 +2007,7 @@ _PQ_SCALED_CTES = """,
     # probed cells (IVFFlat); q_ivfpq_search owns the codes-only scan but
     # rides the fixture's 10-label index whose recall collapses past
     # fixture scale. This query composes the proven pieces: scaled
-    # k-means cells (k = ceil(sqrt(n)), nprobe = ceil(sqrt(k)) — scan
+    # k-means cells (k = ceil(sqrt(n)), nprobe = ceil(2*sqrt(k)) — scan
     # fraction ~ n^(-1/4)) + RESIDUAL PQ codebooks trained on a
     # deterministic md5-capped corpus sample (256 entries/subspace, the
     # 8-bit FAISS standard; codebook resolution is a per-vector knob and
@@ -2023,7 +2026,8 @@ _PQ_SCALED_CTES = """,
     description="IVFADC+R at the corpus-scaled index size (Jégou et al. "
     "2011 §V-VI composed with the q_ann_ivf_scaled regime): coarse "
     "quantizer = k-means with k = ceil(sqrt(n)) cells computed from the "
-    "corpus, probe nprobe = ceil(sqrt(k)) cells by decimal L2, then ONLY "
+    "corpus, probe nprobe = ceil(2*sqrt(k)) cells by decimal L2 (the r15 "
+    "sweep-adopted point), then ONLY "
     "probed cells' RESIDUALS (v − cell centroid) are scored by per-cell "
     "ADC lookup on their 16-byte PQ codes — whose per-subspace codebooks "
     "are trained on a deterministic md5-capped sample of the corpus "
@@ -2031,7 +2035,8 @@ _PQ_SCALED_CTES = """,
     "means), not the fixture labels — and the ADC top-100 is exactly "
     "re-ranked by decimal L2 on the floats. Both index tiers grow/learn "
     "with the data, so recall survives the decades where the fixture "
-    "index collapses (measured 1.0 at sf1, 0.8 at sf10 = the coarse-probe "
+    "index collapses (r15 sweep over 3 query ids: recall 1.000 at sf1 AND "
+    "sf10 at the adopted nprobe; the r14 default 1x sqrt(k) measured 0.70 "
     "ceiling, i.e. the compression tier is recall-lossless), AND the scan "
     "reads codes (16 B) instead of float vectors (256 B) — the IVFADC "
     "memory/IO shape stacked on the n^(-1/4) scan fraction. Scale shape: "
@@ -2644,7 +2649,7 @@ def q_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTEs range over the UNION of all probed cells.
 _PQ_BATCH_CTES = """,
     ncnt AS (SELECT COUNT(*) AS n FROM embeddings),
-    nsel AS (SELECT CAST(CEIL(SQRT(k)) AS BIGINT) AS np FROM ksel),
+    nsel AS (SELECT CAST(CEIL(2 * SQRT(k)) AS BIGINT) AS np FROM ksel),
     pc2 AS (
       SELECT a2.cid, i.i AS dim,
              CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m

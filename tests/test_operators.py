@@ -1104,7 +1104,8 @@ def test_pq_residual_codebooks_shape_and_bounds(spark):
 def test_ivfpq_scaled_exact_duplicates_rank_first(spark, tmp_path):
     """Tiny-corpus law: exact duplicates of the query vector come back
     first with exact_d2 = 0, and the scaled-index knobs are computed from
-    the corpus (k = ceil(sqrt(n)), nprobe = ceil(sqrt(k)))."""
+    the corpus (k = ceil(sqrt(n)), nprobe = ceil(2*sqrt(k)) — the r15
+    sweep-adopted operating point)."""
     from pyspark.sql import functions as F
 
     from etl_housing_spark.operators.quantize import ivfpq_scaled_topk
@@ -1118,7 +1119,7 @@ def test_ivfpq_scaled_exact_duplicates_rank_first(spark, tmp_path):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     out = ivfpq_scaled_topk(vecs, k=10, query_id=0).collect()
-    assert all(r.k == 3 and r.nprobe == 2 for r in out)  # ceil(sqrt(6)), ceil(sqrt(3))
+    assert all(r.k == 3 and r.nprobe == 4 for r in out)  # ceil(sqrt(6)), ceil(2*sqrt(3))
     got = [(r.vec_id, r.exact_d2) for r in out]
     # the three identical vectors (query included) lead at distance 0
     assert got[0] == (0, 0.0) and got[1] == (1, 0.0) and got[2] == (2, 0.0)
