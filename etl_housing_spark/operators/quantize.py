@@ -706,6 +706,7 @@ def ivfpq_scaled_topk(
     index: tuple[DataFrame, DataFrame, DataFrame, int, int] | None = None,
     codes: DataFrame | None = None,
     query_vec: list[float] | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """IVFADC+R with a CORPUS-SCALED index — the 100 TB ANN shape.
 
@@ -747,7 +748,13 @@ def ivfpq_scaled_topk(
        (IVFADC+R, §VI; R = 10·k — 100 vectors = 25.6 kB at any corpus
        size).
 
-    Output: (vec_id, exact_d2, k, nprobe) — the scaled-family schema.
+    Output: (vec_id, exact_d2, k, nprobe) — the scaled-family schema —
+    or (rnk, vec_id, exact_d2) with ``with_rank=True``: the per-query
+    slice of the batch-serving schema (q_ann_serve_batch), with the rank
+    assigned by row_number over the UNROUNDED (exact_d2, vec_id) order
+    (the batch oracle ranks before it rounds; ranking the rounded output
+    could disagree on 6-dp collisions). The window is unpartitioned but
+    runs over at most ``rerank`` rows — never a scale concern.
     ``vecs`` must be (id_col, v: array<double>) with unique non-null ids
     (the kmeans_assign precondition); ``n`` is the corpus count if the
     caller already took it. ``index``/``codes`` serve the query from a
@@ -947,6 +954,19 @@ def ivfpq_scaled_topk(
                 F.sum(_sq_dist_term(F.col("x"), F.col("qx")))
                 .cast("double")
                 .alias("exact_d2")
+            )
+        )
+    if with_rank:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("exact_d2", id_col)
+        return (
+            ex.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(
+                F.col("rnk").cast("long").alias("rnk"),
+                id_col,
+                F.round("exact_d2", 6).alias("exact_d2"),
             )
         )
     return (

@@ -2185,48 +2185,20 @@ def q_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_ann_index_serve",
-    # The lifecycle's MISSING artifact (VERDICT r14 "What's wrong" #2):
-    # q_ann_index_persist writes (assignment, centroids, codebooks) but
-    # serves by RE-ASSIGNING probed cells' codes per query — the
-    # 2.5–3.9 s/query vs 0.44–1.0 s wall the packed code table exists to
-    # eliminate. This query completes the deployment shape the
-    # ivfpq_scaled_codes docstring names: the packed code table is
-    # computed ONCE at ingest, written partitionBy("cid"), and the
-    # per-query probe binds as PartitionFilters at file-listing time —
-    # only nprobe of kc cell directories are ever listed or read; the
-    # corpus's floats appear only in the 100-row rerank. Same oracle as
-    # q_ivfpq_scaled/q_ann_index_persist: packing and partitioning move
-    # bytes, never values (the codes-served law,
-    # tests/test_operators.py::test_codes_served_matches_stateless).
-    oracle=_KM_SCALED_CTES + _PQ_SCALED_CTES + """
-    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
-           (SELECT k FROM ksel) AS k, (SELECT np FROM nsel) AS nprobe
-    FROM ex ORDER BY exact_d2, vec_id LIMIT 10
-    """,
-    description="persisted-ANN-index SERVING path: build the corpus-scaled "
-    "IVFADC index, additionally compute the PACKED residual code table "
-    "(one row per vector, M=16 one-byte codes in subspace order — the "
-    "FAISS storage layout) and write it partitionBy(cid) alongside the "
-    "three index frames; then serve the top-10 search from the persisted "
-    "artifacts only, with the probe pushed into the codes scan as a "
-    "static cid IN (...) filter that a cid-partitioned parquet read "
-    "resolves at FILE-LISTING time (PartitionFilters) — zero rows of "
-    "unprobed cells are read, decoded, or shuffled. Scale shape: the "
-    "code-table build is the amortized O(n·K·D) ingest pass (subvector "
-    "form — the sf30 disk-full fix); per query the engine reads "
-    "nprobe/kc ~ n^(-1/4) of the code files at 16 B/vector, broadcasts a "
-    "kc-row probe and a 4k-row LUT, and exactly reranks 100 floats — "
-    "no corpus-sized shuffle anywhere in the serving path",
-    tags=("vector",),
-)
-def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _write_serve_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, int, int]:
+    """Build the corpus-scaled IVFADC index and write the FOUR serving
+    artifacts (cell-partitioned vectors, centroids, codebooks,
+    cell-partitioned packed codes) to the deterministic per-sf dir, then
+    read them back — returns (p_assign, p_cells, p_cb, p_codes, kc,
+    nprobe), all backed by the persisted parquet only. Shared by the
+    latency (q_ann_index_serve) and streaming (q_stream_ann_serve)
+    serving forms; every layout decision is documented inline."""
     from ..operators._ckpt import tracked_persist
     from ..operators.quantize import (
         ivfpq_scaled_codes,
         ivfpq_scaled_index,
-        ivfpq_scaled_topk,
         pq_residual_codebooks,
     )
 
@@ -2270,6 +2242,51 @@ def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_cells = spark.read.parquet(out + "/cells")
     p_cb = spark.read.parquet(out + "/codebooks")
     p_codes = spark.read.parquet(out + "/codes")
+    return p_assign, p_cells, p_cb, p_codes, kc, nprobe
+
+
+@query(
+    "q_ann_index_serve",
+    # The lifecycle's MISSING artifact (VERDICT r14 "What's wrong" #2):
+    # q_ann_index_persist writes (assignment, centroids, codebooks) but
+    # serves by RE-ASSIGNING probed cells' codes per query — the
+    # 2.5–3.9 s/query vs 0.44–1.0 s wall the packed code table exists to
+    # eliminate. This query completes the deployment shape the
+    # ivfpq_scaled_codes docstring names: the packed code table is
+    # computed ONCE at ingest, written partitionBy("cid"), and the
+    # per-query probe binds as PartitionFilters at file-listing time —
+    # only nprobe of kc cell directories are ever listed or read; the
+    # corpus's floats appear only in the 100-row rerank. Same oracle as
+    # q_ivfpq_scaled/q_ann_index_persist: packing and partitioning move
+    # bytes, never values (the codes-served law,
+    # tests/test_operators.py::test_codes_served_matches_stateless).
+    oracle=_KM_SCALED_CTES + _PQ_SCALED_CTES + """
+    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
+           (SELECT k FROM ksel) AS k, (SELECT np FROM nsel) AS nprobe
+    FROM ex ORDER BY exact_d2, vec_id LIMIT 10
+    """,
+    description="persisted-ANN-index SERVING path: build the corpus-scaled "
+    "IVFADC index, additionally compute the PACKED residual code table "
+    "(one row per vector, M=16 one-byte codes in subspace order — the "
+    "FAISS storage layout) and write it partitionBy(cid) alongside the "
+    "three index frames; then serve the top-10 search from the persisted "
+    "artifacts only, with the probe pushed into the codes scan as a "
+    "static cid IN (...) filter that a cid-partitioned parquet read "
+    "resolves at FILE-LISTING time (PartitionFilters) — zero rows of "
+    "unprobed cells are read, decoded, or shuffled. Scale shape: the "
+    "code-table build is the amortized O(n·K·D) ingest pass (subvector "
+    "form — the sf30 disk-full fix); per query the engine reads "
+    "nprobe/kc ~ n^(-1/4) of the code files at 16 B/vector, broadcasts a "
+    "kc-row probe and a 4k-row LUT, and exactly reranks 100 floats — "
+    "no corpus-sized shuffle anywhere in the serving path",
+    tags=("vector",),
+)
+def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import ivfpq_scaled_topk
+
+    p_assign, p_cells, p_cb, p_codes, kc, nprobe = _write_serve_artifacts(
+        spark, sf_dir
+    )
     # the query vector arrives as a VALUE in a deployment; fetch it once
     # here (the fixture's query is corpus row 0) so no serving job scans
     # the corpus to find it
@@ -2405,6 +2422,207 @@ def q_ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_total).cast("long").alias("n_total"),
         F.lit(k_due).cast("long").alias("k_due"),
         F.lit(1 if 4 * k_due > 5 * k_old else 0).cast("int").alias("refit_due"),
+    )
+
+
+# Append-lifecycle oracle: the frozen fit comes verbatim from
+# _KM_INCR_CTES (eo/eb/ko/c2/a2/ba — q_ann_index_incremental's green
+# chain); the PQ tier mirrors _PQ_SCALED_CTES with three substitutions
+# that ARE the append semantics: the codebook training domain is the OLD
+# corpus only (sexpl sampled from rxo with the n_old threshold, seeds =
+# the 256 lowest OLD ids — a frozen codebook never sees appended data),
+# the code/scan domain is the UNION of old and appended assignments
+# (rxa over au), and probe/LUT run against the frozen c2 centroids at
+# the OLD index's nprobe.
+_PQ_APPEND_CTES = """,
+    nsel AS (SELECT CAST(CEIL(2 * SQRT(k)) AS BIGINT) AS np FROM ko),
+    au AS (SELECT vec_id, cid FROM a2 UNION ALL SELECT vec_id, cid FROM ba),
+    cx AS MATERIALIZED (
+      SELECT cid, CAST(i.i AS BIGINT) AS i, c[i.i + 1] AS cx
+      FROM c2 JOIN range(0, 64) i(i) ON true),
+    rxo AS MATERIALIZED (
+      SELECT a2.vec_id, a2.cid, cx.i, cx.i // 4 AS sub,
+             e.v[cx.i + 1] - cx.cx AS x
+      FROM a2 JOIN e ON a2.vec_id = e.vec_id JOIN cx ON a2.cid = cx.cid),
+    rxa AS MATERIALIZED (
+      SELECT au.vec_id, au.cid, cx.i, cx.i // 4 AS sub,
+             e.v[cx.i + 1] - cx.cx AS x
+      FROM au JOIN e ON au.vec_id = e.vec_id JOIN cx ON au.cid = cx.cid),
+    sexpl AS MATERIALIZED (
+      SELECT rxo.vec_id, rxo.i, rxo.sub, rxo.x FROM rxo, ko
+      WHERE CAST('0x' || substr(md5(CAST(rxo.vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+            <= (2048 * 4294967296 - 1) // ko.n_old),
+    pseed AS (
+      SELECT vec_id, rn - 1 AS cand FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM eo)
+      WHERE rn <= 256),
+    pc0 AS (
+      SELECT pseed.cand, rxo.i, rxo.x AS c
+      FROM rxo JOIN pseed ON rxo.vec_id = pseed.vec_id),
+    pd1 AS (
+      SELECT s.vec_id, s.sub, pc0.cand,
+             CAST(SUM(CAST((s.x - pc0.c) * (s.x - pc0.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+      FROM sexpl s JOIN pc0 ON s.i = pc0.i
+      GROUP BY s.vec_id, s.sub, pc0.cand),
+    pa1 AS (
+      SELECT vec_id, sub, cand FROM (
+        SELECT vec_id, sub, cand,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rn
+        FROM pd1) WHERE rn = 1),
+    pcb AS MATERIALIZED (
+      SELECT pa1.cand, s.i,
+             CAST(SUM(CAST(s.x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS c
+      FROM sexpl s JOIN pa1 ON s.vec_id = pa1.vec_id AND s.sub = pa1.sub
+      GROUP BY pa1.cand, s.i),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    qd AS (
+      SELECT CAST(i.i AS BIGINT) AS i, qv.q[i.i + 1] AS qx
+      FROM qv JOIN range(0, 64) i(i) ON true),
+    pd AS (
+      SELECT c2.cid,
+             CAST(SUM(CAST((c2.c[i.i + 1] - qv.q[i.i + 1]) * (c2.c[i.i + 1] - qv.q[i.i + 1])
+                           AS DECIMAL(28,18))) AS DOUBLE) AS d
+      FROM c2 CROSS JOIN qv JOIN range(0, 64) i(i) ON true
+      GROUP BY c2.cid),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid, row_number() OVER (ORDER BY d, cid) AS rn FROM pd)
+      WHERE rn <= (SELECT np FROM nsel)),
+    qres AS (
+      SELECT cx.cid, cx.i, cx.i // 4 AS sub, qd.qx - cx.cx AS qr
+      FROM cx JOIN probe ON cx.cid = probe.cid JOIN qd ON cx.i = qd.i),
+    lut AS MATERIALIZED (
+      SELECT q.cid, q.sub, pcb.cand,
+             CAST(SUM(CAST((q.qr - pcb.c) * (q.qr - pcb.c) AS DECIMAL(38,18))) AS DOUBLE)
+               AS lut_d2
+      FROM qres q JOIN pcb ON q.i = pcb.i
+      GROUP BY q.cid, q.sub, pcb.cand),
+    pex AS MATERIALIZED (
+      SELECT rxa.vec_id, rxa.cid, rxa.i, rxa.sub, rxa.x
+      FROM rxa JOIN probe ON rxa.cid = probe.cid),
+    cd2 AS (
+      SELECT p.vec_id, p.cid, p.sub, pcb.cand,
+             CAST(SUM(CAST((p.x - pcb.c) * (p.x - pcb.c) AS DECIMAL(38,18))) AS DOUBLE) AS d2
+      FROM pex p JOIN pcb ON p.i = pcb.i
+      GROUP BY p.vec_id, p.cid, p.sub, pcb.cand),
+    codes AS (
+      SELECT vec_id, cid, sub, cand AS code FROM (
+        SELECT vec_id, cid, sub, cand,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cand) AS rn
+        FROM cd2) WHERE rn = 1),
+    adc AS (
+      SELECT c.vec_id,
+             CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc_d2
+      FROM codes c JOIN lut l ON c.cid = l.cid AND c.sub = l.sub AND c.code = l.cand
+      GROUP BY c.vec_id),
+    candr AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 100),
+    ex AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST((e.v[qd.i + 1] - qd.qx) * (e.v[qd.i + 1] - qd.qx)
+                           AS DECIMAL(38,18))) AS DOUBLE) AS exact_d2
+      FROM e JOIN candr ON e.vec_id = candr.vec_id CROSS JOIN qd
+      GROUP BY e.vec_id)"""
+
+
+@query(
+    "q_ann_index_append",
+    # The maintenance form that COMPLETES the lifecycle triangle:
+    # q_ann_index_serve persists and serves, q_ann_index_incremental
+    # assigns a growth batch to frozen cells (and flags refit-due) —
+    # this one actually UPDATES the persisted artifacts: the new batch's
+    # vectors and their frozen-codebook codes are APPENDED into the
+    # cid-partitioned parquet directories (mode('append') under
+    # partitionBy — new files land inside existing cell dirs; no
+    # existing file is rewritten), and the very next query serves the
+    # grown corpus through the same partition-pruned path. FAISS's
+    # add() against a trained index, expressed as a parquet layout
+    # operation.
+    oracle=_KM_INCR_CTES + _PQ_APPEND_CTES + """
+    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
+           (SELECT k FROM ko) AS k,
+           (SELECT np FROM nsel) AS nprobe,
+           CAST(vec_id % 10 >= 8 AS INT) AS appended
+    FROM ex ORDER BY exact_d2, vec_id LIMIT 10
+    """,
+    description="persisted-index APPEND: build + persist the four IVFADC "
+    "artifacts on the OLD 80% of the corpus (the deterministic growth "
+    "split), then ingest the NEW 20% batch WITHOUT refitting — "
+    "broadcast-assign the batch to the frozen cells, encode it against "
+    "the frozen residual codebooks, and append both frames into the "
+    "cid-partitioned directories (one new file per touched cell; "
+    "compaction owns re-merging, the index never rebuilds) — then serve "
+    "the top-10 from the UPDATED artifacts, flagging which neighbors "
+    "arrived in the append. Scale shape: the append costs batch_rows x "
+    "(kc + M*K) broadcast work and writes only the touched cells — no "
+    "corpus rescan, no shuffle of existing data; the serving path is "
+    "unchanged (partition-pruned codes scan at 16 B/vector, R=100 exact "
+    "rerank). Recall caveat is the incremental query's refit_due "
+    "contract: appends between refits keep cells correct but growing",
+    tags=("vector", "pipeline"),
+)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators._ckpt import tracked_persist
+    from ..operators.clustering import kmeans_assign
+    from ..operators.quantize import (
+        ivfpq_scaled_codes,
+        ivfpq_scaled_index,
+        ivfpq_scaled_topk,
+        pq_residual_codebooks,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    old = vecs.filter(F.col("vec_id") % 10 < 8)
+    batch = vecs.filter(F.col("vec_id") % 10 >= 8)
+    n_old = old.count()
+    assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(old, n=n_old)
+    # persist the fit once — codebooks, the code table, and the writes
+    # all consume it (the q_ann_index_serve lineage discipline)
+    assigned = tracked_persist(assigned)
+    cents = tracked_persist(cents)
+    cb = tracked_persist(pq_residual_codebooks(assigned, cents, n_old))
+    codes_old = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
+    out = _index_dir(sf_dir) + "_append"
+    assigned.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/assign_by_cell")
+    cents.write.mode("overwrite").parquet(out + "/cells")
+    cb.write.mode("overwrite").parquet(out + "/codebooks")
+    codes_old.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/codes")
+    p_cells = spark.read.parquet(out + "/cells")
+    p_cb = spark.read.parquet(out + "/codebooks")
+    # THE APPEND: the batch is assigned to the frozen cells (broadcast
+    # argmin — batch x kc work, the incremental query's law) and encoded
+    # against the frozen codebooks, then appended into the partitioned
+    # dirs — mode('append') + partitionBy adds one file per touched cell
+    # and never rewrites existing data; repeated batches accumulate one
+    # file per batch per cell until compact_table re-merges them
+    ba = tracked_persist(kmeans_assign(batch, p_cells))
+    codes_new = ivfpq_scaled_codes((ba, p_cells, p_cb, kc, nprobe))
+    ba.select("vec_id", "v", "cid").repartition("cid").write.mode(
+        "append"
+    ).partitionBy("cid").parquet(out + "/assign_by_cell")
+    codes_new.repartition("cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(out + "/codes")
+    # serve from the UPDATED artifacts — same partition-pruned path,
+    # now answering over the grown corpus
+    p_assign = spark.read.parquet(out + "/assign_by_cell").select(
+        "vec_id", "v", "cid"
+    )
+    p_codes = spark.read.parquet(out + "/codes")
+    qvec = list(p_assign.filter(F.col("vec_id") == 0).select("v").first()[0])
+    res = ivfpq_scaled_topk(
+        p_assign,
+        index=(p_assign, p_cells, p_cb, kc, nprobe),
+        codes=p_codes,
+        query_vec=qvec,
+    )
+    return res.withColumn(
+        "appended", (F.col("vec_id") % 10 >= 8).cast("int")
     )
 
 
@@ -2789,3 +3007,116 @@ def q_ann_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     return ivfpq_scaled_topk_batch(emb, query_ids=[0, 17, 29])
+
+
+@query(
+    "q_stream_ann_serve",
+    # The ONLINE form of the serving path: the same three queries as
+    # q_ann_serve_batch, but ARRIVING as a stream (one file per query,
+    # maxFilesPerTrigger=1 under availableNow → three genuine
+    # micro-batches) and answered per-batch against the FOUR persisted
+    # index artifacts via foreachBatch — the index is built/written once
+    # before the stream starts and never touched again; each micro-batch
+    # pays only the nprobe-pruned serving cost (partition-pruned codes
+    # scan, broadcast LUT, literal-bound rerank). Values are
+    # batch-size-invariant (every per-query decision is decimal-exact and
+    # totally ordered, and the persisted artifacts are frozen), so the
+    # streamed union equals the one-plan batch result — the same oracle,
+    # hash-checked.
+    oracle=_KM_SCALED_CTES + _PQ_BATCH_CTES + """
+    SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk, vec_id,
+           ROUND(exact_d2, 6) AS exact_d2
+    FROM (
+      SELECT qid, vec_id, exact_d2,
+             row_number() OVER (PARTITION BY qid ORDER BY exact_d2, vec_id) AS rnk
+      FROM exb)
+    WHERE rnk <= 10
+    ORDER BY query_id, rnk
+    """,
+    description="streaming ANN serving: query vectors arrive as a file "
+    "stream (one micro-batch per query under maxFilesPerTrigger=1 + "
+    "availableNow) and are served by foreachBatch against the persisted "
+    "cell-partitioned IVFADC artifacts — index built once before the "
+    "stream starts, each batch reads only its probed cells' code files "
+    "(PartitionFilters) and reranks 100 floats exactly; results appended "
+    "per batch and hash-checked against the one-plan batch-serving "
+    "oracle. Scale shape: state is O(index artifacts) on disk, per-batch "
+    "work is nprobe/kc ~ n^(-1/4) of the code files at 16 B/vector — the "
+    "retrieval-service deployment loop (build at ingest, serve forever) "
+    "expressed as a Structured Streaming job",
+    tags=("vector", "streaming"),
+)
+def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from ..operators.quantize import ivfpq_scaled_topk
+
+    p_assign, p_cells, p_cb, p_codes, kc, nprobe = _write_serve_artifacts(
+        spark, sf_dir
+    )
+    base = _index_dir(sf_dir)
+    qsrc = base + "/stream_queries"
+    qsink = base + "/stream_results"
+    ckpt = base + "/stream_ckpt"
+    # deterministic per-sf locations, reset per run: a stale checkpoint
+    # would mark the query files already-processed (availableNow resumes)
+    # and stale results would double-count — same rerun discipline as
+    # _index_dir itself
+    for d in (qsrc, qsink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(qsrc, exist_ok=True)
+    qids = [0, 17, 29]
+    # the query vectors are VALUES in a service (they arrive from users,
+    # not from the corpus); the fixture draws them from corpus rows, so
+    # fetch the three once (pruned scan, one job) and write one parquet
+    # file per query — the file boundary IS the micro-batch boundary
+    qrows = {
+        r["vec_id"]: list(r["v"])
+        for r in p_assign.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", "v")
+        .collect()
+    }
+    for qid in qids:
+        tbl = pa.table(
+            {
+                "qid": pa.array([qid], pa.int64()),
+                "v": pa.array([qrows[qid]], pa.list_(pa.float64())),
+            }
+        )
+        papq.write_table(tbl, os.path.join(qsrc, f"query_{qid}.parquet"))
+
+    def _serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # queries are driver-side values in a service — collecting the
+        # micro-batch is the serving contract (Q rows, not corpus rows)
+        for row in batch_df.collect():
+            res = ivfpq_scaled_topk(
+                p_assign,
+                index=(p_assign, p_cells, p_cb, kc, nprobe),
+                codes=p_codes,
+                query_vec=list(row["v"]),
+                with_rank=True,
+            ).select(
+                F.lit(int(row["qid"])).cast("long").alias("query_id"),
+                "rnk",
+                "vec_id",
+                "exact_d2",
+            )
+            res.write.mode("append").parquet(qsink)
+
+    stream = (
+        spark.readStream.schema("qid LONG, v ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qsrc)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_serve_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(qsink).orderBy("query_id", "rnk")

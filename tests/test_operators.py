@@ -1205,3 +1205,65 @@ def test_codes_served_matches_stateless(spark):
     ]
     assert stateless == served and len(served) == 10
     idx[0].unpersist(); idx[2].unpersist(); codes.unpersist()
+
+
+def test_ann_append_artifacts_carry_full_corpus(spark):
+    """Append-lifecycle contract: after q_ann_index_append runs, the
+    cid-partitioned artifact dirs hold EVERY corpus vector exactly once —
+    the old 80% from the build writes plus the 20% batch from the append
+    writes (mode('append') adds files, never duplicates or drops rows) —
+    and the packed code table stays one row per vector."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.plans import all_queries
+    from etl_housing_spark.plans.vector_queries import _index_dir
+
+    sf = "/root/testdata/sf0.001"
+    res = all_queries()["q_ann_index_append"].fn(spark, sf)
+    assert res.count() == 10
+    n = load_table(spark, sf, "embeddings").count()
+    out = _index_dir(sf) + "_append"
+    p_assign = spark.read.parquet(out + "/assign_by_cell")
+    p_codes = spark.read.parquet(out + "/codes")
+    assert p_assign.count() == n
+    assert p_assign.select("vec_id").distinct().count() == n
+    assert p_codes.count() == n
+    assert p_codes.select("vec_id").distinct().count() == n
+    # the appended batch really lives in the artifacts (not just the old fit)
+    n_batch = p_assign.filter(F.col("vec_id") % 10 >= 8).count()
+    assert n_batch == load_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") % 10 >= 8
+    ).count()
+
+
+def test_stream_ann_serve_matches_batch(spark):
+    """Streamed serving law: three queries served one micro-batch at a time
+    against the persisted artifacts return exactly the one-plan batch
+    result — arrival order and batch boundaries move WHEN work happens,
+    never the answer (the persisted index is frozen and every per-query
+    decision is decimal-exact and totally ordered)."""
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.catalog import load_table
+    from etl_housing_spark.operators.quantize import ivfpq_scaled_topk_batch
+    from etl_housing_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    streamed = [
+        tuple(r)
+        for r in all_queries()["q_stream_ann_serve"]
+        .fn(spark, sf)
+        .orderBy("query_id", "rnk")
+        .collect()
+    ]
+    vecs = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    batch = [
+        tuple(r)
+        for r in ivfpq_scaled_topk_batch(vecs, query_ids=[0, 17, 29])
+        .orderBy("query_id", "rnk")
+        .collect()
+    ]
+    assert streamed == batch and len(streamed) == 30

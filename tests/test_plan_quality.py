@@ -973,3 +973,24 @@ def test_ann_serve_codes_scan_partition_pruned(spark):
     assert pushed and any("In(vec_id" in l for l in pushed), pushed
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # zero shuffles in the serving job
+
+
+def test_ann_append_serve_partition_pruned(spark):
+    """q_ann_index_append serves from the UPDATED (appended-into) artifact
+    dirs — the append must not cost the serving plan anything: the codes
+    scan still binds the probe as PartitionFilters on cid (appended files
+    land inside existing cell dirs, so listing-time pruning covers them),
+    the rerank still pushes collected candidate ids as literals, and the
+    final job stays shuffle-free."""
+    plan = _plan(_q(spark, "q_ann_index_append"))
+    part = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "cid" in l and "IN (" in l.upper()
+    ]
+    assert part, [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert "CartesianProduct" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("In(vec_id" in l for l in pushed), pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # zero shuffles in the serving job
