@@ -2186,7 +2186,7 @@ def q_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _write_serve_artifacts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, suffix: str = "_serve"
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, int, int]:
     """Build the corpus-scaled IVFADC index and write the FOUR serving
     artifacts (cell-partitioned vectors, centroids, codebooks,
@@ -2194,7 +2194,15 @@ def _write_serve_artifacts(
     read them back — returns (p_assign, p_cells, p_cb, p_codes, kc,
     nprobe), all backed by the persisted parquet only. Shared by the
     latency (q_ann_index_serve) and streaming (q_stream_ann_serve)
-    serving forms; every layout decision is documented inline."""
+    serving forms; every layout decision is documented inline.
+
+    ``suffix`` keys the artifact tree per CALLER: each lifecycle query
+    owns a disjoint directory (persist = the bare _index_dir, serve =
+    '_serve', stream = '_stream', append = '_append'), so two lifecycle
+    queries running concurrently (a parallel test runner, overlapping
+    harness sessions) can never overwrite each other's cells/codebooks
+    mid-read — the failure mode a shared base dir produced under a
+    concurrent pytest + preflight session."""
     from ..operators._ckpt import tracked_persist
     from ..operators.quantize import (
         ivfpq_scaled_codes,
@@ -2215,7 +2223,7 @@ def _write_serve_artifacts(
     cents = tracked_persist(cents)
     cb = tracked_persist(pq_residual_codebooks(assigned, cents, n))
     codes = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
-    out = _index_dir(sf_dir)
+    out = _index_dir(sf_dir) + suffix
     # the deployment artifacts: one directory per cell for BOTH the code
     # table and the float vectors (FAISS keeps the vectors in the
     # inverted lists for exactly this reason), so a probe's cid IN (...)
@@ -3056,9 +3064,9 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivfpq_scaled_topk
 
     p_assign, p_cells, p_cb, p_codes, kc, nprobe = _write_serve_artifacts(
-        spark, sf_dir
+        spark, sf_dir, suffix="_stream"
     )
-    base = _index_dir(sf_dir)
+    base = _index_dir(sf_dir) + "_stream"
     qsrc = base + "/stream_queries"
     qsink = base + "/stream_results"
     ckpt = base + "/stream_ckpt"
