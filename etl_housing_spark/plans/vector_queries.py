@@ -2532,6 +2532,94 @@ _PQ_APPEND_CTES = """,
       GROUP BY e.vec_id)"""
 
 
+def _append_artifacts(
+    spark: SparkSession, sf_dir: str, out: str
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """The build-then-append half of the maintenance lifecycle: persist
+    the four artifacts from the OLD 80% under ``out``, then assign +
+    encode the NEW 20% batch against the frozen centroids/codebooks and
+    append it into the cid-partitioned dirs. Returns (p_cells, p_cb, kc,
+    nprobe). Shared by q_ann_index_append (serve straight off the
+    appended dirs) and q_ann_index_compact (compact the accreted files
+    first); ``out`` keys the tree per caller (the suffix discipline)."""
+    from ..operators._ckpt import tracked_persist
+    from ..operators.clustering import kmeans_assign
+    from ..operators.quantize import (
+        ivfpq_scaled_codes,
+        ivfpq_scaled_index,
+        pq_residual_codebooks,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    old = vecs.filter(F.col("vec_id") % 10 < 8)
+    batch = vecs.filter(F.col("vec_id") % 10 >= 8)
+    n_old = old.count()
+    assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(old, n=n_old)
+    # persist the fit once — codebooks, the code table, and the writes
+    # all consume it (the q_ann_index_serve lineage discipline)
+    assigned = tracked_persist(assigned)
+    cents = tracked_persist(cents)
+    cb = tracked_persist(pq_residual_codebooks(assigned, cents, n_old))
+    codes_old = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
+    assigned.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/assign_by_cell")
+    cents.write.mode("overwrite").parquet(out + "/cells")
+    cb.write.mode("overwrite").parquet(out + "/codebooks")
+    codes_old.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out + "/codes")
+    p_cells = spark.read.parquet(out + "/cells")
+    p_cb = spark.read.parquet(out + "/codebooks")
+    # THE APPEND: the batch is assigned to the frozen cells (broadcast
+    # argmin — batch x kc work, the incremental query's law) and encoded
+    # against the frozen codebooks, then appended into the partitioned
+    # dirs — mode('append') + partitionBy adds one file per touched cell
+    # and never rewrites existing data; repeated batches accumulate one
+    # file per batch per cell until compact_table re-merges them
+    ba = tracked_persist(kmeans_assign(batch, p_cells))
+    codes_new = ivfpq_scaled_codes((ba, p_cells, p_cb, kc, nprobe))
+    ba.select("vec_id", "v", "cid").repartition("cid").write.mode(
+        "append"
+    ).partitionBy("cid").parquet(out + "/assign_by_cell")
+    codes_new.repartition("cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(out + "/codes")
+    return p_cells, p_cb, kc, nprobe
+
+
+def _serve_appended(
+    spark: SparkSession,
+    out: str,
+    p_cells: DataFrame,
+    p_cb: DataFrame,
+    kc: int,
+    nprobe: int,
+) -> DataFrame:
+    """Serve the top-10 for the fixture query from the (appended or
+    compacted) artifact tree under ``out`` — same partition-pruned path
+    as q_ann_index_serve, now answering over the grown corpus, with the
+    appended-neighbor flag."""
+    from ..operators.quantize import ivfpq_scaled_topk
+
+    p_assign = spark.read.parquet(out + "/assign_by_cell").select(
+        "vec_id", "v", "cid"
+    )
+    p_codes = spark.read.parquet(out + "/codes")
+    qvec = list(p_assign.filter(F.col("vec_id") == 0).select("v").first()[0])
+    res = ivfpq_scaled_topk(
+        p_assign,
+        index=(p_assign, p_cells, p_cb, kc, nprobe),
+        codes=p_codes,
+        query_vec=qvec,
+    )
+    return res.withColumn(
+        "appended", (F.col("vec_id") % 10 >= 8).cast("int")
+    )
+
+
 @query(
     "q_ann_index_append",
     # The maintenance form that COMPLETES the lifecycle triangle:
@@ -2569,69 +2657,69 @@ _PQ_APPEND_CTES = """,
     tags=("vector", "pipeline"),
 )
 def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators._ckpt import tracked_persist
-    from ..operators.clustering import kmeans_assign
-    from ..operators.quantize import (
-        ivfpq_scaled_codes,
-        ivfpq_scaled_index,
-        ivfpq_scaled_topk,
-        pq_residual_codebooks,
-    )
-
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    old = vecs.filter(F.col("vec_id") % 10 < 8)
-    batch = vecs.filter(F.col("vec_id") % 10 >= 8)
-    n_old = old.count()
-    assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(old, n=n_old)
-    # persist the fit once — codebooks, the code table, and the writes
-    # all consume it (the q_ann_index_serve lineage discipline)
-    assigned = tracked_persist(assigned)
-    cents = tracked_persist(cents)
-    cb = tracked_persist(pq_residual_codebooks(assigned, cents, n_old))
-    codes_old = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
     out = _index_dir(sf_dir) + "_append"
-    assigned.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(out + "/assign_by_cell")
-    cents.write.mode("overwrite").parquet(out + "/cells")
-    cb.write.mode("overwrite").parquet(out + "/codebooks")
-    codes_old.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(out + "/codes")
-    p_cells = spark.read.parquet(out + "/cells")
-    p_cb = spark.read.parquet(out + "/codebooks")
-    # THE APPEND: the batch is assigned to the frozen cells (broadcast
-    # argmin — batch x kc work, the incremental query's law) and encoded
-    # against the frozen codebooks, then appended into the partitioned
-    # dirs — mode('append') + partitionBy adds one file per touched cell
-    # and never rewrites existing data; repeated batches accumulate one
-    # file per batch per cell until compact_table re-merges them
-    ba = tracked_persist(kmeans_assign(batch, p_cells))
-    codes_new = ivfpq_scaled_codes((ba, p_cells, p_cb, kc, nprobe))
-    ba.select("vec_id", "v", "cid").repartition("cid").write.mode(
-        "append"
-    ).partitionBy("cid").parquet(out + "/assign_by_cell")
-    codes_new.repartition("cid").write.mode("append").partitionBy(
-        "cid"
-    ).parquet(out + "/codes")
-    # serve from the UPDATED artifacts — same partition-pruned path,
-    # now answering over the grown corpus
-    p_assign = spark.read.parquet(out + "/assign_by_cell").select(
-        "vec_id", "v", "cid"
-    )
-    p_codes = spark.read.parquet(out + "/codes")
-    qvec = list(p_assign.filter(F.col("vec_id") == 0).select("v").first()[0])
-    res = ivfpq_scaled_topk(
-        p_assign,
-        index=(p_assign, p_cells, p_cb, kc, nprobe),
-        codes=p_codes,
-        query_vec=qvec,
-    )
-    return res.withColumn(
-        "appended", (F.col("vec_id") % 10 >= 8).cast("int")
-    )
+    p_cells, p_cb, kc, nprobe = _append_artifacts(spark, sf_dir, out)
+    return _serve_appended(spark, out, p_cells, p_cb, kc, nprobe)
+
+
+@query(
+    "q_ann_index_compact",
+    # The maintenance pass the append query's own docstring defers to
+    # ("compaction owns re-merging"): appends accrete one file per batch
+    # per touched cell directory, and the r15 serving measurements showed
+    # file listing/open cost overtaking the query itself when the count
+    # runs away. compact_partitioned_table rewrites each cid-partitioned
+    # artifact back to ONE file per cell directory while PRESERVING the
+    # layout (a flat compaction would destroy the PartitionFilters
+    # pruning contract), via the staged-rename swap so readers never see
+    # a missing table. Compaction moves bytes, never values — the oracle
+    # is IDENTICAL to q_ann_index_append's, and the one-file-per-cell
+    # outcome is asserted in-code (plus the plan test pinning that the
+    # compacted serve still prunes and stays shuffle-free).
+    oracle=_KM_INCR_CTES + _PQ_APPEND_CTES + """
+    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
+           (SELECT k FROM ko) AS k,
+           (SELECT np FROM nsel) AS nprobe,
+           CAST(vec_id % 10 >= 8 AS INT) AS appended
+    FROM ex ORDER BY exact_d2, vec_id LIMIT 10
+    """,
+    description="index compaction after appends: build + persist on the "
+    "old 80%, append the 20% growth batch (accreting a second file in "
+    "every touched cell dir), then COMPACT both cid-partitioned "
+    "artifacts back to one file per cell directory — partition-"
+    "preserving rewrite (repartition on cid + partitionBy(cid) + staged "
+    "rename; a flat compaction would destroy the pruning layout) — and "
+    "serve from the compacted tree: same values as serving the "
+    "uncompacted appends (compaction moves bytes, never values), "
+    "hash-checked against the identical frozen-fit oracle. Scale shape: "
+    "the rewrite is one shuffle keyed on the partition column over the "
+    "artifact (codes = 16 B/vector), amortized across every future "
+    "query's file-open savings — Delta/Iceberg OPTIMIZE in plain "
+    "parquet",
+    tags=("vector", "pipeline"),
+)
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.warehouse import compact_partitioned_table
+
+    out = _index_dir(sf_dir) + "_compact"
+    p_cells, p_cb, kc, nprobe = _append_artifacts(spark, sf_dir, out)
+    compact_partitioned_table(spark, out + "/assign_by_cell", "cid")
+    compact_partitioned_table(spark, out + "/codes", "cid")
+    # the compaction contract, checked where it ran: exactly one parquet
+    # file per cell directory (the probe's file-open cost per probed
+    # cell is 1 again, however many batches were appended)
+    for sub in ("assign_by_cell", "codes"):
+        for d in os.listdir(f"{out}/{sub}"):
+            if d.startswith("cid="):
+                files = [
+                    f
+                    for f in os.listdir(f"{out}/{sub}/{d}")
+                    if f.endswith(".parquet")
+                ]
+                assert len(files) == 1, (sub, d, files)
+    return _serve_appended(spark, out, p_cells, p_cb, kc, nprobe)
 
 
 # --------------------------------------------------------------------------

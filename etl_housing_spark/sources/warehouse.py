@@ -298,6 +298,58 @@ def compact_table(
     return n_files
 
 
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    block_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Partition-PRESERVING small-files compaction: rewrite a
+    partitionBy(col) parquet directory back to one file per partition
+    directory, keeping the layout — and therefore the listing-time
+    pruning contract — intact.
+
+    Appends under partitionBy accrete one file per batch per touched
+    partition directory (q_ann_index_append: each growth batch adds a
+    file to every touched cell) — after B batches a probe opens B files
+    per probed cell, and the file-listing/open cost was measured at ~10×
+    the serving cost when the count ran away (the r15 one-file-per-cell
+    finding). ``compact_table`` cannot fix this: it reads the partition
+    column back as data and rewrites FLAT, destroying the directory
+    layout PartitionFilters binds against. This rewrite repartitions ON
+    the partition column (one task per value → one file per directory,
+    the q_ann_index_serve write discipline), pins the row-group size,
+    and swaps via the same staged-rename as ``_staged_swap_write`` —
+    readers never observe a missing table. Returns the partition-dir
+    count. Delta/Iceberg OPTIMIZE with a partition clause is the
+    managed-table form of this maintenance pass.
+    """
+    path = path.rstrip("/")
+    df = spark.read.parquet(path)
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path}.staging-{token}"
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("parquet.block.size", int(block_bytes))
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    old = f"{path}.old-{token}"
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(old, path)  # roll back: restore the original table
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    assert_rowgroup_layout(path, block_bytes=block_bytes)
+    return len(
+        [d for d in os.listdir(path) if d.startswith(f"{partition_col}=")]
+    )
+
+
 def assert_rowgroup_layout(
     path: str, block_bytes: int = 128 * 1024 * 1024
 ) -> dict:

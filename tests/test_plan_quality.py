@@ -994,3 +994,21 @@ def test_ann_append_serve_partition_pruned(spark):
     assert pushed and any("In(vec_id" in l for l in pushed), pushed
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # zero shuffles in the serving job
+
+
+def test_ann_compact_serve_partition_pruned(spark):
+    """q_ann_index_compact serves from the compacted tree — compaction
+    must leave the serving plan untouched: PartitionFilters on cid,
+    pushed candidate ids, shuffle-free final job."""
+    plan = _plan(_q(spark, "q_ann_index_compact"))
+    part = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "cid" in l and "IN (" in l.upper()
+    ]
+    assert part, [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert "CartesianProduct" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("In(vec_id" in l for l in pushed), pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # zero shuffles in the serving job

@@ -325,3 +325,42 @@ def test_compact_files_hits_computed_target(spark, tmp_path):
     assert len(compacted) == 1  # fixture bytes << 128 MiB target
     assert out.count() == docs_n
     assert out.select("doc_id").distinct().count() == docs_n
+
+
+def test_compact_partitioned_table_preserves_layout_and_values(spark, tmp_path):
+    """Partition-preserving compaction: a partitioned dir accreted to
+    several files per partition (append-mode batches) compacts back to
+    ONE file per partition directory, keeps the directory layout (the
+    pruning contract), and moves bytes, never values."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.sources.warehouse import compact_partitioned_table
+
+    path = str(tmp_path / "part_tbl")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("p"), (F.col("id") * 2).alias("val")
+    )
+    base.repartition("p").write.mode("overwrite").partitionBy("p").parquet(path)
+    # a second "batch" append — every partition dir now holds 2+ files
+    extra = spark.range(100, 140).select(
+        F.col("id"), (F.col("id") % 5).alias("p"), (F.col("id") * 2).alias("val")
+    )
+    extra.repartition("p").write.mode("append").partitionBy("p").parquet(path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    multi = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("p=")
+        and len([f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")]) > 1
+    ]
+    assert multi, "fixture failed to accrete multiple files per partition"
+    n_dirs = compact_partitioned_table(spark, path, "p")
+    assert n_dirs == 5
+    for d in os.listdir(path):
+        if d.startswith("p="):
+            files = [f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert before == after
