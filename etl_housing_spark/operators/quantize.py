@@ -695,7 +695,7 @@ def ivfpq_scaled_topk(
     vecs: DataFrame,
     k: int = 10,
     query_id: int = 0,
-    rerank: int = 100,
+    rerank: int | None = None,
     subspaces: int = 16,
     dim: int = 64,
     kpq: int = 256,
@@ -745,8 +745,18 @@ def ivfpq_scaled_topk(
        (or a precomputed ``codes`` table join — the deployment shape);
     5. ADC: per-vector sum of M per-cell lookup-table entries;
     6. rerank: exact decimal L2 on the ADC top-``rerank`` floats only
-       (IVFADC+R, §VI; R = 10·k — 100 vectors = 25.6 kB at any corpus
-       size).
+       (IVFADC+R, §VI). Default R = max(10·k, 2·kc) — the r15 sf30
+       finding: a FIXED R decays at scale exactly like a fixed k or a
+       fixed kc. Cell population grows as √n, so the ADC plateau a true
+       neighbor can hide behind grows with it — at sf30 (775/cell)
+       R=100 measured recall 0.867 WITH A FULL-SCAN PROBE (nprobe=kc:
+       the probe ruled out as the limiter), R=800 restored 1.000 at
+       flat wall; recall is monotone in R (the exact rerank selects
+       from a superset), so the adopted 2·kc ≈ 2√n keeps every measured
+       point at 1.0. Bytes stay trivial (2·kc·4·dim ≈ 0.4 MB at sf30,
+       ~8 MB at n=10⁹); at extreme R the codes-path candidate push-down
+       (an IN list of R ids) should become a broadcast semi-join — the
+       non-codes path already joins.
 
     Output: (vec_id, exact_d2, k, nprobe) — the scaled-family schema —
     or (rnk, vec_id, exact_d2) with ``with_rank=True``: the per-query
@@ -800,6 +810,11 @@ def ivfpq_scaled_topk(
                 assigned, cents, n, subspaces, dim, kpq, train_cap, id_col
             )
         )
+    if rerank is None:
+        # the r15-adopted scaled budget (stage-6 note): kc = ceil(sqrt(n))
+        # is already in hand whichever branch ran, so R scales as
+        # 2*sqrt(n) without another corpus count
+        rerank = max(10 * k, 2 * kc)
     if query_vec is not None:
         # deployment serving shape: the query vector ARRIVES as a
         # parameter (a user query is not a corpus row) — build it as a
@@ -985,7 +1000,7 @@ def ivfpq_scaled_topk_batch(
     vecs: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    rerank: int = 100,
+    rerank: int | None = None,
     subspaces: int = 16,
     dim: int = 64,
     kpq: int = 256,
@@ -1046,6 +1061,11 @@ def ivfpq_scaled_topk_batch(
                 assigned, cents, n, subspaces, dim, kpq, train_cap, id_col
             )
         )
+    if rerank is None:
+        # the r15-adopted scaled budget (ivfpq_scaled_topk stage-6 note):
+        # kc = ceil(sqrt(n)) is already in hand whichever branch ran, so
+        # R scales as 2*sqrt(n) without another corpus count
+        rerank = max(10 * k, 2 * kc)
     qvs = vecs.filter(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("qid"), F.col("v").alias("qv")
     )

@@ -1989,7 +1989,11 @@ _PQ_SCALED_CTES = """,
              CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc_d2
       FROM codes c JOIN lut l ON c.cid = l.cid AND c.sub = l.sub AND c.code = l.cand
       GROUP BY c.vec_id),
-    candr AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 100),
+    candr AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_d2, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= GREATEST(100, 2 * (SELECT k FROM ksel))),
     ex AS (
       SELECT e.vec_id,
              CAST(SUM(CAST((e.v[qd.i + 1] - qd.qx) * (e.v[qd.i + 1] - qd.qx)
@@ -2523,7 +2527,11 @@ _PQ_APPEND_CTES = """,
              CAST(SUM(CAST(l.lut_d2 AS DECIMAL(38,18))) AS DOUBLE) AS adc_d2
       FROM codes c JOIN lut l ON c.cid = l.cid AND c.sub = l.sub AND c.code = l.cand
       GROUP BY c.vec_id),
-    candr AS (SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 100),
+    candr AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_d2, vec_id) AS rn
+        FROM adc)
+      WHERE rn <= GREATEST(100, 2 * (SELECT k FROM ko))),
     ex AS (
       SELECT e.vec_id,
              CAST(SUM(CAST((e.v[qd.i + 1] - qd.qx) * (e.v[qd.i + 1] - qd.qx)
@@ -3053,7 +3061,7 @@ _PQ_BATCH_CTES = """,
       SELECT qid, vec_id FROM (
         SELECT qid, vec_id,
                row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rn
-        FROM adcb) WHERE rn <= 100),
+        FROM adcb) WHERE rn <= GREATEST(100, 2 * (SELECT k FROM ksel))),
     exb AS (
       SELECT cb.qid, e.vec_id,
              CAST(SUM(CAST((e.v[qdb.i + 1] - qdb.qx) * (e.v[qdb.i + 1] - qdb.qx)
