@@ -936,20 +936,32 @@ def ivfpq_scaled_topk(
         )
     cand = adc.orderBy("adc_d2", id_col).limit(rerank).select(id_col)
     if codes is not None:
-        # deployment rerank: the R candidate ids are collected (R=100
-        # longs — bounded at any corpus size) and pushed into the float
-        # scan as literals, so the reader skips row groups by min/max
-        # stats instead of scanning the corpus into a broadcast join;
-        # candidates all live in probed cells, so when ``vecs`` carries
-        # the cell column (the cid-partitioned assignment artifact) the
-        # scan ALSO prunes to nprobe/kc of the files at listing time.
-        # The collect additionally means the ADC plan executes exactly
-        # once (the rerank consumes ids, not the adc lineage).
+        # deployment rerank: the R candidate ids are collected (R longs
+        # — bounded at any corpus size) and pushed into the float scan,
+        # so the reader skips row groups by min/max stats instead of
+        # scanning the corpus; candidates all live in probed cells, so
+        # when ``vecs`` carries the cell column (the cid-partitioned
+        # assignment artifact) the scan ALSO prunes to nprobe/kc of the
+        # files at listing time. The collect additionally means the ADC
+        # plan executes exactly once (the rerank consumes ids, not the
+        # adc lineage). The push-down FORM depends on R (the r15 sf30
+        # find): an IN-list of literals is the fastest shape at small R
+        # but its planning/pushdown cost grows with the list — at the
+        # adopted R = 2·kc = 1550 (sf30) the literal form measured
+        # ~+2 s/query over R=800; past the threshold the same collected
+        # ids go through a broadcast semi-join instead (value-identical:
+        # semi-join on ids ≡ isin), whose cost is R-independent.
         cand_ids = [r[0] for r in cand.collect()]
         rer = vecs
         if "cid" in rer.columns:
             rer = rer.filter(F.col("cid").isin(probe_cids))
-        rer = rer.filter(F.col(id_col).isin(cand_ids))
+        if len(cand_ids) <= 1024:
+            rer = rer.filter(F.col(id_col).isin(cand_ids))
+        else:
+            ids_df = vecs.sparkSession.createDataFrame(
+                [(int(i),) for i in cand_ids], f"{id_col} long"
+            )
+            rer = rer.join(F.broadcast(ids_df), id_col, "left_semi")
     else:
         rer = vecs.join(F.broadcast(cand), id_col)
     if query_vec is not None:
