@@ -731,7 +731,9 @@ def ivfpq_scaled_topk(
     0.8 single-query / 0.70 over 3 query ids at sf10 — a coarse-probe
     ceiling, not a compression loss: the uncompressed IVFFlat variant
     measured the same, so the compression tier is recall-lossless at
-    the rerank=100 budget at every measured point).
+    the rerank budget at every point measured through sf10; at sf30 the
+    FIXED R=100 itself became the limiter and the budget was scaled —
+    see stage 6 below).
     The non-residual form measured 7/10 at the same budgets and was
     replaced — quantizing raw vectors wastes code entropy re-encoding
     cell identity.
@@ -958,8 +960,15 @@ def ivfpq_scaled_topk(
         if len(cand_ids) <= 1024:
             rer = rer.filter(F.col(id_col).isin(cand_ids))
         else:
+            # id type derived from the corpus frame, not assumed long —
+            # a caller with string/int ids would otherwise only hit the
+            # mismatch on the large-R path, never the literal path
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = vecs.schema[id_col].dataType
             ids_df = vecs.sparkSession.createDataFrame(
-                [(int(i),) for i in cand_ids], f"{id_col} long"
+                [(i,) for i in cand_ids],
+                StructType([StructField(id_col, id_type)]),
             )
             rer = rer.join(F.broadcast(ids_df), id_col, "left_semi")
     else:

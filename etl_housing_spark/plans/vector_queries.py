@@ -2016,8 +2016,10 @@ _PQ_SCALED_CTES = """,
     # deterministic md5-capped corpus sample (256 entries/subspace, the
     # 8-bit FAISS standard; codebook resolution is a per-vector knob and
     # need not grow with n, unlike cell count) + per-cell ADC over probed
-    # cells' 16-byte codes + exact decimal-L2 rerank of the top 100
-    # (R = 10·k). ONE metric (L2) end to end: probe, ADC, and rerank
+    # cells' 16-byte codes + exact decimal-L2 rerank of the ADC top R,
+    # R = max(10·k, 2·kc) ≈ 2√n (the r15 scaled budget — a fixed R
+    # decays at scale like a fixed k or kc; quantize.py stage 6).
+    # ONE metric (L2) end to end: probe, ADC, and rerank
     # cannot disagree on un-normalized inputs. Residual codes because
     # the r14 measurement demanded it: raw-vector codes ranked 3 of the
     # true top-10 past ADC rank 200 (recall 0.7 at sf1); residual codes
@@ -2268,7 +2270,8 @@ def _write_serve_artifacts(
     # computed ONCE at ingest, written partitionBy("cid"), and the
     # per-query probe binds as PartitionFilters at file-listing time —
     # only nprobe of kc cell directories are ever listed or read; the
-    # corpus's floats appear only in the 100-row rerank. Same oracle as
+    # corpus's floats appear only in the R-row rerank,
+    # R = max(10·k, 2·kc). Same oracle as
     # q_ivfpq_scaled/q_ann_index_persist: packing and partitioning move
     # bytes, never values (the codes-served law,
     # tests/test_operators.py::test_codes_served_matches_stateless).
@@ -2289,8 +2292,9 @@ def _write_serve_artifacts(
     "code-table build is the amortized O(n·K·D) ingest pass (subvector "
     "form — the sf30 disk-full fix); per query the engine reads "
     "nprobe/kc ~ n^(-1/4) of the code files at 16 B/vector, broadcasts a "
-    "kc-row probe and a 4k-row LUT, and exactly reranks 100 floats — "
-    "no corpus-sized shuffle anywhere in the serving path",
+    "kc-row probe and a 4k-row LUT, and exactly reranks only the ADC "
+    "top R = max(10·k, 2·kc) ≈ 2√n floats (the r15 scaled rerank "
+    "budget) — no corpus-sized shuffle anywhere in the serving path",
     tags=("vector",),
 )
 def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2659,8 +2663,9 @@ def _serve_appended(
     "arrived in the append. Scale shape: the append costs batch_rows x "
     "(kc + M*K) broadcast work and writes only the touched cells — no "
     "corpus rescan, no shuffle of existing data; the serving path is "
-    "unchanged (partition-pruned codes scan at 16 B/vector, R=100 exact "
-    "rerank). Recall caveat is the incremental query's refit_due "
+    "unchanged (partition-pruned codes scan at 16 B/vector, exact "
+    "rerank of R = max(10·k, 2·kc) floats). Recall caveat is the "
+    "incremental query's refit_due "
     "contract: appends between refits keep cells correct but growing",
     tags=("vector", "pipeline"),
 )
@@ -3077,7 +3082,8 @@ _PQ_BATCH_CTES = """,
     # corpus-scaled IVFADC+R index in a single plan. Every corpus-sized
     # stage (coarse fit, residual codebook training, code assignment over
     # the probed-cell union) is query-count-independent; the per-query
-    # work (probe ranking, per-(qid,cid) LUTs, ADC fan-out, R=100 rerank)
+    # work (probe ranking, per-(qid,cid) LUTs, ADC fan-out, the
+    # R = max(10·k, 2·kc) rerank)
     # is kc-/nprobe-/R-sized and broadcast — so per-query marginal cost
     # FALLS with batch size wherever probes overlap (FAISS batches its
     # search() for the same reason). Decimal-exact and totally ordered at
@@ -3098,7 +3104,8 @@ _PQ_BATCH_CTES = """,
     "per-(query, cell) ADC lookup tables, one pass over the UNION of all "
     "probed cells' codes (a cell probed by several queries is read once "
     "and fanned out through the broadcast probe join), exact decimal-L2 "
-    "rerank of each query's ADC top-100, top-10 per query. Scale shape: "
+    "rerank of each query's ADC top R = max(10·k, 2·kc), top-10 per "
+    "query. Scale shape: "
     "the corpus-side stages are query-count-independent, so batch size Q "
     "divides the index/scan overheads across queries — the throughput "
     "form of the serving path (q_ann_index_serve is the latency form)",
@@ -3142,7 +3149,8 @@ def q_ann_serve_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "availableNow) and are served by foreachBatch against the persisted "
     "cell-partitioned IVFADC artifacts — index built once before the "
     "stream starts, each batch reads only its probed cells' code files "
-    "(PartitionFilters) and reranks 100 floats exactly; results appended "
+    "(PartitionFilters) and reranks R = max(10·k, 2·kc) floats exactly; "
+    "results appended "
     "per batch and hash-checked against the one-plan batch-serving "
     "oracle. Scale shape: state is O(index artifacts) on disk, per-batch "
     "work is nprobe/kc ~ n^(-1/4) of the code files at 16 B/vector — the "
@@ -3195,7 +3203,14 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _serve_batch(batch_df: DataFrame, batch_id: int) -> None:
         # queries are driver-side values in a service — collecting the
-        # micro-batch is the serving contract (Q rows, not corpus rows)
+        # micro-batch is the serving contract (Q rows, not corpus rows).
+        # foreachBatch is at-least-once: on a checkpoint-resume after a
+        # partially-committed batch the same batch_id replays, so the
+        # sink is keyed by batch_id (each batch owns one subdir, cleared
+        # before writing) — a replay rewrites its own subdir instead of
+        # duplicating rows (ADVICE r15).
+        bdir = os.path.join(qsink, f"batch_id={int(batch_id)}")
+        shutil.rmtree(bdir, ignore_errors=True)
         for row in batch_df.collect():
             res = ivfpq_scaled_topk(
                 p_assign,
@@ -3209,7 +3224,7 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id",
                 "exact_d2",
             )
-            res.write.mode("append").parquet(qsink)
+            res.write.mode("append").parquet(bdir)
 
     stream = (
         spark.readStream.schema("qid LONG, v ARRAY<DOUBLE>")
@@ -3223,4 +3238,10 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(qsink).orderBy("query_id", "rnk")
+    # batch_id is sink-layout metadata (partition discovery surfaces it
+    # as a column), not part of the served result
+    return (
+        spark.read.parquet(qsink)
+        .select("query_id", "rnk", "vec_id", "exact_d2")
+        .orderBy("query_id", "rnk")
+    )

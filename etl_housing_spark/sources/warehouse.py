@@ -319,22 +319,32 @@ def compact_partitioned_table(
     layout PartitionFilters binds against. This rewrite repartitions ON
     the partition column (one task per value → one file per directory,
     the q_ann_index_serve write discipline), pins the row-group size,
-    and swaps via the same staged-rename as ``_staged_swap_write`` —
-    readers never observe a missing table. Returns the partition-dir
-    count. Delta/Iceberg OPTIMIZE with a partition clause is the
-    managed-table form of this maintenance pass.
+    and swaps via the same staged-rename as ``_staged_swap_write``.
+    The swap is two renames, not atomic: there is a window between them
+    where ``path`` does not exist — this is a single-process maintenance
+    pass (a crash between the renames leaves the data recoverable under
+    the ``.old-*`` sibling), not a lock-free concurrent-reader protocol;
+    a managed table format (Delta/Iceberg OPTIMIZE with a partition
+    clause) is the form that gives readers snapshot isolation. Returns
+    the partition-dir count.
     """
     path = path.rstrip("/")
     df = spark.read.parquet(path)
     token = uuid.uuid4().hex[:8]
     staging = f"{path}.staging-{token}"
-    (
-        df.repartition(partition_col)
-        .write.mode("overwrite")
-        .option("parquet.block.size", int(block_bytes))
-        .partitionBy(partition_col)
-        .parquet(staging)
-    )
+    try:
+        (
+            df.repartition(partition_col)
+            .sortWithinPartitions(partition_col)
+            .write.mode("overwrite")
+            .option("parquet.block.size", int(block_bytes))
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+    except BaseException:
+        # a failed staging write must not leak a .staging-* sibling
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     old = f"{path}.old-{token}"
     os.rename(path, old)
     try:

@@ -981,7 +981,27 @@ def test_ann_append_serve_partition_pruned(spark):
     scan still binds the probe as PartitionFilters on cid (appended files
     land inside existing cell dirs, so listing-time pruning covers them),
     the rerank still pushes collected candidate ids as literals, and the
-    final job stays shuffle-free."""
+    final job stays shuffle-free.
+
+    NOTE (here and in the two sibling serve-plan tests): the
+    'Exchange'-free and In(vec_id push-down assertions pin the SMALL-R
+    literal path, which holds only while the fixture keeps
+    R = max(10·k, 2·kc) <= 1024. Past 1024 collected candidates the
+    operator deliberately switches to a broadcast semi-join (r15: cost
+    R-independent), which adds a BroadcastExchange and drops the pushed
+    id filter BY DESIGN — the guard below fails loudly if a fixture
+    change ever crosses the threshold, rather than letting these
+    assertions read as a regression."""
+    import math
+
+    from etl_housing_spark.plans.relational import load_table
+
+    n_fix = load_table(spark, SF_SMOKE, "embeddings").count()
+    rerank = max(100, 2 * math.ceil(math.sqrt(n_fix)))
+    assert rerank <= 1024, (
+        f"fixture n={n_fix} pushes R={rerank} past the literal-path "
+        "threshold; these plan assertions only describe the small-R form"
+    )
     plan = _plan(_q(spark, "q_ann_index_append"))
     part = [
         l
