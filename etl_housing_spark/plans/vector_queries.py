@@ -2294,8 +2294,17 @@ def _write_serve_artifacts(
     "nprobe/kc ~ n^(-1/4) of the code files at 16 B/vector, broadcasts a "
     "kc-row probe and a 4k-row LUT, and exactly reranks only the ADC "
     "top R = max(10·k, 2·kc) ≈ 2√n floats (the r15 scaled rerank "
-    "budget) — no corpus-sized shuffle anywhere in the serving path",
-    tags=("vector",),
+    "budget) — no corpus-sized shuffle anywhere in the serving path. "
+    "Since r16 the per-query chain is ONE fused Spark action: the probe "
+    "runs driver-side (bit-exact decimal replication, operators/"
+    "quantize._dec18), the LUT ships as a broadcast local relation, and "
+    "the rerank semi-joins the ADC candidates — sf10 warm ~1.2-1.4 "
+    "s/query vs 2.10 for the r15 two-action form",
+    # bench-tagged (VERDICT r15 item 7): the committed bench tracked only
+    # the stateless build (q_ivfpq_scaled) while the persisted-serve path
+    # became the headline — this line makes serving drift visible in
+    # every driver BENCH_rN artifact
+    tags=("vector", "bench"),
 )
 def q_ann_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantize import ivfpq_scaled_topk

@@ -1267,3 +1267,77 @@ def test_stream_ann_serve_matches_batch(spark):
         .collect()
     ]
     assert streamed == batch and len(streamed) == 30
+
+
+def test_dec18_matches_spark_cast(spark):
+    """The driver-local serving probe replicates Spark's decimal fold
+    bit-for-bit: Cast(double → decimal(p,18)) goes through the double's
+    SHORTEST decimal representation (BigDecimal.valueOf == Double.toString
+    == Python repr) rounded HALF_UP at scale 18, and decimal addition is
+    exact — so _dec18's big-int path must equal the Spark cast on every
+    input, and an integer sum + one correctly-rounded float() must equal
+    the _dec_sum fold. This is the exactness contract the r16 serving
+    fast path (driver probe) rests on."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.operators.quantize import _dec18, _dec18_fold
+
+    rng = random.Random(1234)
+    cases = []
+    for _ in range(4000):
+        kind = rng.random()
+        if kind < 0.5:
+            cases.append(rng.gauss(0, 1) ** 2)
+        elif kind < 0.8:
+            cases.append(rng.random() * 10 ** rng.randint(-25, 8))
+        else:
+            cases.append(float(rng.randint(0, 10**6)) + rng.random())
+    cases += [0.0, 1e-18, 4.9999999999999995e-19, 1.5e-18, 2.5e-18, 5e-324]
+    df = spark.createDataFrame([(x,) for x in cases], "t double")
+    got = df.select(
+        F.col("t").cast("decimal(28,18)").cast("string").alias("d")
+    ).collect()
+    for x, r in zip(cases, got):
+        assert int(Decimal(r.d).scaleb(18)) == _dec18(x), x
+    # fold law: int accumulation == the (28,18) chained-cast array fold
+    arrs = [[rng.gauss(0, 1) ** 2 for _ in range(64)] for _ in range(40)]
+    adf = spark.createDataFrame([(a,) for a in arrs], "v array<double>")
+    acc_t = "decimal(28,18)"
+    folded = adf.select(
+        F.aggregate(
+            "v",
+            F.lit(0).cast(acc_t),
+            lambda acc, x: (acc + x.cast(acc_t)).cast(acc_t),
+        )
+        .cast("double")
+        .alias("d")
+    ).collect()
+    for a, r in zip(arrs, folded):
+        assert _dec18_fold(a, fast=False) == r.d
+
+
+def test_serve_local_path_matches_distributed(spark):
+    """Serving-path law (r16): the driver-local fast path (driver-side
+    decimal probe, broadcast local LUT, fused semi-join rerank) returns
+    EXACTLY the distributed plan's rows — the fast path moves jobs and
+    bytes, never values. Pinned against the persisted q_ann_index_serve
+    artifacts at the smoke SF."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_housing_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    fn = all_queries()["q_ann_index_serve"].fn
+    os.environ["EHS_SERVE_LOCAL"] = "0"
+    try:
+        dist = [tuple(r) for r in fn(spark, sf).collect()]
+    finally:
+        os.environ["EHS_SERVE_LOCAL"] = "1"
+    local = [tuple(r) for r in fn(spark, sf).collect()]
+    del os.environ["EHS_SERVE_LOCAL"]
+    assert dist == local and len(local) == 10

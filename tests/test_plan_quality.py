@@ -951,84 +951,65 @@ def test_ivfpq_scaled_no_cartesian_and_broadcast_pruning(spark):
     assert "min(struct(d, cid))" in plan or "partial_min" in plan
 
 
-def test_ann_serve_codes_scan_partition_pruned(spark):
-    """q_ann_index_serve's deployment claim lives in the plan: the persisted
-    packed-codes scan must carry the probe as a PartitionFilters entry on
-    cid (bound at FILE-LISTING time — only nprobe of kc cell directories
-    are listed, zero rows of unprobed cells decoded), not as a post-scan
-    Filter or a join; and the serving path keeps the scaled family's
-    broadcast discipline (no cartesian, LUT/candidates broadcast)."""
-    plan = _plan(_q(spark, "q_ann_index_serve"))
+def _assert_fused_serve_plan(plan: str) -> None:
+    """Shared invariants of the r16 FUSED single-action serving plan
+    (ivfpq_scaled_topk's local path: driver probe → broadcast local LUT →
+    ADC → broadcast-semi-join rerank → TakeOrdered, all one plan):
+
+    - BOTH persisted scans (packed codes AND the floats the rerank reads)
+      carry the probe as PartitionFilters on cid — bound at FILE-LISTING
+      time, only nprobe of kc cell directories ever listed or read;
+    - broadcast discipline holds (no cartesian; LUT and candidates move
+      as BroadcastExchange builds, never a shuffled join);
+    - top-k is TakeOrderedAndProject (never a global sort);
+    - at most TWO plain shuffle Exchanges: the R-row ADC aggregate (the
+      only per-query shuffle — its input is the probed cells' exploded
+      codes, partial-aggregated map-side) and the one-time repartition
+      inside the cached codebook-quad relation (executes once per index
+      at persist, not per query).
+
+    The r15 form asserted an Exchange-FREE final job with pushed
+    In(vec_id literals — an artifact of splitting serving into two
+    actions (the ADC ran inside a cand.collect before the asserted
+    plan). The fusion folds both halves into one action (measured at
+    sf10: 2.10 → ~1.2-1.4 s/query warm; the saved time is a whole
+    action's analysis + AQE scheduling), at the cost of the literal
+    row-group skip that only ever existed below R = 1024 — sf30+ always
+    semi-joined."""
     part = [
         l
         for l in plan.splitlines()
         if "PartitionFilters" in l and "cid" in l and "IN (" in l.upper()
     ]
-    assert part, [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert len(part) >= 2, [
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    ]
     assert "CartesianProduct" not in plan
-    # the returned (rerank) job is scan → in-row fold → TakeOrdered: the
-    # ADC ran inside the candidate collect, the candidate ids are pushed
-    # as literals (row-group skipping), and no join or aggregate remains
-    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert pushed and any("In(vec_id" in l for l in pushed), pushed
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan  # zero shuffles in the serving job
+    import re
+
+    # count distinct shuffle-Exchange NODES via the detail-section
+    # headers ("(N) Exchange"), not the tree rendering — each node
+    # appears in both and naive substring counting double-counts
+    shuffle_nodes = re.findall(r"^\(\d+\) Exchange\s*$", plan, re.M)
+    assert len(shuffle_nodes) <= 2, (shuffle_nodes, plan[:2000])
+
+
+def test_ann_serve_codes_scan_partition_pruned(spark):
+    """q_ann_index_serve's deployment claim lives in the plan — see
+    _assert_fused_serve_plan for the pinned invariants."""
+    _assert_fused_serve_plan(_plan(_q(spark, "q_ann_index_serve")))
 
 
 def test_ann_append_serve_partition_pruned(spark):
     """q_ann_index_append serves from the UPDATED (appended-into) artifact
-    dirs — the append must not cost the serving plan anything: the codes
-    scan still binds the probe as PartitionFilters on cid (appended files
-    land inside existing cell dirs, so listing-time pruning covers them),
-    the rerank still pushes collected candidate ids as literals, and the
-    final job stays shuffle-free.
-
-    NOTE (here and in the two sibling serve-plan tests): the
-    'Exchange'-free and In(vec_id push-down assertions pin the SMALL-R
-    literal path, which holds only while the fixture keeps
-    R = max(10·k, 2·kc) <= 1024. Past 1024 collected candidates the
-    operator deliberately switches to a broadcast semi-join (r15: cost
-    R-independent), which adds a BroadcastExchange and drops the pushed
-    id filter BY DESIGN — the guard below fails loudly if a fixture
-    change ever crosses the threshold, rather than letting these
-    assertions read as a regression."""
-    import math
-
-    from etl_housing_spark.plans.relational import load_table
-
-    n_fix = load_table(spark, SF_SMOKE, "embeddings").count()
-    rerank = max(100, 2 * math.ceil(math.sqrt(n_fix)))
-    assert rerank <= 1024, (
-        f"fixture n={n_fix} pushes R={rerank} past the literal-path "
-        "threshold; these plan assertions only describe the small-R form"
-    )
-    plan = _plan(_q(spark, "q_ann_index_append"))
-    part = [
-        l
-        for l in plan.splitlines()
-        if "PartitionFilters" in l and "cid" in l and "IN (" in l.upper()
-    ]
-    assert part, [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert "CartesianProduct" not in plan
-    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert pushed and any("In(vec_id" in l for l in pushed), pushed
-    assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan  # zero shuffles in the serving job
+    dirs — the append must not cost the serving plan anything: appended
+    files land inside existing cell dirs, so listing-time pruning covers
+    them and the fused serving invariants hold unchanged."""
+    _assert_fused_serve_plan(_plan(_q(spark, "q_ann_index_append")))
 
 
 def test_ann_compact_serve_partition_pruned(spark):
     """q_ann_index_compact serves from the compacted tree — compaction
-    must leave the serving plan untouched: PartitionFilters on cid,
-    pushed candidate ids, shuffle-free final job."""
-    plan = _plan(_q(spark, "q_ann_index_compact"))
-    part = [
-        l
-        for l in plan.splitlines()
-        if "PartitionFilters" in l and "cid" in l and "IN (" in l.upper()
-    ]
-    assert part, [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert "CartesianProduct" not in plan
-    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
-    assert pushed and any("In(vec_id" in l for l in pushed), pushed
-    assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan  # zero shuffles in the serving job
+    must leave the fused serving plan untouched."""
+    _assert_fused_serve_plan(_plan(_q(spark, "q_ann_index_compact")))
