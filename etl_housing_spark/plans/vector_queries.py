@@ -2209,6 +2209,28 @@ def _write_serve_artifacts(
     harness sessions) can never overwrite each other's cells/codebooks
     mid-read — the failure mode a shared base dir produced under a
     concurrent pytest + preflight session."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    out = _index_dir(sf_dir) + suffix
+    kc, nprobe = _build_and_write_index(spark, vecs, vecs.count(), out)
+    p_assign = spark.read.parquet(out + "/assign_by_cell").select(
+        "vec_id", "v", "cid"
+    )
+    p_cells = spark.read.parquet(out + "/cells")
+    p_cb = spark.read.parquet(out + "/codebooks")
+    p_codes = spark.read.parquet(out + "/codes")
+    return p_assign, p_cells, p_cb, p_codes, kc, nprobe
+
+
+def _build_and_write_index(
+    spark: SparkSession, vecs: DataFrame, n: int, dest: str
+) -> tuple[int, int]:
+    """Build the corpus-scaled IVFADC index over ``vecs`` and write the
+    four serving artifacts into ``dest`` (overwrite). Returns
+    (kc, nprobe). Shared by _write_serve_artifacts (fresh build at the
+    canonical per-sf dir) and q_ann_index_refit (rebuild into a staging
+    tree, then swap)."""
     from ..operators._ckpt import tracked_persist
     from ..operators.quantize import (
         ivfpq_scaled_codes,
@@ -2216,10 +2238,6 @@ def _write_serve_artifacts(
         pq_residual_codebooks,
     )
 
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    n = vecs.count()
     assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(vecs, n=n)
     # persist the fit once; codebooks AND the code table both consume it
     # (the kmeans_assign double-eval note), and the codebooks feed the
@@ -2229,7 +2247,6 @@ def _write_serve_artifacts(
     cents = tracked_persist(cents)
     cb = tracked_persist(pq_residual_codebooks(assigned, cents, n))
     codes = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
-    out = _index_dir(sf_dir) + suffix
     # the deployment artifacts: one directory per cell for BOTH the code
     # table and the float vectors (FAISS keeps the vectors in the
     # inverted lists for exactly this reason), so a probe's cid IN (...)
@@ -2241,22 +2258,20 @@ def _write_serve_artifacts(
     # repartition("cid") before the partitioned writes: ONE file per cell
     # directory instead of (writer tasks × cells) shards — without it the
     # sf10 artifact came out as ~14k tiny files and every serving job
-    # paid the file-listing/open cost (measured ~10x the query itself)
-    assigned.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(out + "/assign_by_cell")
-    cents.write.mode("overwrite").parquet(out + "/cells")
-    cb.write.mode("overwrite").parquet(out + "/codebooks")
-    codes.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(out + "/codes")
-    p_assign = spark.read.parquet(out + "/assign_by_cell").select(
-        "vec_id", "v", "cid"
-    )
-    p_cells = spark.read.parquet(out + "/cells")
-    p_cb = spark.read.parquet(out + "/codebooks")
-    p_codes = spark.read.parquet(out + "/codes")
-    return p_assign, p_cells, p_cb, p_codes, kc, nprobe
+    # paid the file-listing/open cost (measured ~10x the query itself).
+    # sortWithinPartitions("cid") engages the sorted single-writer path
+    # of the dynamic-partition write — each task holds O(1) open parquet
+    # writers regardless of how many cell dirs it owns (the r15 sf30 8 g
+    # heap OOM was diagnosed as heap ∝ open-writer count)
+    assigned.repartition("cid").sortWithinPartitions("cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(dest + "/assign_by_cell")
+    cents.write.mode("overwrite").parquet(dest + "/cells")
+    cb.write.mode("overwrite").parquet(dest + "/codebooks")
+    codes.repartition("cid").sortWithinPartitions("cid").write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(dest + "/codes")
+    return kc, nprobe
 
 
 @query(
@@ -2554,15 +2569,19 @@ _PQ_APPEND_CTES = """,
 
 
 def _append_artifacts(
-    spark: SparkSession, sf_dir: str, out: str
+    spark: SparkSession, sf_dir: str, out: str, old_mod: int = 8
 ) -> tuple[DataFrame, DataFrame, int, int]:
     """The build-then-append half of the maintenance lifecycle: persist
-    the four artifacts from the OLD 80% under ``out``, then assign +
-    encode the NEW 20% batch against the frozen centroids/codebooks and
-    append it into the cid-partitioned dirs. Returns (p_cells, p_cb, kc,
-    nprobe). Shared by q_ann_index_append (serve straight off the
-    appended dirs) and q_ann_index_compact (compact the accreted files
-    first); ``out`` keys the tree per caller (the suffix discipline)."""
+    the four artifacts from the OLD ``old_mod``/10 of the corpus
+    (vec_id % 10 < old_mod; default the canonical 80%) under ``out``,
+    then assign + encode the NEW remainder batch against the frozen
+    centroids/codebooks and append it into the cid-partitioned dirs.
+    Returns (p_cells, p_cb, kc, nprobe). Shared by q_ann_index_append
+    (serve straight off the appended dirs), q_ann_index_compact
+    (compact the accreted files first), and q_ann_index_refit
+    (old_mod=6 — 40% growth pushes k_due past the 1.25·k_old refit
+    trigger that the canonical 20% growth deliberately stays under);
+    ``out`` keys the tree per caller (the suffix discipline)."""
     from ..operators._ckpt import tracked_persist
     from ..operators.clustering import kmeans_assign
     from ..operators.quantize import (
@@ -2574,8 +2593,8 @@ def _append_artifacts(
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    old = vecs.filter(F.col("vec_id") % 10 < 8)
-    batch = vecs.filter(F.col("vec_id") % 10 >= 8)
+    old = vecs.filter(F.col("vec_id") % 10 < old_mod)
+    batch = vecs.filter(F.col("vec_id") % 10 >= old_mod)
     n_old = old.count()
     assigned, cents, cb, kc, nprobe = ivfpq_scaled_index(old, n=n_old)
     # persist the fit once — codebooks, the code table, and the writes
@@ -2742,6 +2761,102 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 assert len(files) == 1, (sub, d, files)
     return _serve_appended(spark, out, p_cells, p_cb, kc, nprobe)
+
+
+@query(
+    "q_ann_index_refit",
+    # The state machine's missing transition (VERDICT r15 item 4):
+    # q_ann_index_incremental RAISES refit_due when the corpus outgrows
+    # the fitted cell count by >25% (4·k_due > 5·k_old), and the append
+    # form keeps serving a grown corpus on frozen cells — but nothing
+    # ACTED on the flag. This query completes the loop: grow the corpus
+    # far enough that the flag actually fires (old = 60%, batch = 40% —
+    # the canonical 20% growth stays under the trigger by design:
+    # sqrt(1/0.8) ≈ 1.12), then REBUILD all four artifacts from the
+    # union (old ∪ appended, read back from the artifact tree — the
+    # tree IS the corpus of record) at the due kc = ceil(sqrt(n_total)),
+    # write them to a staging sibling, and atomically swap via the same
+    # staged-rename discipline compaction uses — then serve from the
+    # refitted tree. The oracle is the FRESH full-corpus build (the
+    # post-refit ≡ fresh-build law: a refit erases all trace of the
+    # frozen-fit drift), plus the trigger arithmetic the engine acted
+    # on.
+    oracle=_KM_SCALED_CTES + _PQ_SCALED_CTES + """,
+    ko6 AS (
+      SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) AS k_old
+      FROM embeddings WHERE vec_id % 10 < 6)
+    SELECT vec_id, ROUND(exact_d2, 6) AS exact_d2,
+           (SELECT k_old FROM ko6) AS k_old,
+           (SELECT k FROM ksel) AS k_new,
+           CAST(4 * (SELECT k FROM ksel) > 5 * (SELECT k_old FROM ko6) AS INT)
+             AS refit_due
+    FROM ex ORDER BY exact_d2, vec_id LIMIT 10
+    """,
+    description="index REFIT-AND-SWAP — the lifecycle transition that "
+    "acts on the incremental query's refit_due flag: build + persist on "
+    "the old 60% of the corpus, append the 40% growth batch to the "
+    "frozen cells (enough drift that k_due = ceil(sqrt(n_total)) "
+    "exceeds the fitted k_old by >25%), then rebuild the four IVFADC "
+    "artifacts from the UNION read back from the artifact tree at the "
+    "due kc, write them into a staging sibling, and swap the tree via "
+    "the two-rename staged-swap discipline — the very next query serves "
+    "the refitted index. Hash-checked against the fresh full-corpus "
+    "build oracle (post-refit serve ≡ fresh-build serve — a refit "
+    "erases frozen-fit drift entirely), with the trigger arithmetic "
+    "(k_old, k_new, refit_due) in the output. Scale shape: the refit "
+    "re-pays the O(n·kc) fit exactly when the √n law says the old index "
+    "is 25% stale — amortized over the append batches it absorbs — and "
+    "the swap is two renames, zero data movement beyond the rebuild "
+    "itself",
+    tags=("vector", "pipeline"),
+)
+def q_ann_index_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import uuid as _uuid
+
+    from ..operators.quantize import ivfpq_scaled_topk
+    from ..sources.warehouse import swap_directory
+
+    out = _index_dir(sf_dir) + "_refit"
+    # phase 1: the drifted state — frozen-fit artifacts grown 60% → 100%
+    _p_cells, _p_cb, kc_old, _nprobe_old = _append_artifacts(
+        spark, sf_dir, out, old_mod=6
+    )
+    # phase 2: the trigger, computed exactly as q_ann_index_incremental
+    # publishes it (integer form, no float boundary)
+    union = spark.read.parquet(out + "/assign_by_cell").select("vec_id", "v")
+    n_total = union.count()
+    k_due = int(math.ceil(math.sqrt(n_total)))
+    refit_due = 4 * k_due > 5 * kc_old
+    # phase 3: act on it — rebuild from the union into a staging tree,
+    # then swap. The union is read from the artifact tree, not the
+    # source table: the tree is the deployment's corpus of record
+    # (doubles round-trip parquet bit-exactly, so refit-from-tree ≡
+    # refit-from-source)
+    staging = f"{out}.staging-{_uuid.uuid4().hex[:8]}"
+    kc_new, nprobe_new = _build_and_write_index(spark, union, n_total, staging)
+    swap_directory(staging, out)
+    # phase 4: serve from the refitted tree — the fresh-build path
+    p_assign = spark.read.parquet(out + "/assign_by_cell").select(
+        "vec_id", "v", "cid"
+    )
+    p_cells = spark.read.parquet(out + "/cells")
+    p_cb = spark.read.parquet(out + "/codebooks")
+    p_codes = spark.read.parquet(out + "/codes")
+    qvec = list(p_assign.filter(F.col("vec_id") == 0).select("v").first()[0])
+    res = ivfpq_scaled_topk(
+        p_assign,
+        index=(p_assign, p_cells, p_cb, kc_new, nprobe_new),
+        codes=p_codes,
+        query_vec=qvec,
+    )
+    return res.select(
+        "vec_id",
+        "exact_d2",
+        F.lit(kc_old).cast("long").alias("k_old"),
+        F.lit(kc_new).cast("long").alias("k_new"),
+        F.lit(int(refit_due)).cast("int").alias("refit_due"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -52,15 +52,7 @@ def _staged_swap_write(
     df.write.mode("overwrite").option(
         "parquet.block.size", int(block_bytes)
     ).parquet(staging)
-    old = f"{path}.old-{token}"
-    os.rename(path, old)
-    try:
-        os.rename(staging, path)
-    except OSError:
-        os.rename(old, path)  # roll back: restore the original table
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+    swap_directory(staging, path)
 
 
 def with_surrogate_key(df: DataFrame, business_cols: list[str], key_col: str = "row_key") -> DataFrame:
@@ -345,6 +337,22 @@ def compact_partitioned_table(
         # a failed staging write must not leak a .staging-* sibling
         shutil.rmtree(staging, ignore_errors=True)
         raise
+    swap_directory(staging, path)
+    assert_rowgroup_layout(path, block_bytes=block_bytes)
+    return len(
+        [d for d in os.listdir(path) if d.startswith(f"{partition_col}=")]
+    )
+
+
+def swap_directory(staging: str, path: str) -> None:
+    """Two-rename directory swap with rollback — the staged-swap
+    discipline shared by ``_staged_swap_write``,
+    ``compact_partitioned_table``, and the index refit (a fully built
+    replacement tree under ``staging`` replaces ``path``). Not atomic:
+    there is a window between the renames where ``path`` does not exist
+    (single-process maintenance contract); a crash between them leaves
+    the data recoverable under the ``.old-*`` sibling."""
+    token = uuid.uuid4().hex[:8]
     old = f"{path}.old-{token}"
     os.rename(path, old)
     try:
@@ -354,10 +362,6 @@ def compact_partitioned_table(
         shutil.rmtree(staging, ignore_errors=True)
         raise
     shutil.rmtree(old, ignore_errors=True)
-    assert_rowgroup_layout(path, block_bytes=block_bytes)
-    return len(
-        [d for d in os.listdir(path) if d.startswith(f"{partition_col}=")]
-    )
 
 
 def assert_rowgroup_layout(

@@ -1341,3 +1341,34 @@ def test_serve_local_path_matches_distributed(spark):
     local = [tuple(r) for r in fn(spark, sf).collect()]
     del os.environ["EHS_SERVE_LOCAL"]
     assert dist == local and len(local) == 10
+
+
+def test_refit_serve_matches_fresh_build(spark):
+    """Refit law (r16): after refit-and-swap, serving the refitted tree
+    returns EXACTLY the fresh full-corpus build's answer — a refit
+    erases all trace of the frozen-fit drift (q_ann_index_refit's
+    (vec_id, exact_d2) ≡ q_ann_index_serve's on the same corpus), the
+    trigger actually fired (refit_due=1, k_new > k_old at the 60/40
+    growth split), and the staged swap left no staging/old siblings."""
+    import os
+
+    from etl_housing_spark.plans import all_queries
+    from etl_housing_spark.plans.vector_queries import _index_dir
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_queries()
+    refit = specs["q_ann_index_refit"].fn(spark, sf).collect()
+    fresh = specs["q_ann_index_serve"].fn(spark, sf).collect()
+    assert [(r["vec_id"], r["exact_d2"]) for r in refit] == [
+        (r["vec_id"], r["exact_d2"]) for r in fresh
+    ]
+    assert all(r["refit_due"] == 1 for r in refit)
+    assert all(r["k_new"] > r["k_old"] for r in refit)
+    out = _index_dir(sf) + "_refit"
+    parent, base = os.path.dirname(out), os.path.basename(out)
+    leftovers = [
+        d
+        for d in os.listdir(parent)
+        if d.startswith(base + ".staging-") or d.startswith(base + ".old-")
+    ]
+    assert not leftovers, leftovers
