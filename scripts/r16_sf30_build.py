@@ -23,6 +23,7 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+from bench import ingest_layout  # noqa: E402
 from etl_housing_spark.operators._ckpt import clear_pipeline_cache  # noqa: E402
 from etl_housing_spark.plans.vector_queries import (  # noqa: E402
     _index_dir,
@@ -37,6 +38,11 @@ def main() -> None:
     spark = get_session(app_name="r16-sf30-build")
     spark.sparkContext.setLogLevel("WARN")
     heap = spark.conf.get("spark.driver.memory")
+    # route through the bench ingest relayout — the raw benchdata
+    # embeddings file is a single-row-group monolith (the r14 disease:
+    # one row group = one effective scan partition; a first attempt read
+    # it directly and spent 65+ min in ONE assignment task)
+    sf_dir = ingest_layout(spark, sf_dir)
 
     t0 = time.perf_counter()
     p_assign, p_cells, p_cb, p_codes, kc, nprobe = _write_serve_artifacts(
