@@ -463,7 +463,7 @@ def main() -> None:
             reasons.append("loadavg5m_at_boot")
         flagged = bool(reasons)
         total = round(sum(timings.values()), 4)
-        print(json.dumps({
+        detail = {
             "metric": "bench_total",
             "value": total,
             "unit": "sec",
@@ -482,7 +482,35 @@ def main() -> None:
             "sanity": {"warm_gt_2x_cold": warm_gt_2x,
                        "contaminated": flagged,
                        "reasons": reasons},
-        }))
+        }
+        # Full detail to stderr + a committed artifact: every field the old
+        # stdout line carried (per-query warm/fast/retry, load, sanity).
+        print("bench detail: " + json.dumps(detail), file=sys.stderr)
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            os.makedirs(os.path.join(here, "artifacts"), exist_ok=True)
+            with open(os.path.join(here, "artifacts", "bench_detail.json"), "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass  # read-only checkout: stderr still carries the detail
+        # The ONE stdout JSON line — kept COMPACT (<2000 chars) because the
+        # driver retains only the last 2000 chars of stdout and json-parses
+        # them: every BENCH_r13..r15 artifact shows "parsed": null with the
+        # front of the line (metric/value/queries — the contract fields!)
+        # truncated away. Same metric, same methodology, same timed passes;
+        # the per-query warm/fast dicts and load/sanity moved to the detail
+        # artifact above, summarized here as scalars.
+        print(json.dumps({
+            "metric": "bench_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "warm_total": round(sum(warm.values()), 4),
+            "value_fast": round(sum(fast.values()), 4),
+            "contaminated": flagged,
+            "reasons": reasons,
+        }, separators=(",", ":")))
     spark.stop()
 
 
