@@ -330,9 +330,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     fast: dict[str, float] = {}
+    built: dict[str, object] = {}
 
     def _timed(name, mk, sink_cold, sink_warm=None):
         df = mk()
+        built[name] = df
         if explain:
             print(f"==== {name}", file=sys.stderr)
             df.explain(mode="formatted")
@@ -342,8 +344,17 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 4)
         sink_cold[name] = dt
         if sink_warm is not None:
+            # warm = a second pass of the IDENTICAL plan (the documented
+            # methodology). Until r16 this re-ran mk() inside the timed
+            # window, which for the lifecycle queries whose function body
+            # eagerly writes artifacts (q_ann_index_serve) re-timed the
+            # whole index build (~9-11 s) against a 0.9 s cold serving
+            # action and permanently tripped the warm_gt_2x_cold sanity
+            # gate on an idle machine — every committed driver BENCH would
+            # self-flag contaminated forever. Re-materializing the built
+            # frame times what "warm" claims to time for every query.
             t1 = time.perf_counter()
-            materialize(mk())
+            materialize(df)
             sink_warm[name] = round(time.perf_counter() - t1, 4)
             print(f"{name}: {dt:.3f}s (warm {sink_warm[name]:.3f}s)", file=sys.stderr)
         else:
@@ -384,13 +395,9 @@ def main() -> None:
                 max_wait_s=float(os.environ.get("EHS_BENCH_RETRY_WAIT_S", "90")),
             )
             for name in flagged_now:
-                mk = (
-                    (lambda: join_sortmerge_bucketed(spark, bprefix))
-                    if name == "q_join_sortmerge_bucketed"
-                    else (lambda name=name: specs[name].fn(spark, bench_dir))
-                )
+                # same identical-plan discipline as the warm pass itself
                 t0 = time.perf_counter()
-                materialize(mk())
+                materialize(built[name])
                 warm_retry[name] = round(time.perf_counter() - t0, 4)
                 print(f"{name}: warm retry {warm_retry[name]:.3f}s "
                       f"(first {warm[name]:.3f}s)", file=sys.stderr)

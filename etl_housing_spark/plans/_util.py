@@ -122,3 +122,8 @@ def sql_dsum_wide(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+# fan_out moved to etl_housing_spark.layout (operators/ uses it too and must
+# not import plans/); re-exported here for plan code.
+from ..layout import FAN_OUT_MAX_BYTES, fan_out  # noqa: E402,F401

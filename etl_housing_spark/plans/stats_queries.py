@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ._util import DEC, dsum, sql_dsum
+from ._util import DEC, dsum, fan_out, sql_dsum
 from .registry import query
 
 
@@ -1142,7 +1142,14 @@ _MOM_SQL = f"""x AS (
 def _embed_moments(emb: DataFrame):
     """(marg, prod) sufficient statistics of the embedding table — the
     Spark twin of _MOM_SQL: order-free DECIMAL(38,12) sums; pair products
-    generated inside the row (no self-join), map-side combinable."""
+    generated inside the row (no self-join), map-side combinable.
+
+    fan_out (r16): the embeddings table is single-file at test SFs, so the
+    2016-way in-row pair-product generate + decimal partial agg otherwise
+    runs as ONE task — measured as q_corr_matrix's whole 8.4 s cold wall at
+    sf0.1 (idle baseline); decimal sums are order-free, so the repartition
+    cannot change a value."""
+    emb = fan_out(emb)
     x = emb.select(F.posexplode("embedding").alias("pos", "vf")).select(
         (F.col("pos") + 1).cast("bigint").alias("i"),
         F.col("vf").cast("double").alias("v"),
