@@ -73,6 +73,22 @@ def kmeans_assign(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> 
     as in all current callers, but a caller whose vecs is an expensive
     unpersisted subtree should persist it first (kmeans_fit's callers
     already tracked_persist the fit output for the same reason)."""
+    # fan_out (r16, guide §2.5 input skew): the n·k scoring stream inherits
+    # the vector scan's partitioning, and a tiny single-file corpus scans as
+    # ONE task — the whole decimal scoring fold (n·k·dim interpreted ops)
+    # ran single-threaded, measured as ~60% of the scaled-ANN build wall at
+    # sf0.1. Metadata-driven: no-op for multi-file/big/non-file inputs, and
+    # the two assign rounds' identical exchanges dedupe via ReusedExchange.
+    from ..layout import fan_out
+
+    vecs = fan_out(vecs, id_col)
+    # NOT the static unroll (r16 negative result, guide §1.1): swapping the
+    # HOF fold for V.sqdist_static(..., dim=64) here measured 2× SLOWER
+    # per-row on the warm assign stages (0.44→0.89 s assign1) — the 64-term
+    # decimal chain with per-step casts defeats codegen (method-size
+    # fallback) while doubling the (a[i]-b[i]) subexpressions; the
+    # interpreted zip_with fold wins. Same verdict as r15's per-query
+    # unrolled ADC trees.
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col, V.sqdist(F.col("v"), F.col("c")).alias("d"), "cid"
     )
