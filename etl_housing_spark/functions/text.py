@@ -94,3 +94,45 @@ def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 over normalized text — the deterministic
     cross-run document id the reference never built (0-ToDo.md:54)."""
     return F.md5(normalized(col))
+
+
+def max_adjacent_pair_count(w: Column | str) -> Column:
+    """Highest multiplicity of any adjacent token pair (bigram) of the token
+    ARRAY ``w`` — computed IN-ROW as the longest run of the sorted bigram
+    array, which equals the max per-bigram COUNT(*) of the explode→groupBy
+    form exactly (integer, order-free). Replaces a corpus-wide
+    (doc, bigram) shuffle + two aggregate exchanges with a per-row
+    sort + fold (r16, guide §2.4 remove shuffles outright); the fold is an
+    interpreted HOF, which measured FASTER than codegen unrolls for
+    comparable per-row folds (see operators/clustering.kmeans_assign).
+
+    Caller must guard ``size(w) >= 2`` (e.g. ``F.when(F.size(w) >= 2,
+    max_adjacent_pair_count(w)).otherwise(0)``): ``sequence(0, -1)`` counts
+    DOWN in Spark, so shorter arrays would fabricate pairs.
+    """
+    c = F.col(w) if isinstance(w, str) else w
+    bg = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.size(c) - 2),
+            lambda i: F.concat_ws(" ", F.get(c, i), F.get(c, i + 1)),
+        )
+    )
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        newrun = (
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc["best"], newrun).alias("best"),
+        )
+
+    return F.aggregate(bg, acc0, step, lambda acc: acc["best"])

@@ -246,11 +246,26 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     spark = pairs.sparkSession
     edges, edges_ids = tracked_local_checkpoint(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        # both orientations from ONE evaluation of the (possibly expensive)
+        # pair pipeline (r16, guide §7.2 duplicated subtrees): the previous
+        # union-of-two-selects re-mined the pairs once per branch INSIDE the
+        # single checkpoint materialization; the in-row explode yields the
+        # identical row multiset into the same distinct(). Every round then
+        # re-reads edges, never re-mines them.
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
-        # materialize the (possibly expensive) pair pipeline once — every
-        # round re-reads edges, never re-mines them
     )
     labels, labels_ids = tracked_local_checkpoint(
         edges.groupBy(F.col("src").alias("id"))

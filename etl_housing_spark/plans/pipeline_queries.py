@@ -194,29 +194,36 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pipeline", "text"),
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
+
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
+    # Fully per-row since r16 (guide §2.4): max bigram multiplicity via the
+    # in-row sorted-run fold (functions/text.max_adjacent_pair_count,
+    # integer-identical to the former explode→two-level grouped agg), so
+    # the query is one projection over the scan — zero exchanges. The
+    # n_tok >= 2 filter matches the old explode semantics (docs without a
+    # bigram produced no rows).
     d = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    # bind the fold once in its own projection (the r07 no-CSE-in-lambdas
+    # lesson) — mc feeds two output columns
+    m = d.select(
         "doc_id",
-        F.size(t).alias("n_tok"),
-        F.size(F.array_distinct(t)).alias("n_dist"),
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
-            )
-        ).alias("bigram"),
-    ).filter(F.col("n_tok") >= 2)
-    c = d.groupBy("doc_id", "n_tok", "n_dist", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    return c.groupBy("doc_id", "n_tok", "n_dist").agg(
-        F.round(1 - F.col("n_dist") / F.col("n_tok").cast("double"), 6).alias(
-            "dup_token_frac"
-        ),
-        F.round(F.max("c") / (F.col("n_tok") - 1).cast("double"), 6).alias(
-            "top_bigram_frac"
-        ),
-        (F.max("c") > 1).alias("repetitive"),
-    ).drop("n_tok", "n_dist")
+        F.size("w").alias("n_tok"),
+        F.size(F.array_distinct("w")).alias("n_dist"),
+        T.max_adjacent_pair_count("w").alias("mc"),
+    )
+    return m.select(
+        "doc_id",
+        F.round(
+            1 - F.col("n_dist") / F.col("n_tok").cast("double"), 6
+        ).alias("dup_token_frac"),
+        F.round(
+            F.col("mc") / (F.col("n_tok") - 1).cast("double"), 6
+        ).alias("top_bigram_frac"),
+        (F.col("mc") > 1).alias("repetitive"),
+    )
 
 
 _STOPSET_SQL = "['the', 'a', 'of', 'and', 'to']"
@@ -1895,9 +1902,27 @@ def q_dedup_pipeline_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded at one copy of (edges + 3 label rounds) per input dir, all the
     # work happens inside the caller's action (honest cold timing), and a
     # warm re-run is a legitimate cache hit.
+    # Both edge orientations from ONE evaluation of mp (r16, guide §7.2
+    # duplicated subtrees): the previous union-of-two-selects form evaluated
+    # the LSH banding self-join + agreement aggregate once per union branch
+    # (the signature persist below it was shared, the join was not) and
+    # doubled the analyzed plan, measured as ~1.2 s of the 3.8 s isolated
+    # cold wall. An in-row explode of the two (src, dst) structs yields the
+    # identical row multiset into the same distinct().
     edges = tracked_persist(
-        mp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(mp.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        mp.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     lab = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lab"))
@@ -2641,47 +2666,49 @@ def _fineweb_oracle() -> str:
     tags=("pipeline", "text", "dedup", "bench"),
 )
 def q_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as T
     from .dedup_queries import q_minhash_portable
     from .text_queries import gopher_metrics, gopher_rule_flags
 
     docs = load_table(spark, sf_dir, "documents")
 
-    # S1: the four structural Gopher rules (see _FUNNEL_GOPHER_SQL note)
+    # S1+S2 fused into ONE per-row projection (r16, guide §2.4 remove
+    # shuffles outright): the Gopher metrics were always per-row, and the
+    # top-bigram max count is now computed in-row (sorted-bigram run-length
+    # fold, functions/text.max_adjacent_pair_count — integer-identical to
+    # the explode→groupBy max it replaces), so the former
+    # explode + (doc,bigram) exchange + per-doc max exchange + s1⋈bc join
+    # all vanish; the in-row guard size(w) >= 2 ∧ coalesce-to-0 reproduces
+    # the old left join exactly (docs without bigrams had no bc row).
     fl = gopher_rule_flags()
     keep1 = (
         fl["ok_word_count"] & fl["ok_mean_len"] & fl["ok_symbol"] & fl["ok_alpha"]
     )
-    s1 = gopher_metrics(docs).select(
-        "doc_id", "n_words", F.when(keep1, 1).otherwise(0).alias("p1")
+    mc = F.when(F.size("w") >= 2, T.max_adjacent_pair_count("w")).otherwise(
+        F.lit(0)
     )
-
-    # S2: top-bigram repetition <= 0.2 on S1 survivors
-    t = docs.select("doc_id", F.split("text", " ").alias("w"))
-    bg = t.filter(F.size("w") >= 2).select(
+    s2 = tracked_persist(gopher_metrics(docs, keep_tokens=True).select(
         "doc_id",
-        F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")
-        ).alias("bigram"),
-    )
-    bc = (
-        bg.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mc"))
-    )
-    s2 = s1.join(bc, "doc_id", "left").select(
+        "n_words",
+        F.when(keep1, 1).otherwise(0).alias("p1"),
+        mc.alias("mc"),
+    ).select(
         "doc_id",
         "p1",
         F.when(
-            (F.col("p1") == 1)
-            & (5 * F.coalesce(F.col("mc"), F.lit(0)) <= F.col("n_words") - 1),
+            (F.col("p1") == 1) & (5 * F.col("mc") <= F.col("n_words") - 1),
             1,
         )
         .otherwise(0)
         .alias("p2"),
-    )
+    ))
 
-    # S3: perplexity tail drop — tertile of the corpus-LM CE over S2 survivors
+    # S3: perplexity tail drop — tertile of the corpus-LM CE over S2 survivors.
+    # Stage frames s2/s3/s4 are persisted (each feeds both the next stage's
+    # survivor aggregate and the stage join); persisting ce as well was A/B'd
+    # and measured WORSE (3.5-3.7 s vs 2.3-2.6 s action) — its two consumers
+    # land in one job, where Spark's ReuseExchange already shares the
+    # aggregate, so the persist only adds a materialization barrier.
     ce = _unigram_ce(docs).select("doc_id", "ce6")
     hist = (
         ce.join(s2.filter(F.col("p2") == 1).select("doc_id"), "doc_id")
@@ -2696,7 +2723,7 @@ def q_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.sum("cnt").over(Window.partitionBy(F.lit(1))))
         .select("ce6", F.expr("(3 * (cum - cnt)) div n").cast("long").alias("b"))
     )
-    s3 = (
+    s3 = tracked_persist(
         s2.join(ce, "doc_id", "left")
         .join(F.broadcast(m), "ce6", "left")
         .select(
@@ -2714,7 +2741,7 @@ def q_fineweb_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("f")
         .agg(F.min("doc_id").alias("keep_id"))
     )
-    s4 = (
+    s4 = tracked_persist(
         s3.join(fp, "doc_id")
         .join(mn, "f", "left")
         .select(

@@ -2459,14 +2459,20 @@ GOPHER_STRUCTURAL_SQL = (
 GOPHER_KEEP_SQL = GOPHER_STRUCTURAL_SQL + " AND n_stop >= 2"
 
 
-def gopher_metrics(docs: DataFrame) -> DataFrame:
+def gopher_metrics(docs: DataFrame, keep_tokens: bool = False) -> DataFrame:
     """Per-doc Gopher A.1.1 metric columns (doc_id, n_words, n_wchars,
-    n_alpha, n_stop, n_sym) — the Spark twin of :data:`GOPHER_M_SQL`."""
+    n_alpha, n_stop, n_sym) — the Spark twin of :data:`GOPHER_M_SQL`.
+
+    ``keep_tokens=True`` additionally carries the token array ``w`` so a
+    caller can fuse further per-row token work (e.g. q_fineweb_funnel's
+    in-row bigram stage) into the same projection without a second split or
+    a join back (r16)."""
     # bind the split once in its own projection (Catalyst does not CSE
     # inside lambda bodies — the r07 MinHash lesson)
     t = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
     return t.select(
         "doc_id",
+        *(["w"] if keep_tokens else []),
         F.size("w").alias("n_words"),
         F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x)).alias("n_wchars"),
         F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
