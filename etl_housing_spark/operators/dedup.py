@@ -87,26 +87,95 @@ def ngram_jaccard_pairs(
     threshold: float = 0.9,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-set Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+    """Exact n-gram-set Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
-    intersection via self-join on shingle + count; union by inclusion-
-    exclusion. The division is BIGINT/BIGINT → identical doubles on any
-    engine, so this one IS oracle-checkable.
+    Prefix-filtered set-similarity join (AllPairs/PPJoin; r16 guide \u00a73.5
+    exploding joins) over DICTIONARY-ENCODED shingles. The former
+    all-tokens self-join put EVERY shingle on the join key, so a shingle
+    present in d documents contributed d\u00b2/2 candidate rows \u2014 stop-shingles
+    made the join quadratic in corpus size (measured 87 s at sf0.1 for ~5k
+    docs; a skew bomb at production scale).
+
+    Exact, not approximate: if J(A,B) >= t then |A\u2229B| >= ceil(t\u00b7max(|A|,|B|))
+    =: \u03b1, and the first |S|\u2212\u03b1+1 elements of each set under ANY shared total
+    order must contain a common element (the \u03b1\u22121-element suffix cannot hold
+    all common elements) \u2014 so joining only each doc's RAREST
+    (|S| \u2212 ceil(t\u00b7|S|) + 1) shingles (a superset of that prefix) misses no
+    qualifying pair. Survivor pairs get their TRUE intersection in-row;
+    jaccard is the same BIGINT/BIGINT double as before, so values are
+    oracle-identical.
+
+    Shingles are dictionary-encoded once against a (shingle \u2192 dense rank)
+    dim table in GLOBAL rarest-first (df, shingle) order: the integer rank
+    IS the prefix order (array_sort of the encoded array sorts by it), the
+    candidate equi-join runs on an INT key instead of a string, and the
+    per-pair intersection compares int arrays, not string arrays \u2014 the
+    encode join costs one vocab-sized dim join, repaid many times over in
+    the pair stage.
     """
     sh = shingles(df, id_col, text_col, n, max_df)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # vocab dim table: dense rarest-first rank (single-partition window over
+    # the VOCABULARY, never the corpus; sum-of-shingles-distinct sized)
+    from pyspark.sql import Window as _W
+
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.select(
+        "sh", F.row_number().over(_W.orderBy("df", "sh")).alias("tid")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    arr = (
+        sh.join(vocab, "sh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("tid")).alias("toks"))
+        .select("id", "toks", F.size("toks").alias("n_sh"))
+    )
+    # prefix length |S| \u2212 ceil(t\u00b7|S|) + 1; the 1e-9 nudge keeps float ceil
+    # CONSERVATIVE (ceil(0.9*10) must be 9, not 10 \u2014 a too-short prefix
+    # would drop true pairs, a longer one only adds candidates)
+    pl = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pref = arr.select(
+        "id", "n_sh", F.explode(F.slice("toks", F.lit(1), pl)).alias("tid")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tid") == F.col("b.tid"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter (necessary for J >= t): t\u00b7|B| <= |A| and
+            # t\u00b7|A| <= |B|; epsilon-relaxed so float rounding can only
+            # ADMIT extra candidates, never drop a true pair
+            & (
+                F.col("a.n_sh").cast("double")
+                >= F.lit(threshold) * F.col("b.n_sh") - F.lit(1e-9)
+            )
+            & (
+                F.col("b.n_sh").cast("double")
+                >= F.lit(threshold) * F.col("a.n_sh") - F.lit(1e-9)
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    wa = arr.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    wb = arr.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", "n_a", "n_b", n_inter.alias("n_inter"))
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -120,28 +189,67 @@ def containment_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Directional shingle containment C(A→B) = |S(A)∩S(B)| / |S(A)| ≥ t.
+    """Directional shingle containment C(A\u2192B) = |S(A)\u2229S(B)| / |S(A)| >= t.
 
     Catches the case Jaccard misses: a short document wholly embedded in a
     much longer one (quote-plus-commentary, chunk-of-article) has high
     containment but low Jaccard because the union is dominated by the long
-    side. Directional, so (a→b) and (b→a) are distinct rows — the a-side is
-    the *contained* document, the dedup candidate to drop. Same plan shape
-    and skew guard (``max_df`` stop-shingle cap) as ``ngram_jaccard_pairs``;
-    BIGINT/BIGINT division → oracle-checkable.
+    side. Directional, so (a\u2192b) and (b\u2192a) are distinct rows \u2014 the a-side is
+    the *contained* document, the dedup candidate to drop.
+
+    One-sided prefix filter (r16, same guide \u00a73.5 rationale and dictionary
+    encoding as ``ngram_jaccard_pairs``): C(A\u2192B) >= t requires
+    |A\u2229B| >= ceil(t\u00b7|A|), and at most ceil(t\u00b7|A|) \u2212 1 elements of A lie
+    outside its rarest-first (|A| \u2212 ceil(t\u00b7|A|) + 1)-prefix \u2014 so SOME common
+    element is in the prefix (pigeonhole; no order needed on B). Joining
+    prefix(A) against the full encoded (id, tid) relation therefore misses
+    no qualifying directed pair; the true intersection is recomputed in-row
+    on int arrays and the BIGINT/BIGINT division is oracle-identical.
     """
     sh = shingles(df, id_col, text_col, n, max_df)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    from pyspark.sql import Window as _W
+
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.select(
+        "sh", F.row_number().over(_W.orderBy("df", "sh")).alias("tid")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    enc = sh.join(vocab, "sh").select("id", "tid")
+    arr = (
+        enc.groupBy("id")
+        .agg(F.array_sort(F.collect_list("tid")).alias("toks"))
+        .select("id", "toks", F.size("toks").alias("n_sh"))
+    )
+    pl = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pref = arr.select(
+        "id", F.explode(F.slice("toks", F.lit(1), pl)).alias("tid")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            enc.alias("b"),
+            (F.col("a.tid") == F.col("b.tid")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    wa = arr.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    wb = arr.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     return (
-        inter.join(sa, "id_a")
-        .select("id_a", "id_b", (F.col("n_inter") / F.col("n_a")).alias("containment"))
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", n_inter.alias("n_inter"), "n_a")
+        .select(
+            "id_a", "id_b", (F.col("n_inter") / F.col("n_a")).alias("containment")
+        )
         .filter(F.col("containment") >= threshold)
     )
 

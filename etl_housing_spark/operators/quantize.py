@@ -1301,7 +1301,8 @@ def ivfpq_scaled_topk(
         # literal query: the exact distance is one in-row fold per
         # candidate — no explode, no per-dim join, no aggregate
         # (decimal fold ≡ the oracle's grouped decimal SUM, order-free;
-        # R=100 rows, so the interpreted-HOF cost is irrelevant here)
+        # only R = max(10*k, 2*kc) ≈ 2*sqrt(n) rows reach this fold, so
+        # the interpreted-HOF cost is irrelevant here)
         ex = rer.select(
             id_col, V.sqdist(F.col("v"), lit_q).alias("exact_d2")
         )

@@ -2050,7 +2050,7 @@ _PQ_SCALED_CTES = """,
     "across queries) and the probed-cell code assignment (code build, "
     "likewise amortized; precomputable via ivfpq_scaled_codes); the "
     "per-query work is a kc-row probe aggregate, a code join, and a "
-    "100-vector exact rerank",
+    "R = max(10*k, 2*kc) ~ 2*sqrt(n) exact rerank",
     tags=("vector", "bench"),
 )
 def q_ivfpq_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
