@@ -59,3 +59,42 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     if key is not None:
         return df.repartition(par, F.col(key))
     return df.repartition(par)
+
+
+def source_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s file-source scans, or None when any
+    leaf is non-file / remote / size-unknown. Driver-side metadata only —
+    no job runs."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[len("file:"):] if f.startswith("file:") else f
+        if not os.path.isfile(p):
+            return None
+        total += os.path.getsize(p)
+    return total
+
+
+def broadcast_if_tiny(df: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+    """``F.broadcast(df)`` when the underlying scan (``probe``'s, default
+    ``df``'s own) is PROVABLY tiny (``source_bytes`` ≤ FAN_OUT_MAX_BYTES),
+    else ``df`` unchanged.
+
+    The companion of :func:`fan_out` for the attach-side of the
+    skinny-pairs pattern (r16, guide §2.4/§3.1): a per-pair-heavy stage
+    keeps its candidate frame skinny and explicitly repartitioned, and the
+    row payload (vectors, norms) re-attaches by unique id afterwards — as
+    a broadcast hash join when the corpus is provably broadcast-sized (the
+    stream side keeps its explicit partitioning, so the heavy projection
+    stays fanned out), and as a plain shuffle equi-join otherwise
+    (production: unskewed by construction on a unique id). Metadata-driven
+    like fan_out — never tuned to a core count."""
+    src = source_bytes(probe if probe is not None else df)
+    if src is not None and src <= FAN_OUT_MAX_BYTES:
+        return F.broadcast(df)
+    return df

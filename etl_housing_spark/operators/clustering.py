@@ -46,39 +46,32 @@ def kmeans_assign(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> 
     """(id, v) × broadcast centroids → (id, v, cid) by decimal-exact argmin
     under the total (dist, cid) order.
 
-    The argmin is ``min(struct(d, cid))`` over NARROW (id, d, cid) rows,
-    with ``v`` joined back by id afterward — the struct deliberately does
-    NOT carry the vector. A struct ``min`` is not hash-aggregable, so
-    Catalyst plans SortAggregate either way; what the width decides is
-    WHAT gets sorted. The previous form, ``min(struct(d, cid, v))``,
-    sorted the full n·k scored stream with every row carrying the
-    64-dim vector: at sf30's 600 k × 775 cells that is ~465 M rows ×
-    ~550 B ≈ 250 GB of sort spill — measured filling the disk (the r13
-    scale crash). The narrow form sorts ~26-byte rows (~12 GB at the
-    same point, 20× less), partial_min still combines map-side so only
-    n best-rows reach the shuffle, and the v join-back is one n-row
-    equi-join against the input — three orders of magnitude smaller
-    than the sort it replaces. (A row_number window would be strictly
-    worse: full shuffle of all n·k rows, no partial aggregation.)
-    Ties are impossible in the (d, cid) order because cid is unique per
-    id, so the argmin is total and the value is bit-identical to the
-    wide form (asserted by every kmeans-chain oracle parity).
+    r16 form (guide §2.4 "remove shuffles outright"): the argmin is
+    ``array_min`` over an IN-ROW array of (d, cid) structs — the centroid
+    set arrives as ONE broadcast single-row array (a lazy
+    ``collect_list(struct(cid, c))`` aggregate, kc·dim doubles ≈ 400 KB
+    at sf30's kc=775, ~16 MB at kc≈32k/n=10⁹), and each vector row folds
+    over it locally. ``array_min`` on structs uses the same lexicographic
+    (d, cid) ordering as the previous ``min(struct(d, cid))``
+    SortAggregate and ``collect_list``'s row order cannot matter under a
+    total min, so the assignment is bit-identical (asserted by every
+    kmeans-chain oracle parity) — but the n·k scored stream, its
+    SortAggregate, the best-row shuffle AND the v join-back (which
+    re-evaluated the vecs lineage) are all gone: the whole operator is
+    one shuffle-free projection over the (fanned-out) scan. History: the
+    r13 form ``min(struct(d, cid, v))`` sort-spilled ~250 GB at sf30;
+    the r15 narrow-struct form fixed the spill but still paid two
+    exchanges and a double scan per assign round. The in-row fold has no
+    sort, no shuffle, and touches each input row once.
 
     PRECONDITION (ADVICE r13): ``id_col`` must be unique and non-null —
-    the join-back is an inner equi-join on it, so null ids are DROPPED
-    and duplicate ids FAN OUT (the old groupBy form kept both; every
-    in-repo caller feeds the unique non-null ``vec_id``). The join-back
-    also evaluates the ``vecs`` lineage a second time (once under
-    ``scored``, once as the join probe): fine when vecs is a table scan
-    as in all current callers, but a caller whose vecs is an expensive
-    unpersisted subtree should persist it first (kmeans_fit's callers
-    already tracked_persist the fit output for the same reason)."""
-    # fan_out (r16, guide §2.5 input skew): the n·k scoring stream inherits
-    # the vector scan's partitioning, and a tiny single-file corpus scans as
-    # ONE task — the whole decimal scoring fold (n·k·dim interpreted ops)
-    # ran single-threaded, measured as ~60% of the scaled-ANN build wall at
-    # sf0.1. Metadata-driven: no-op for multi-file/big/non-file inputs, and
-    # the two assign rounds' identical exchanges dedupe via ReusedExchange.
+    callers' downstream equi-joins on it assume so (every in-repo caller
+    feeds the unique non-null ``vec_id``)."""
+    # fan_out (r16, guide §2.5 input skew): the per-row k·dim decimal fold
+    # inherits the vector scan's partitioning, and a tiny single-file
+    # corpus scans as ONE task — the whole scoring stream ran
+    # single-threaded, measured as ~60% of the scaled-ANN build wall at
+    # sf0.1. Metadata-driven: no-op for multi-file/big/non-file inputs.
     from ..layout import fan_out
 
     vecs = fan_out(vecs, id_col)
@@ -89,11 +82,16 @@ def kmeans_assign(vecs: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> 
     # fallback) while doubling the (a[i]-b[i]) subexpressions; the
     # interpreted zip_with fold wins. Same verdict as r15's per-query
     # unrolled ADC trees.
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col, V.sqdist(F.col("v"), F.col("c")).alias("d"), "cid"
-    )
-    best = scored.groupBy(id_col).agg(F.min(F.struct("d", "cid")).alias("m"))
-    return vecs.join(best, id_col).select(id_col, "v", F.col("m.cid").alias("cid"))
+    carr = cents.agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                V.sqdist(F.col("v"), s["c"]).alias("d"), s["cid"].alias("cid")
+            ),
+        )
+    )["cid"]
+    return vecs.crossJoin(F.broadcast(carr)).select(id_col, "v", best.alias("cid"))
 
 
 def kmeans_update(assigned: DataFrame) -> DataFrame:

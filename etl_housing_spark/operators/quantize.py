@@ -735,13 +735,29 @@ def pq_residual_codebooks(
     Plan: sample filter map-only; seed frame kpq·dim rows broadcast; one
     O(cap·D·K) training aggregate — corpus-size-free by the cap.
     """
+    # r16 shape (guide §2.4 remove shuffles, §5 spill): the training ran
+    # per-DIM — sample rows ⋈ broadcast seeds on the dim index fanned
+    # cap·D·K ≈ 33 M rows into a (id, sub, cand)-keyed SUM and a second
+    # argmin aggregate (measured ~5-6 s per build at sf0.1, the largest
+    # single stage of the scaled-ANN build). Now both the candidate
+    # distances AND the argmin are in-row over subvector arrays: seeds
+    # collect into one per-sub broadcast array (K·M·per_sub doubles ≈
+    # 130 KB) and each sampled (id, sub, rv) row folds to its nearest
+    # seed locally — V.sqdist's (28,18) fold rounds each (x−c)² double
+    # to scale 18 exactly like the old per-term DECIMAL(38,18) cast and
+    # decimal addition is exact in both, so the double d2 (and the
+    # (d2, cand) array_min ≡ min(struct(d2, cand)) argmin) is
+    # bit-identical. Only the final (cand, i) mean update shuffles — one
+    # map-side-combinable aggregate over the cap-bounded sample.
     per_sub = dim // subspaces
-    rex = _residual_long(assigned, cents, per_sub, id_col)
+    rsub = _residual_subs(assigned, cents, subspaces, per_sub, id_col)
     hv = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    sexpl = rex.filter(hv <= F.lit((train_cap * 4294967296 - 1) // n))
+    samp = rsub.filter(hv <= F.lit((train_cap * 4294967296 - 1) // n))
     from pyspark.sql import Window
+
+    from ..functions import vectors as V
 
     seed_ids = (
         assigned.orderBy(id_col)
@@ -751,25 +767,34 @@ def pq_residual_codebooks(
             (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cand"),
         )
     )
-    seeds = rex.join(F.broadcast(seed_ids), id_col).select(
-        "cand", "i", F.col("x").alias("c")
+    seedarr = (
+        rsub.join(F.broadcast(seed_ids), id_col)
+        .select("cand", "sub", F.col("rv").alias("cv"))
+        .groupBy("sub")
+        .agg(F.collect_list(F.struct("cand", "cv")).alias("cands"))
     )
-    d2 = (
-        sexpl.join(F.broadcast(seeds), "i")
-        .groupBy(id_col, "sub", "cand")
-        .agg(
-            F.sum(_sq_dist_term(F.col("x"), F.col("c")))
-            .cast("double")
-            .alias("d2")
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda s: F.struct(
+                V.sqdist(F.col("rv"), s["cv"]).alias("d2"),
+                s["cand"].alias("cand"),
+            ),
         )
-    )
-    a = (
-        d2.groupBy(id_col, "sub")
-        .agg(F.min(F.struct("d2", "cand")).alias("b"))
-        .select(id_col, "sub", F.col("b.cand").alias("cand"))
+    )["cand"]
+    chosen = samp.join(F.broadcast(seedarr), "sub").select(
+        "sub", best.alias("cand"), "rv"
     )
     return (
-        sexpl.join(a, [id_col, "sub"])
+        chosen.select("cand", "sub", F.posexplode("rv").alias("j", "x"))
+        # cast keeps i at the old per-dim posexplode IntegerType (sub is
+        # long in _residual_subs) — downstream joins/hashes see the same
+        # column type as the long-form trainer produced
+        .select(
+            "cand",
+            (F.col("sub") * per_sub + F.col("j")).cast("int").alias("i"),
+            "x",
+        )
         .groupBy("cand", "i")
         .agg(
             (
@@ -880,21 +905,33 @@ def _assign_codes_subs(
     distance is an in-row decimal fold over the per_sub-element
     subvectors (functions.vectors.sqdist — exact mode bit-equal to the
     oracle's DECIMAL(38,18) SUM, since decimal addition is order-free
-    and both are exact), so the only aggregate left is the argmin —
-    min(struct(d2, cand)), map-side partial_min over rows that are
-    already co-partitioned with their group (the K-fan stays inside the
-    partition), collapsing n·M·K scored rows to n·M before the shuffle."""
+    and both are exact), and — r16 — the argmin is in-row too: the K
+    candidates arrive as ONE per-sub broadcast array (collect_list over
+    the M·K codebook frame, M·K·per_sub doubles ≈ 130 KB) and
+    ``array_min`` folds over the (d2, cand) structs locally.
+    ``array_min`` uses the same lexicographic (d2, cand) ordering as the
+    previous ``min(struct(d2, cand))`` SortAggregate, and collect_list's
+    row order cannot matter under a total min, so codes are
+    bit-identical — but the n·M·K scored stream, its partial/final
+    SortAggregate pair and the argmin exchange are gone: the operator is
+    a shuffle-free projection over rsub (the broadcast sub-join never
+    repartitions)."""
     from ..functions import vectors as V
 
-    scored = rsub.join(F.broadcast(cbsub), "sub").select(
-        id_col, "cid", "sub",
-        V.sqdist(F.col("rv"), F.col("cv")).alias("d2"),
-        "cand",
+    cbarr = cbsub.groupBy("sub").agg(
+        F.collect_list(F.struct("cand", "cv")).alias("cands")
     )
-    return (
-        scored.groupBy(id_col, "cid", "sub")
-        .agg(F.min(F.struct("d2", "cand")).alias("b"))
-        .select(id_col, "cid", "sub", F.col("b.cand").alias("code"))
+    best = F.array_min(
+        F.transform(
+            F.col("cands"),
+            lambda s: F.struct(
+                V.sqdist(F.col("rv"), s["cv"]).alias("d2"),
+                s["cand"].alias("cand"),
+            ),
+        )
+    )["cand"]
+    return rsub.join(F.broadcast(cbarr), "sub").select(
+        id_col, "cid", "sub", best.alias("code")
     )
 
 

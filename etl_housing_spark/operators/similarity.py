@@ -115,28 +115,107 @@ def lsh_neardup_pairs(
     Plan shape per table: one equi-join on the bucket column; union across
     tables; dropDuplicates = one shuffle on the pair key; scoring is a
     map-side JVM lambda. The distance computation never touches Python.
+
+    r16 (guide §2.4 shuffle fewer bytes, §7.2 duplicated subtrees): the
+    candidate stage now carries ONLY the id pair — the old form dragged
+    both 64-dim arrays through all T unions and the dropDuplicates
+    exchange (hundreds of bytes per candidate per side) — and the T
+    per-table self-joins collapse into ONE equi-join on the exploded
+    (table, bucket) key: each row emits its T bucket assignments via
+    posexplode and pairs colliding in ANY table meet on the composite
+    key, the identical candidate multiset the union produced (measured:
+    the 16-way union-of-joins plan alone cost ~5.8 s of Catalyst
+    analysis per call). Vectors and per-vector norms re-attach by unique
+    id AFTER dedup, broadcast when the corpus scan is provably tiny
+    (layout.broadcast_if_tiny; plain equi-join at production sizes),
+    with the skinny deduped pair frame explicitly repartitioned to
+    session parallelism so the per-pair cosine fold never collapses onto
+    the few AQE-coalesced byte-tiny partitions. Same candidate set, same
+    cosine value → identical rows.
     """
+    from ..layout import broadcast_if_tiny, fan_out
+    from ._ckpt import single_shot_checkpoint
+
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
     tagged = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cands = None
-    for t in range(tables):
-        b = tagged.select(
-            "id", "v", lsh_bucket(F.col("v"), dim, planes, seed=seed + t).alias("bucket")
+    # Hyperplanes travel as broadcast DATA (one row holding the T·planes
+    # nested double array), not as inlined literals: the literal form put
+    # T·planes·dim ≈ 4096 literal nodes into the projection, and Catalyst
+    # analysis + codegen of that tree dominated the whole query (measured
+    # 5.8–8.6 s of mk per call; 32 s with codegen cold). Same IEEE doubles,
+    # same sign tests → identical buckets.
+    hps = [
+        [float(x) for x in hp]
+        for t in range(tables)
+        for hp in _hyperplanes(dim, planes, seed=seed + t)
+    ]
+    hrow = spark.createDataFrame([(hps,)], schema="h array<array<double>>")
+
+    def _bucket(t: int):
+        b = F.lit(0)
+        for p in range(planes):
+            h = F.element_at(F.col("h"), t * planes + p + 1)
+            b = b + F.when(V.dot_seq(F.col("v"), h) > 0, F.lit(2**p)).otherwise(
+                F.lit(0)
+            )
+        return b
+
+    # fan_out: the T·planes dot_seq bucket folds run in the scan's
+    # partitioning (one task for a single-file corpus); the skinny
+    # (id, table, bucket) band table then materializes ONCE — the
+    # self-join would otherwise re-evaluate the fold-heavy bucket
+    # projection per side
+    banded = single_shot_checkpoint(
+        fan_out(tagged, "id")
+        .crossJoin(F.broadcast(hrow))
+        .select(
+            "id",
+            F.posexplode(
+                F.array(*[_bucket(t) for t in range(tables)])
+            ).alias("table", "bucket"),
         )
-        l, r = b.alias("l"), b.alias("r")
-        pairs = l.join(
-            r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
-        ).select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
+    )
+    # numbered repartition on the join key: satisfies the equi-join's
+    # distribution requirement directly (no extra exchange) and pins the
+    # candidate-generation stage at session parallelism — the byte-tiny
+    # band shuffle would otherwise AQE-coalesce to ~1 partition and the
+    # whole pair blow-up + dedup feed would run on one core
+    banded = banded.repartition(par, "table", "bucket")
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        cands = pairs if cands is None else cands.unionByName(pairs)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
     if tables > 1:
         cands = cands.dropDuplicates(["id_a", "id_b"])
-    cos = V.cosine(F.col("va"), F.col("vb"))
+    cands = cands.repartition(par, "id_a", "id_b")
+    # per-VECTOR norms once in the attach dim (identical decimal fold on the
+    # identical array → identical doubles), not per pair — 2 of cosine's 3
+    # folds leave the pair stream
+    w = tagged.select("id", "v", V.norm(F.col("v")).alias("nrm"))
+    wa = broadcast_if_tiny(
+        w.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+        ),
+        emb,
+    )
+    wb = broadcast_if_tiny(
+        w.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+        ),
+        emb,
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cands.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        cands.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

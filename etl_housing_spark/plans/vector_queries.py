@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import vectors as V
+from ..layout import fan_out
 from ..operators import similarity as S
 from ._util import DEC
 from .registry import query
@@ -700,9 +701,19 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"),
-        F.col("label").alias("anchor_label"),
+    # fan_out the STREAMED side of the label-inequality BroadcastNestedLoop
+    # join (r16, guide §2.5 input skew): the theta join runs in the anchor
+    # scan's partitioning, and a single-file corpus scan is ONE task — the
+    # whole n²·dim dot_seq stream (and the map-side WindowGroupLimit top-2)
+    # ran single-threaded, measured 26 s isolated cold at sf0.1. Metadata-
+    # driven no-op for multi-file/big inputs; values unchanged (the window
+    # rank re-sorts per anchor regardless of physical row order).
+    a = fan_out(
+        emb.select(
+            F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"),
+            F.col("label").alias("anchor_label"),
+        ),
+        "anchor_id",
     )
     b = emb.select(
         F.col("vec_id").alias("neg_id"), F.col("embedding").alias("b_emb"),
@@ -767,15 +778,34 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "label")
-    e = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "label")
+    # r16 (guide §2.4/§2.5): the label-blocked scored join is a broadcast
+    # hash join, so the n²/|labels| dot_seq stream runs in the STREAMED
+    # side's partitioning — one task for a single-file corpus scan
+    # (fan_out; metadata-driven no-op at production file counts). The
+    # self-dots ‖q‖², ‖n‖² are per-VECTOR values: computing them in the
+    # per-side projections (same rounded dot_seq expression → identical
+    # doubles) instead of per PAIR removes two of the three 64-dim folds
+    # from the pair stream. Isolated cold action 8.5 s → see
+    # OPTIMIZATION_r16.md.
+    q = fan_out(
+        emb.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "label"
+        ),
+        "q_id",
+    ).withColumn("qq", F.round(V.dot_seq(F.col("q_emb"), F.col("q_emb")), 6))
+    e = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"), "label"
+    ).withColumn("nn", F.round(V.dot_seq(F.col("n_emb"), F.col("n_emb")), 6))
     dot = F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6)
-    qq = F.round(V.dot_seq(F.col("q_emb"), F.col("q_emb")), 6)
-    nn = F.round(V.dot_seq(F.col("n_emb"), F.col("n_emb")), 6)
     scored = (
         q.join(e, "label")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", dot.alias("dot"), (qq + nn - 2 * dot).alias("d2"))
+        .select(
+            "q_id",
+            "n_id",
+            dot.alias("dot"),
+            (F.col("qq") + F.col("nn") - 2 * dot).alias("d2"),
+        )
     )
     w_dot = Window.partitionBy("q_id").orderBy(F.desc("dot"), "n_id")
     w_l2 = Window.partitionBy("q_id").orderBy(F.asc("d2"), "n_id")
@@ -1488,19 +1518,67 @@ def semdedup_pairs(assigned: DataFrame, threshold: float = 0.5) -> DataFrame:
     ``threshold`` and id_b < id_a — SemDeDup's duplicate relation (Abbas
     et al. 2023) over a (vec_id, cid, v) assignment frame. One definition
     shared by q_semdedup, q_dedup_tiered and q_semdedup_sweep (the Spark
-    twin of _semdedup_pairs_sql)."""
-    a = assigned.select(
-        "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    )
-    b = assigned.select(
-        "cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    )
-    cos = V.dot(F.col("va"), F.col("vb")) / (
-        V.norm(F.col("va")) * V.norm(F.col("vb"))
-    )
-    return (
-        a.join(b, "cid")
+    twin of _semdedup_pairs_sql).
+
+    r16 shape (guide §2.4 shuffle fewer bytes, §2.5 skew, §5): the old
+    form joined the ARRAY-carrying frames on cid and evaluated
+    ``dot/(norm·norm)`` — three 64-element decimal folds — per pair
+    INSIDE the join projection. Two compounding problems, measured as a
+    72 s stage at sf0.1 (~500 k pairs): norms were recomputed per PAIR
+    instead of per VECTOR (2 of the 3 folds are redundant), and the
+    cid join's shuffle is byte-tiny, so AQE coalesced it to ~1 partition
+    and the whole decimal stream ran on one core — byte-based
+    coalescing cannot see compute-heavy rows. Now: per-vector norms are
+    computed once in a pre-join projection (the same ``V.norm`` fold on
+    the same ``v`` → bit-identical doubles), the candidate join carries
+    only (cid, vec_id) — arrays never enter the pair shuffle — and the
+    skinny pair frame is EXPLICITLY repartitioned to session parallelism
+    (a numbered repartition, which AQE by contract never coalesces)
+    before the vectors+norms attach by id. The attach is a broadcast
+    join when the source scan is provably tiny (layout.FAN_OUT_MAX_BYTES
+    — the bench/testdata case; stream-side partitioning, and therefore
+    the explicit fan-out, is preserved), and a plain shuffle equi-join
+    on the unique id otherwise (production: unskewed by construction,
+    and the pair volume then dwarfs the attach shuffle). The input is
+    tracked_persist-ed because this function alone consumes it three
+    times (two candidate sides + the attach dim), on top of the caller's
+    own reuse. Values: same cosine expression over the same operands —
+    the filter set is identical."""
+    from ..layout import broadcast_if_tiny
+    from ..operators._ckpt import tracked_persist
+
+    assigned = tracked_persist(assigned)
+    spark = assigned.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    slim = assigned.select("cid", "vec_id")
+    cand = (
+        slim.select(F.col("cid"), F.col("vec_id").alias("id_a"))
+        .join(slim.select(F.col("cid"), F.col("vec_id").alias("id_b")), "cid")
         .filter(F.col("id_b") < F.col("id_a"))
+        .select("id_a", "id_b")
+        .repartition(par, "id_a", "id_b")
+    )
+    w = assigned.select("vec_id", "v", V.norm(F.col("v")).alias("nrm"))
+    wa = broadcast_if_tiny(
+        w.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        assigned,
+    )
+    wb = broadcast_if_tiny(
+        w.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        assigned,
+    )
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
         .filter(cos >= F.lit(threshold))
         .select("id_a", "id_b")
     )

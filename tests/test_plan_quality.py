@@ -912,14 +912,15 @@ def test_dedup_tiered_no_cartesian_and_windowed_tiers(spark):
     assert "Window" in plan
 
 
-def test_kmeans_assign_aggregates_narrow_rows(spark):
-    """The r13 scale crash in plan form: kmeans_assign's argmin aggregate
-    must fold NARROW (id, d, cid) rows — the struct min is SortAggregate
-    either way (structs are not hash-aggregable), so if the vector column
-    rides inside the min(...) the sort spills the full n*k wide stream
-    (~250 GB at sf30's 600k x 775 cells, measured filling the disk).
-    Pin: the min struct carries exactly (d, cid), never v; partial
-    aggregation still present (map-side combine before the exchange)."""
+def test_kmeans_assign_in_row_argmin(spark):
+    """The r16 assign shape: the argmin is an IN-ROW ``array_min`` fold
+    over a broadcast single-row centroid array — no scored n*k stream
+    exists physically, so the r13 wide-struct sort spill (~250 GB at
+    sf30) and the r15 narrow-struct SortAggregate + join-back (two
+    exchanges + a double scan) are both structurally impossible. Pin:
+    array_min present; NO min(struct(d,...)) aggregate of any width; no
+    SortAggregate; the only join is the deliberate 1-row centroid-array
+    cross stitch (BroadcastNestedLoopJoin Cross)."""
     from pyspark.sql import functions as F
 
     from etl_housing_spark.catalog import load_table
@@ -929,13 +930,12 @@ def test_kmeans_assign_aggregates_narrow_rows(spark):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     plan = _plan(kmeans_assign(emb, seed_centroids(emb, 4)))
-    mins = [l for l in plan.splitlines() if "min(struct(d," in l]
-    assert mins, "argmin aggregate vanished from the plan"
-    assert all(" v," not in l and " v#" not in l for l in mins), (
-        "vector column rode into the argmin struct — the n*k sort is wide again:\n"
-        + "\n".join(mins)
-    )
-    assert "partial_min" in plan, "map-side combine lost"
+    assert "array_min" in plan, "in-row argmin vanished from the plan"
+    assert "min(struct(d," not in plan, "scored-stream argmin aggregate is back"
+    assert "SortAggregate" not in plan, "a sort-based aggregate crept into assign"
+    assert "BroadcastNestedLoopJoin Cross" in plan
+    for other in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert other not in plan, other
 
 
 def test_ivfpq_scaled_no_cartesian_and_broadcast_pruning(spark):
@@ -947,8 +947,11 @@ def test_ivfpq_scaled_no_cartesian_and_broadcast_pruning(spark):
     plan = _plan(_q(spark, "q_ivfpq_scaled"))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    # the kmeans argmin stays narrow (the r13 sort-spill pin, inherited)
-    assert "min(struct(d, cid))" in plan or "partial_min" in plan
+    # the kmeans argmin is the r16 in-row fold (no scored-stream aggregate
+    # — the r13 sort-spill pin, strengthened: the n*k stream cannot spill
+    # because it never exists physically)
+    assert "array_min" in plan
+    assert "min(struct(d, cid))" not in plan
 
 
 def _assert_fused_serve_plan(plan: str) -> None:
