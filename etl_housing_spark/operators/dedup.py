@@ -285,15 +285,35 @@ def minhash_near_dups(
     the classic S-curve selectivity. Estimated jaccard = fraction of equal
     signature positions; pairs below ``threshold`` are dropped after the
     candidate join, so the expensive exact verify never runs on the long tail.
-    """
+
+    r16 shape (guide §2.4 shuffle fewer bytes, §2.5 skew, §7.2 duplicated
+    subtrees — the semdedup_pairs pattern): the signature frame feeds FOUR
+    consumers (both candidate sides + both attach dims), so it is
+    tracked_persist-ed instead of re-running the corpus-wide shingle explode
+    + 16-MIN aggregate once per consumer; the banded candidate stream is
+    explicitly repartitioned to session parallelism before the self-join
+    (the post-aggregate frame is byte-tiny, so AQE coalesces it to ~1
+    partition and candidate generation — quadratic in bucket occupancy —
+    runs on one core otherwise); the candidate distinct carries ONLY
+    (id_a, id_b); and the 16-long signatures re-attach by unique id
+    afterwards, broadcast when the source scan is provably tiny
+    (layout.broadcast_if_tiny), plain equi-join at production sizes. The
+    candidate multiset, the est expression, and the filter are unchanged —
+    values are identical."""
+    from ..layout import broadcast_if_tiny
+    from ._ckpt import tracked_persist
+
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = tracked_persist(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    )
     banded = sig.select(
         "id",
         F.posexplode(
             F.array(*[_band_key(F.col("sig"), b, rows) for b in range(bands)])
         ).alias("band", "bkey"),
-    )
+    ).repartition(par, "id")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -304,9 +324,14 @@ def minhash_near_dups(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .repartition(par, "id_a", "id_b")
     )
-    siga = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sigb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    siga = broadcast_if_tiny(
+        sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), df
+    )
+    sigb = broadcast_if_tiny(
+        sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), df
+    )
     eq = F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0))
     est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
     return (
@@ -478,13 +503,28 @@ def simhash_near_dups(
 
     Pigeonhole banding: any pair within distance < chunks must agree on at
     least one of the ``chunks`` bit-chunks, so candidates come from an
-    equi-join on (chunk_idx, chunk_value) — never a cross join."""
+    equi-join on (chunk_idx, chunk_value) — never a cross join.
+
+    r16 shape (the minhash_near_dups / semdedup_pairs pattern, guide §2.3,
+    §2.5, §7.2): the simhash frame feeds three consumers (both candidate
+    sides + the attach dim) → tracked_persist instead of re-running the
+    corpus-wide 32-vote aggregate per consumer; the candidate join and its
+    distinct carry ONLY the id pair (the fingerprints are functionally
+    dependent on the ids, so distinct-on-ids is the identical pair set);
+    the streamed side is explicitly repartitioned so candidate generation
+    never collapses onto the byte-tiny post-aggregate partitioning; the
+    64-bit fingerprints re-attach by unique id afterwards — broadcast when
+    the source scan is provably tiny, plain equi-join at production sizes.
+    Same candidate multiset, same XOR popcount → identical rows."""
+    from ..layout import broadcast_if_tiny
+    from ._ckpt import tracked_persist
+
     width = bits // chunks
     mask = (1 << width) - 1
-    sh = simhash(df, id_col, text_col, bits)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = tracked_persist(simhash(df, id_col, text_col, bits))
     chunked = sh.select(
         "id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -493,7 +533,7 @@ def simhash_near_dups(
                 ]
             )
         ).alias("chunk", "cval"),
-    )
+    ).repartition(par, "id")
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(
@@ -502,15 +542,20 @@ def simhash_near_dups(
             & (F.col("a.cval") == F.col("b.cval"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .repartition(par, "id_a", "id_b")
+    )
+    sha = broadcast_if_tiny(
+        sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")), df
+    )
+    shb = broadcast_if_tiny(
+        sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")), df
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

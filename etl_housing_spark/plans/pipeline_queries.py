@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..layout import fan_out
 from ..operators._ckpt import tracked_persist
 from ..sources.warehouse import sql_zorder_key
 from ._util import sql_davg, sql_dsum
@@ -1370,11 +1371,22 @@ _MAX_DF = 20  # similarity vocabulary cap: tokens in more docs carry ~no
 )
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("t"))
+    # fan_out: the corpus-wide trigram explode + (doc,t) aggregate is
+    # per-row HEAVY (unlike the rejected light shingle families — guide
+    # §1.1), and the single-file scan ran it on one task; measured 4.5 s →
+    # 1.1 s for the w build alone (metadata-driven no-op at production
+    # file counts)
+    tok = fan_out(docs, "doc_id").select(
+        "doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("t")
+    )
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= _MAX_DF)
     n = docs.agg(F.count(F.lit(1)).alias("n"))
-    w = (
+    # w feeds THREE consumers (norms + both pair sides) — without the
+    # persist the corpus-wide shingle explode + tf/df aggregates + join
+    # re-evaluate once per consumer (r16, guide §7.2 duplicated subtrees;
+    # measured: 60 Exchange mentions in the unpersisted plan)
+    w = tracked_persist(
         tf.join(df, "t")
         .crossJoin(F.broadcast(n))
         .select(

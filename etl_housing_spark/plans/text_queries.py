@@ -1476,30 +1476,56 @@ def _banded_cand_duck(width: int, src: str = "ph") -> str:
 def _banded_cands_spark(ph, width: int):
     """Spark candidate pairs for one band layout: stack-unpivot the hash
     into (bd, bval) rows, self-equi-join on the composite band key (never
-    all-pairs — the plan is the MinHash-LSH band-bucket shape), carry both
-    halves so the exact distance needs no join back."""
-    bands = ph.selectExpr(
-        "media_id", "phash_hi", "phash_lo", _phash_bands_spark(width)
+    all-pairs — the plan is the MinHash-LSH band-bucket shape), then
+    re-attach both hash halves by id so the exact distance needs no
+    corpus rescan.
+
+    r16 shape (the minhash_near_dups pattern, guide §2.3, §2.5, §7.2):
+    the hash frame is tracked_persist-ed (both candidate sides + both
+    attach dims consume it — phash_media's PNG-decode mapInPandas chain
+    would otherwise re-run per consumer); the candidate join and distinct
+    carry ONLY the id pair (the hash halves are functionally dependent on
+    the ids — identical pair set); the streamed side and the deduped pair
+    frame are explicitly repartitioned so candidate generation and the
+    popcount stage never collapse onto byte-tiny AQE-coalesced
+    partitions; hashes re-attach broadcast when the source scan is
+    provably tiny, plain equi-join at production sizes. Same candidate
+    multiset, same (ha, la, hb, lb) values → identical rows."""
+    from ..layout import broadcast_if_tiny
+    from ..operators._ckpt import tracked_persist
+
+    par = ph.sparkSession.sparkContext.defaultParallelism
+    ph = tracked_persist(ph)
+    bands = ph.selectExpr("media_id", _phash_bands_spark(width)).repartition(
+        par, "media_id"
     )
-    a = bands.select(
-        F.col("media_id").alias("id_a"),
-        F.col("phash_hi").alias("ha"),
-        F.col("phash_lo").alias("la"),
-        "bd",
-        "bval",
-    )
-    b = bands.select(
-        F.col("media_id").alias("id_b"),
-        F.col("phash_hi").alias("hb"),
-        F.col("phash_lo").alias("lb"),
-        "bd",
-        "bval",
-    )
-    return (
+    a = bands.select(F.col("media_id").alias("id_a"), "bd", "bval")
+    b = bands.select(F.col("media_id").alias("id_b"), "bd", "bval")
+    cand = (
         a.join(b, ["bd", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "la", "hb", "lb")
+        .select("id_a", "id_b")
         .distinct()
+        .repartition(par, "id_a", "id_b")
+    )
+    ha = broadcast_if_tiny(
+        ph.select(
+            F.col("media_id").alias("id_a"),
+            F.col("phash_hi").alias("ha"),
+            F.col("phash_lo").alias("la"),
+        ),
+        ph,
+    )
+    hb = broadcast_if_tiny(
+        ph.select(
+            F.col("media_id").alias("id_b"),
+            F.col("phash_hi").alias("hb"),
+            F.col("phash_lo").alias("lb"),
+        ),
+        ph,
+    )
+    return cand.join(ha, "id_a").join(hb, "id_b").select(
+        "id_a", "id_b", "ha", "la", "hb", "lb"
     )
 
 

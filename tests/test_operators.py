@@ -84,6 +84,33 @@ def test_simhash_near_dups(docs):
     assert (1, 4) in got
 
 
+def test_skinny_pair_attach_matches_reference(spark, docs):
+    """The r16 skinny-pairs forms (candidates carry ids only; signatures /
+    fingerprints re-attach by id after the distinct) must reproduce the
+    payload-carrying reference join exactly — here recomputed from the
+    signature frames directly. ``docs`` is a local relation (no input
+    files), so this also pins the broadcast_if_tiny no-op path: the attach
+    must stay correct as a plain equi-join when the source is not provably
+    tiny."""
+    from etl_housing_spark.operators.dedup import minhash_signatures
+
+    # minhash: est_jaccard re-derivable from the signature frame per pair
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.0
+    ).collect()
+    sig = {r.id: list(r.sig) for r in
+           minhash_signatures(docs, "doc_id", "text", 16, 1).collect()}
+    assert pairs, "banding at threshold 0 must emit candidates"
+    for r in pairs:
+        est = sum(x == y for x, y in zip(sig[r.id_a], sig[r.id_b])) / 16.0
+        assert r.est_jaccard == est
+        assert r.id_a < r.id_b
+    # simhash: hamming re-derivable from the fingerprint frame per pair
+    sh = {r.id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    for r in simhash_near_dups(docs, "doc_id", "text", max_hamming=32).collect():
+        assert r.hamming == bin(sh[r.id_a] ^ sh[r.id_b]).count("1")
+
+
 # ----------------------------------------------------------- similarity ----
 
 
