@@ -13,9 +13,12 @@ reuse the same shuffle layout) plus one partial-agg groupBy(dst). Dangling
 mass (nodes with no out-edges) is a one-row aggregate broadcast back in-plan
 — no collect() in the loop. Lineage is truncated with localCheckpoint every
 few rounds, otherwise the plan tree grows exponentially and planning time
-dominates; persist/unpersist keeps exactly two rank generations resident.
-O(iterations) jobs, each O(|E|/p) per task: the textbook distributed
-PageRank shape, good for any |E| that one shuffle can move.
+dominates; rank generations persist LAZILY and superseded storage releases
+at checkpoint boundaries (O(checkpoint_every) node-sized frames resident)
+or at session scope — the caller's first action materializes the whole
+chain in ONE job instead of one driver-blocking job per round (r16).
+Per-round work is one O(|E|/p)-per-task stage pair: the textbook
+distributed PageRank shape, good for any |E| that one shuffle can move.
 """
 
 from __future__ import annotations
@@ -52,10 +55,27 @@ def pagerank(
     # Persist the edge list BEFORE deriving nodes/outdeg/fanout: all three
     # setup frames consume it, and without the persist each one re-executes
     # the (possibly expensive — e.g. a kNN scoring join) edge lineage.
-    e = (
+    #
+    # r16 (guide §2.6 idle capacity / §5 driver round-trips): setup and
+    # per-round persists are now LAZY — the old form ran an eager count()
+    # per generation (plus fanout/flagged setup counts), ~7 driver-blocking
+    # jobs for a 4-iteration call whose per-job latency dominated the wall
+    # at bench scale and serializes on any cluster. The caller's first
+    # action materializes the whole chain bottom-up through the persists
+    # (each generation still evaluates ONCE — recv and the dangling
+    # aggregate share the cached parent). Residency: superseded
+    # generations are released eagerly at every interior localCheckpoint
+    # boundary (the checkpoint materializes everything beneath it, so the
+    # release is safe); between boundaries — and for the ≤checkpoint_every
+    # frames live at return — release happens at session scope via the
+    # _ckpt registry. Residency is O(checkpoint_every) node-sized frames
+    # instead of O(1), traded for O(iterations) fewer driver round-trips;
+    # values are untouched (same expressions, same per-round float order).
+    from ._ckpt import tracked_persist
+
+    e = tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -64,36 +84,40 @@ def pagerank(
         .persist()
     )
     # One setup-time action (like MLlib's iterative fits): N is a plan
-    # constant for every subsequent iteration.
+    # constant for every subsequent iteration. This count also materializes
+    # the edge persist — the only eager job before the caller's action.
     n = nodes.count()
     if n == 0:
         out = nodes.select("node", F.lit(0.0).alias("rank"))
-        e.unpersist()
         nodes.unpersist()
         return out
+    register_tracked_frame(nodes)
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    outdeg = tracked_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
     # Pre-join the per-edge fan-out weight once; iterations then only join
     # ranks against this fixed, already-partitioned edge table.
-    fanout = e.join(outdeg, "src").select("src", "dst", "outdeg").persist()
-    fanout.count()
+    fanout = tracked_persist(e.join(outdeg, "src").select("src", "dst", "outdeg"))
 
     # The dangling-node SET is static across iterations: flag it ONCE on the
     # node table, and let the flag ride along on every rank frame. Each
     # round's dangling mass is then a filter+aggregate over the cached ranks
     # — zero per-iteration joins for the correction (an earlier anti-join /
     # semi-join per round doubled the iteration's job count).
-    flagged = nodes.join(
-        outdeg.select(F.col("src").alias("node"), F.lit(False).alias("_d")),
-        "node",
-        "left",
-    ).select("node", F.coalesce("_d", F.lit(True)).alias("is_dangling")).persist()
-    flagged.count()
-    nodes.unpersist()
-
+    flagged = tracked_persist(
+        nodes.join(
+            outdeg.select(F.col("src").alias("node"), F.lit(False).alias("_d")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("_d", F.lit(True)).alias("is_dangling"))
+    )
 
     spark = edges.sparkSession
-    ranks = flagged.select("node", F.lit(1.0 / n).alias("rank"), "is_dangling").persist()
+    ranks = tracked_persist(
+        flagged.select("node", F.lit(1.0 / n).alias("rank"), "is_dangling")
+    )
+    pending: list[DataFrame] = [ranks]  # persisted gens awaiting a boundary
     ranks_ckpt_ids: set[int] = set()  # ids backing a checkpointed generation
     base = (1.0 - damping) / n
     for i in range(iterations):
@@ -127,23 +151,23 @@ def pagerank(
             # caller's first action materializes the persist anyway).
             # Checkpoint generations are id-tracked so the storage — which
             # DataFrame.unpersist() cannot touch — is released when the
-            # generation is superseded (operators/_ckpt.py).
+            # generation is superseded (operators/_ckpt.py). The eager
+            # checkpoint has materialized every pending lazy persist
+            # beneath it, so superseded generations release HERE.
             new_ranks, new_ids = tracked_local_checkpoint(new_ranks)
+            for g in pending:
+                g.unpersist()
+            pending.clear()
+            release_rdd_ids(spark, ranks_ckpt_ids)
+            ranks_ckpt_ids = new_ids
         else:
-            new_ranks = new_ranks.persist()
-            new_ranks.count()
-            new_ids = set()
-        ranks.unpersist()  # no-op when the old generation was a checkpoint —
-        release_rdd_ids(spark, ranks_ckpt_ids)  # — this is what releases it
-        ranks, ranks_ckpt_ids = new_ranks, new_ids
-    outdeg.unpersist()
-    fanout.unpersist()
-    flagged.unpersist()
-    e.unpersist()
-    # the returned generation stays resident (persist, or a final-round
-    # checkpoint) — registered for session-scope release so a long-lived
-    # session can drain it via clear_pipeline_cache once consumed
-    register_tracked_frame(ranks)
+            new_ranks = tracked_persist(new_ranks)
+            pending.append(new_ranks)
+        ranks = new_ranks
+    # setup frames and the ≤checkpoint_every generations still pending are
+    # consumed by the caller's first action — their storage is registered
+    # (tracked_persist) for session-scope release via clear_pipeline_cache;
+    # a final-round checkpoint's ids release the same way
     register_tracked_ckpt_ids(spark, ranks_ckpt_ids)
     return ranks.select("node", "rank")
 
@@ -174,13 +198,23 @@ def label_propagation(
     """
     # Persisted: every round joins against the same edge table, and an
     # unpersisted edge lineage (e.g. the kNN scoring join) would re-execute
-    # once per round.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    state = seeds.select(
-        F.col(node_col).alias("node"),
-        F.col(label_col).alias("lab"),
-        F.col(fixed_col).alias("fixed"),
-    ).persist()
+    # once per round. Lazy persists + session-scope release (r16, the
+    # pagerank rationale above): each generation still evaluates once —
+    # both its consumers (the labeled filter and the state join) read the
+    # cache — but no per-round driver-blocking count() job runs; lineage
+    # growth is bounded by the small fixed iteration count.
+    from ._ckpt import tracked_persist
+
+    e = tracked_persist(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    state = tracked_persist(
+        seeds.select(
+            F.col(node_col).alias("node"),
+            F.col(label_col).alias("lab"),
+            F.col(fixed_col).alias("fixed"),
+        )
+    )
     from pyspark.sql import Window
 
     for _ in range(iterations):
@@ -198,7 +232,7 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("node", F.col("vote").alias("best"))
         )
-        new_state = (
+        state = tracked_persist(
             state.join(best, "node", "left")
             .select(
                 "node",
@@ -207,14 +241,8 @@ def label_propagation(
                 .alias("lab"),
                 "fixed",
             )
-            .persist()
         )
-        new_state.count()
-        state.unpersist()
-        state = new_state
-    e.unpersist()
-    register_tracked_frame(state)  # returned generation: drained by
-    return state.select("node", F.col("lab").alias("label"))  # clear_pipeline_cache
+    return state.select("node", F.col("lab").alias("label"))
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

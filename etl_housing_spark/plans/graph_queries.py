@@ -129,25 +129,36 @@ def _bucketed_knn(
 ) -> DataFrame:
     """Top-k kNN edges over hyperplane-bucketed candidates (Spark twin of
     :func:`_edge_cte`): two shuffled equi-joins on (label?, bucket), a
-    distinct union of the candidate tables, one per-src window."""
-    from ..functions import vectors as V
+    distinct union of the candidate tables, one per-src window.
 
-    b = _bucketed_vectors(emb, tables)
-    q = b.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
-        F.col("ba").alias("q_ba"),
-        F.col("bb").alias("q_bb"),
-    )
-    e = b.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("n_emb"),
-        F.col("label").alias("n_label"),
-        F.col("ba").alias("n_ba"),
-        F.col("bb").alias("n_bb"),
-    )
-    score = F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6).alias("score")
+    r16 shape (the skinny-pairs pattern, guide §2.3, §2.5, §7.2): the
+    bucket projection (8 dot_seq folds per row) fed four consumers —
+    both sides of both branch joins — so it is tracked_persist-ed and
+    evaluated once; the branch joins and the distinct carry ONLY
+    (src, dst) (the score is a function of the pair, so distinct-on-ids
+    is the identical candidate set); the deduped pair frame is
+    explicitly repartitioned to session parallelism and the embeddings
+    re-attach by unique id (broadcast when the corpus scan is provably
+    tiny), so the per-pair dot_seq scoring — the expensive stage — runs
+    ONCE per distinct pair, parallel, instead of once per branch
+    occurrence inside byte-tiny AQE-coalesced join stages. Same
+    candidate set, same rounded score expression, same window → the
+    edge set is identical."""
+    from ..functions import vectors as V
+    from ..layout import broadcast_if_tiny
+    from ..operators._ckpt import tracked_persist
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    b = tracked_persist(_bucketed_vectors(emb, tables))
+    qcols = [F.col("vec_id").alias("src"), F.col("ba").alias("q_ba"),
+             F.col("bb").alias("q_bb")]
+    ecols = [F.col("vec_id").alias("dst"), F.col("ba").alias("n_ba"),
+             F.col("bb").alias("n_bb")]
+    if blocked:
+        qcols.append(F.col("label").alias("q_label"))
+        ecols.append(F.col("label").alias("n_label"))
+    q = b.select(*qcols).repartition(par, "src")
+    e = b.select(*ecols)
     branches = []
     for qb, nb in (("q_ba", "n_ba"), ("q_bb", "n_bb")):
         cond = F.col(qb) == F.col(nb)
@@ -156,12 +167,24 @@ def _bucketed_knn(
         branches.append(
             q.join(e, cond)
             .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst", score)
+            .select("src", "dst")
         )
-    cand = branches[0].union(branches[1]).distinct()
+    cand = (
+        branches[0].union(branches[1]).distinct().repartition(par, "src", "dst")
+    )
+    qa = broadcast_if_tiny(
+        b.select(F.col("vec_id").alias("src"), F.col("embedding").alias("q_emb")),
+        emb,
+    )
+    ea = broadcast_if_tiny(
+        b.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("n_emb")),
+        emb,
+    )
+    score = F.round(V.dot_seq(F.col("q_emb"), F.col("n_emb")), 6).alias("score")
+    scored = cand.join(qa, "src").join(ea, "dst").select("src", "dst", score)
     w = Window.partitionBy("src").orderBy(F.desc("score"), "dst")
     return (
-        cand.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("src", "dst")
     )

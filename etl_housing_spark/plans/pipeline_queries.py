@@ -957,22 +957,38 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import davg
 
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select(
+    # bind split(text) ONCE in its own projection (Catalyst does not CSE
+    # inside lambda bodies — the r07 MinHash lesson): the old form
+    # re-split the document TWICE PER BIGRAM inside the transform lambda,
+    # O(tokens·doclen) per row; tk rides as a bound array instead. The
+    # token frame persists for its two consumers (bigram + unigram
+    # explodes), and each bigram carries its first token w1 so the count
+    # join needs no per-row re-split — w1 == split(bigram)[0] by
+    # construction (tokens cannot contain the separator). fan_out: the
+    # explode is per-row heavy and the single-file scan ran it one-task
+    # (r16, guide §2.5, §7.2; 5.0 s → measured below).
+    toks = tracked_persist(
+        fan_out(docs, "doc_id").select(
+            "doc_id", F.split("text", " ").alias("tk")
+        )
+    )
+    occ = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(split(text, ' ')) - 2), "
-                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1]))"
+                "transform(sequence(0, size(tk) - 2), "
+                "i -> struct(concat_ws(' ', tk[i], tk[i+1]) AS bigram, "
+                "tk[i] AS w1))"
             )
-        ).alias("bigram"),
-    )
-    uni = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        ).alias("o"),
+    ).select("doc_id", "o.bigram", "o.w1")
+    uni = toks.select(F.explode("tk").alias("tok"))
     c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     c12 = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
     lp = F.log(F.col("c12") / F.col("c1").cast("double"))
     return (
         occ.join(c12, "bigram")
-        .join(c1, F.expr("split(bigram, ' ')[0]") == F.col("tok"))
+        .join(c1, F.col("w1") == F.col("tok"))
         .groupBy("doc_id")
         .agg(davg(lp).alias("lm_score"), F.count(F.lit(1)).alias("n_bigrams"))
     )

@@ -1994,6 +1994,14 @@ def _merge_trainer_chain(docs: DataFrame, best_for_round):
     s = w.select("w", "freq", F.concat_ws(" ", F.split("w", "")).alias("seq"))
     merges = []
     for rnd in (1, 2, 3):
+        # each round's s feeds 2-3 consumers (the pair count, the family's
+        # uni count, the next round's rewrite) and each round's 1-row best
+        # feeds two (the merge output + the rewrite's broadcast join) —
+        # unpersisted, round 3 re-evaluated the whole rewrite lineage of
+        # rounds 1-2 once per consumer (r16, guide §7.2 duplicated
+        # subtrees; measured 5.8 s → 1.6 s action on the wordpiece form).
+        # Everything persisted here is distinct-word/1-row sized.
+        s = tracked_persist(s)
         symbols = F.split(F.col("seq"), " ")
         prs = F.zip_with(
             F.slice(symbols, 1, F.size(symbols) - 1),
@@ -2005,7 +2013,7 @@ def _merge_trainer_chain(docs: DataFrame, best_for_round):
             .groupBy(F.col("pr")[0].alias("a"), F.col("pr")[1].alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = best_for_round(s, pairs, rnd)
+        best = tracked_persist(best_for_round(s, pairs, rnd))
         merges.append(best)
         bj = best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
         s = (
@@ -2318,12 +2326,24 @@ def _unigram_chain(spark: SparkSession, docs: DataFrame):
                 .alias("path"),
             )
         )
-        msc = cand.groupBy("w").agg(F.max("sc").alias("msc"))
+        # ONE aggregate instead of max-groupBy + join-back + tie-break
+        # groupBy (r16, guide §2.4): min(struct(-sc, path)) IS
+        # max-score-then-min-path — double negation is bijective and
+        # order-reversing (scores are strictly positive products of
+        # probabilities, so no NaN/-0.0 edge), so the struct's
+        # lexicographic min selects exactly the rows the old
+        # sc == max(sc) filter kept and the min path among them;
+        # -(-sc) recovers sc bit-exactly (sign-bit flip only)
+        m = F.min(F.struct(F.negative("sc").alias("nsc"), F.col("path")))
         bj = (
-            cand.join(msc, "w")
-            .filter(F.col("sc") == F.col("msc"))
-            .groupBy("w", "pos", "sc")
-            .agg(F.min("path").alias("path"))
+            cand.groupBy("w", "pos")
+            .agg(m.alias("m"))
+            .select(
+                "w",
+                "pos",
+                F.negative(F.col("m.nsc")).alias("sc"),
+                F.col("m.path").alias("path"),
+            )
         )
         # eager per-round checkpoint: bounded lineage (8 rounds, each
         # referenced by up to 4 later rounds — unchecked the plan grows

@@ -63,21 +63,53 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+class _no_data_batches_off:
+    """Scoped disable of the trailing NO-DATA micro-batch for one-shot
+    availableNow runs (r16, guide §1.1 measured): after the data batch,
+    Structured Streaming schedules an empty batch purely to advance the
+    watermark, and that batch RE-COMMITS every state store instance —
+    measured 2.4 s of the stream-stream join's 8 s wall at sf0.1 (progress:
+    batch 1, 0 input rows, addBatch 2.2 s). A one-shot run's results never
+    depend on it: complete-mode aggregates re-emit everything each data
+    batch, append inner joins / stateless maps emit on arrival, and the
+    stateful operators here emit on later-event arrival, not on watermark
+    timeout (the open-tail contract) — verified by the full streaming
+    preflight staying hash-exact. Continuous production streams keep the
+    default (the conf is restored on exit)."""
+
+    _KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._KEY, "true")
+        self._spark.conf.set(self._KEY, "false")
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(self._KEY, self._old)
+
+
 def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
     """Execute a streaming plan with trigger(availableNow) into a memory sink
     and return the materialized result as a batch DataFrame."""
     name = name or f"ehs_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ehs_ckpt_{name}_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete" if result.isStreaming and _has_agg(result) else "append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination()
+        with _no_data_batches_off(result.sparkSession):
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(
+                    "complete"
+                    if result.isStreaming and _has_agg(result)
+                    else "append"
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         # memory sink holds the materialized rows; the checkpoint dir is
         # dead weight once the availableNow run terminates
@@ -150,13 +182,14 @@ def upsert_each_batch(result: DataFrame, warehouse, table: str, key_cols: list[s
             return
         warehouse.upsert(batch_df, table, key_cols)
 
-    q = (
-        result.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _no_data_batches_off(result.sparkSession):
+        q = (
+            result.writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 SESSION_OUT_SCHEMA = (
