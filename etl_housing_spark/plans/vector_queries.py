@@ -3433,13 +3433,16 @@ def q_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(qsrc)
     )
-    q = (
-        stream.writeStream.foreachBatch(_serve_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from ..streaming.jobs import _no_data_batches_off
+
+    with _no_data_batches_off(spark):
+        q = (
+            stream.writeStream.foreachBatch(_serve_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # batch_id is sink-layout metadata (partition discovery surfaces it
     # as a column), not part of the served result
     return (
