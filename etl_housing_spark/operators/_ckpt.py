@@ -118,6 +118,26 @@ def single_shot_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def concurrent_checkpoints(frames: list[DataFrame]) -> list[DataFrame]:
+    """single_shot_checkpoint over INDEPENDENT frames, submitted
+    concurrently (r16, guide §2.6 stragglers/idle capacity): N sequential
+    eager checkpoints each leave most cores idle through their
+    scan/aggregate tails, so the wall is the SUM of the jobs; submitting
+    them from a small thread pool lets the scheduler fill the idle tail —
+    the wall approaches the MAX. Spark job submission is thread-safe
+    (one session, per-thread job groups), each frame's checkpoint and
+    registry entry are exactly what the sequential form produced, and the
+    frames must be mutually independent (no shared UNMATERIALIZED persist
+    whose first fill could race — persisted fills are per-partition-locked
+    and therefore safe, merely possibly duplicated)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(frames) <= 1:
+        return [single_shot_checkpoint(f) for f in frames]
+    with ThreadPoolExecutor(max_workers=min(4, len(frames))) as pool:
+        return list(pool.map(single_shot_checkpoint, frames))
+
+
 def clear_pipeline_cache(spark: SparkSession | None = None, blocking: bool = False) -> int:
     """Release every tracked persist and single-shot checkpoint; returns the
     number of registry entries drained.

@@ -407,28 +407,37 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     for _ in range(max_iters):
         # propagate: my new label = min(my label, min over neighbors' labels)
         neighbor_labels = (
-            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            edges.join(
+                labels.select(F.col("id").alias("dst"), "cluster_id"), "dst"
+            )
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
         new_labels, new_ids = tracked_local_checkpoint(
             labels.join(neighbor_labels, "id", "left")
-            .select("id", F.least("cluster_id", "nbr_min").alias("cluster_id"))
+            .select(
+                "id",
+                F.least("cluster_id", "nbr_min").alias("cluster_id"),
+                # convergence flag computed WHERE the old label is already
+                # in hand (r16, guide §2.4): the old form re-joined the new
+                # generation against the old one per round just to detect a
+                # change — one whole join job per round; the flag rides the
+                # checkpoint instead and the check below is a filter+limit
+                # over the fresh cache. least() never exceeds cluster_id,
+                # so `<` is exactly the old `!=`.
+                (F.least("cluster_id", "nbr_min") < F.col("cluster_id")).alias(
+                    "chg"
+                ),
+            )
             # eager: truncates lineage AND caches the round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter("chg").limit(1).count()
         release_rdd_ids(spark, labels_ids)  # superseded generation
         labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
     release_rdd_ids(spark, edges_ids)  # labels is a checkpoint: edges unneeded
-    return labels
+    return labels.select("id", "cluster_id")
 
 
 def canonicalize(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:

@@ -3330,20 +3330,24 @@ def q_multimodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame RUNS the four detector jobs, so a plan-only `--explain` pays
     # them and prints ExistingRDD stubs for the legs — explain the
     # detector queries individually for their plans.
-    txt = single_shot_checkpoint(
+    # the four detector legs are mutually independent jobs; submitted
+    # concurrently the wall approaches max(legs) instead of sum(legs)
+    # (r16, guide §2.6 — each leg alone leaves most cores idle through
+    # its scan/codec tails). Values unchanged: same four checkpoints.
+    from ..operators._ckpt import concurrent_checkpoints
+
+    txt_f, img_f, aud_f, vid_f = concurrent_checkpoints([
         q_minhash_pairs_portable(spark, sf_dir)
         .filter(F.col("n_match") >= _CONSENSUS_TEXT_NMATCH)
-        .select("id_a", "id_b")
-    ).withColumn("m", F.lit("text"))
-    img = single_shot_checkpoint(
-        q_image_neardup_banded(spark, sf_dir).select("id_a", "id_b")
-    ).withColumn("m", F.lit("image"))
-    aud = single_shot_checkpoint(
-        q_audio_neardup(spark, sf_dir).select("id_a", "id_b")
-    ).withColumn("m", F.lit("audio"))
-    vid = single_shot_checkpoint(
-        q_video_neardup(spark, sf_dir).select("id_a", "id_b")
-    ).withColumn("m", F.lit("video"))
+        .select("id_a", "id_b"),
+        q_image_neardup_banded(spark, sf_dir).select("id_a", "id_b"),
+        q_audio_neardup(spark, sf_dir).select("id_a", "id_b"),
+        q_video_neardup(spark, sf_dir).select("id_a", "id_b"),
+    ])
+    txt = txt_f.withColumn("m", F.lit("text"))
+    img = img_f.withColumn("m", F.lit("image"))
+    aud = aud_f.withColumn("m", F.lit("audio"))
+    vid = vid_f.withColumn("m", F.lit("video"))
     u = txt.unionByName(img).unionByName(aud).unionByName(vid)
     return _consensus_verdicts(u)
 
@@ -3644,24 +3648,28 @@ def q_multimodal_consensus_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id", "text").join(F.broadcast(keep), "doc_id")
         )
     )
-    txt = single_shot_checkpoint(
+    # four independent detector-leg jobs submitted concurrently (r16,
+    # guide §2.6 — wall approaches max(legs), values unchanged); the
+    # shared persisted fingerprint frames fill under per-partition cache
+    # locks, the `keep` frame is already an eager checkpoint
+    from ..operators._ckpt import concurrent_checkpoints
+
+    txt_f, img_f, aud_f, vid_f = concurrent_checkpoints([
         _mh_pairs_from(sigs)
         .filter(F.col("n_match") >= _CONSENSUS_TEXT_NMATCH)
-        .select("id_a", "id_b")
-    ).withColumn("m", F.lit("text"))
-    img = single_shot_checkpoint(
+        .select("id_a", "id_b"),
         _banded_cands_spark(
             _keepers(ph.select("media_id", "phash_hi", "phash_lo")), 16
         )
         .withColumn("hamming", _phash_hamming().cast("bigint"))
         .filter(F.col("hamming") <= 6)
-        .select("id_a", "id_b")
-    ).withColumn("m", F.lit("image"))
-    aud = single_shot_checkpoint(
-        _energy_banded_pairs(_keepers(afp)).select("id_a", "id_b")
-    ).withColumn("m", F.lit("audio"))
-    vid = single_shot_checkpoint(
-        _energy_banded_pairs(_keepers(vfp)).select("id_a", "id_b")
-    ).withColumn("m", F.lit("video"))
+        .select("id_a", "id_b"),
+        _energy_banded_pairs(_keepers(afp)).select("id_a", "id_b"),
+        _energy_banded_pairs(_keepers(vfp)).select("id_a", "id_b"),
+    ])
+    txt = txt_f.withColumn("m", F.lit("text"))
+    img = img_f.withColumn("m", F.lit("image"))
+    aud = aud_f.withColumn("m", F.lit("audio"))
+    vid = vid_f.withColumn("m", F.lit("video"))
     uu = txt.unionByName(img).unionByName(aud).unionByName(vid)
     return _consensus_verdicts(uu)
