@@ -41,8 +41,12 @@ Methodology (BASELINE.md "Benchmark protocol"):
   are still planned + codegen'd inside the timed pass (paths differ), but
   the compiled generated-class cache and C2-hot vectorized loops carry over
   — this is the steady state any long-lived cluster session runs in;
-- headline "value"/"queries" = first timed pass at the bench SF;
-  "queries_warm"/"warm_total" = a second pass of the identical plans;
+- headline "value"/"queries" = first timed pass at the bench SF, with the
+  session pipeline cache drained BETWEEN queries (r17 — per-query isolation:
+  earlier rounds shared the CacheManager across the phase, letting lifecycle
+  eager builds subsidize later lines; each line now computes alone from the
+  parquet inputs). "queries_warm"/"warm_total" = a second pass of the
+  identical plans, immediately after the cold pass (before the drain);
 - session: local[$SPARK_GRAFT_CPUS], AQE on, shuffle partitions = cores
   (BASELINE.md configuration notes).
 
@@ -360,13 +364,26 @@ def main() -> None:
         else:
             print(f"{name}: {dt:.3f}s", file=sys.stderr)
 
-    # exact mode (the oracle-parity default): cold + warm pass per query.
-    # Within the phase, queries share the session's CacheManager like any
-    # long-lived deployment (the multi-stage pipelines deliberately reuse
-    # each other's persisted sub-plans — same protocol as rounds 1-7).
+    # exact mode (the oracle-parity default): cold + warm pass per query,
+    # with the pipeline cache drained BETWEEN queries (r17, VERDICT r16
+    # "what's wrong #1" / ask #2): the rounds-1-16 protocol shared the
+    # session CacheManager across the phase, so a lifecycle query whose
+    # mk() eagerly builds and persists index sub-plans (q_ann_index_serve)
+    # subsidized later lines — q_ivfpq_scaled's bench line read ~1.7x
+    # faster than its honest isolated cost. Each line now measures the
+    # query alone from the parquet inputs (a query's OWN mk-side persists
+    # still serve its timed action — that is the lifecycle contract, the
+    # build is deliberately mk-side). The drain is outside every timed
+    # window and blocking, so no removal I/O bleeds into the next line.
+    # Cross-round caveat: r16-and-earlier per-query values for the
+    # cache-coupled lines (q_ivfpq_scaled) are NOT comparable to r17+ ones
+    # — disclosed in OPTIMIZATION_r17.md and BASELINE.md.
+    from etl_housing_spark.operators._ckpt import clear_pipeline_cache as _drain
+
     for name in sorted(specs):
         _timed(name, lambda name=name: specs[name].fn(spark, bench_dir),
                timings, warm)
+        _drain(blocking=True)
     _timed("q_join_sortmerge_bucketed",
            lambda: join_sortmerge_bucketed(spark, bprefix), timings, warm)
 
@@ -377,9 +394,10 @@ def main() -> None:
     # stayed dirty). Re-measure each flagged line ONCE after a short
     # quiet-wait, keep the better of the two, and record both: a genuine
     # regression survives the retry and still flags; a load blip no
-    # longer poisons the committed artifact. Runs BEFORE the inter-phase
-    # cache drain so the retry sees the same residency state as the
-    # original warm pass.
+    # longer poisons the committed artifact. Since the r17 per-query
+    # drain, a retried line re-fills its own persisted sub-plans first —
+    # conservative (the retry can only read slower than the true warm
+    # state), and min() keeps the better of the two readings.
     warm_retry: dict[str, float] = {}
     if not explain:
         flagged_now = sorted(
@@ -418,6 +436,7 @@ def main() -> None:
             for name in sorted(specs):
                 _timed(name, lambda name=name: specs[name].fn(spark, bench_dir),
                        fast)
+                _drain(blocking=True)  # same per-query isolation as exact
             _timed("q_join_sortmerge_bucketed",
                    lambda: join_sortmerge_bucketed(spark, bprefix), fast)
         finally:
@@ -481,6 +500,7 @@ def main() -> None:
             "value_fast": round(sum(fast.values()), 4),
             "queries_fast": fast,
             "sf": sf,
+            "isolation": "per_query_drain",  # r17: cache drained between lines
             "load": {"boot": load_boot, "start": load_start, "end": load_end,
                      "external_cpu_frac": external_frac,
                      "steal_cpu_frac": steal_frac,

@@ -181,6 +181,7 @@ def label_propagation(
     node_col: str = "node",
     label_col: str = "label",
     fixed_col: str = "fixed",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Synchronous label propagation: semi-supervised labeling over a graph.
 
@@ -201,10 +202,16 @@ def label_propagation(
     # once per round. Lazy persists + session-scope release (r16, the
     # pagerank rationale above): each generation still evaluates once —
     # both its consumers (the labeled filter and the state join) read the
-    # cache — but no per-round driver-blocking count() job runs; lineage
-    # growth is bounded by the small fixed iteration count.
+    # cache — but no per-round driver-blocking count() job runs. r17
+    # (ADVICE r16 #4): superseded generations release at interior eager
+    # localCheckpoint boundaries exactly like pagerank — the checkpoint has
+    # materialized every pending persist beneath it, so the release is safe
+    # — bounding residency at O(checkpoint_every) node-sized frames (and
+    # plan depth with it) for callers passing a large iteration count; at
+    # the catalog's iterations=2 no boundary fires and plans are unchanged.
     from ._ckpt import tracked_persist
 
+    spark = edges.sparkSession
     e = tracked_persist(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
@@ -217,7 +224,9 @@ def label_propagation(
     )
     from pyspark.sql import Window
 
-    for _ in range(iterations):
+    pending: list[DataFrame] = [state]
+    state_ckpt_ids: set[int] = set()
+    for i in range(iterations):
         labeled = state.filter(F.col("lab").isNotNull()).select(
             F.col("node").alias("src"), F.col("lab").alias("vote")
         )
@@ -232,16 +241,25 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("node", F.col("vote").alias("best"))
         )
-        state = tracked_persist(
-            state.join(best, "node", "left")
-            .select(
-                "node",
-                F.when(F.col("fixed"), F.col("lab"))
-                .otherwise(F.coalesce(F.col("best"), F.col("lab")))
-                .alias("lab"),
-                "fixed",
-            )
+        new_state = state.join(best, "node", "left").select(
+            "node",
+            F.when(F.col("fixed"), F.col("lab"))
+            .otherwise(F.coalesce(F.col("best"), F.col("lab")))
+            .alias("lab"),
+            "fixed",
         )
+        if (i + 1) % checkpoint_every == 0 and i != iterations - 1:
+            new_state, new_ids = tracked_local_checkpoint(new_state)
+            for g in pending:
+                g.unpersist()
+            pending.clear()
+            release_rdd_ids(spark, state_ckpt_ids)
+            state_ckpt_ids = new_ids
+        else:
+            new_state = tracked_persist(new_state)
+            pending.append(new_state)
+        state = new_state
+    register_tracked_ckpt_ids(spark, state_ckpt_ids)
     return state.select("node", F.col("lab").alias("label"))
 
 

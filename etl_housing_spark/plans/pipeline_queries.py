@@ -972,13 +972,24 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.split("text", " ").alias("tk")
         )
     )
+    # size(tk) >= 2 guard (ADVICE r16): for a <2-token doc,
+    # sequence(0, size(tk) - 2) = sequence(0, -1) is the DESCENDING [0, -1]
+    # and the i = -1 element fabricated a bogus (null-w1) bigram row whose
+    # fate depended on which join dropped it — neither matching the
+    # oracle's list_zip/IS NOT NULL semantics (zero rows for such docs).
+    # when() without otherwise() yields NULL for the degenerate case and
+    # explode(NULL) emits no rows — exactly the oracle. No <2-token docs
+    # exist in the corpus, so declared values/hashes are unchanged.
     occ = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(0, size(tk) - 2), "
-                "i -> struct(concat_ws(' ', tk[i], tk[i+1]) AS bigram, "
-                "tk[i] AS w1))"
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(concat_ws(' ', tk[i], tk[i+1]) AS bigram, "
+                    "tk[i] AS w1))"
+                ),
             )
         ).alias("o"),
     ).select("doc_id", "o.bigram", "o.w1")

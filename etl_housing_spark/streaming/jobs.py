@@ -63,31 +63,71 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def _no_data_batch_safe(result: DataFrame) -> bool:
+    """True when a one-shot run's RESULTS provably cannot depend on the
+    trailing watermark-advancing no-data micro-batch (r17, ADVICE r16 #2:
+    the r16 form disabled it for EVERY availableNow run — result-safe for
+    the current catalog, but a future append-mode operator that emits on
+    watermark advance would silently lose its final-flush rows).
+
+    Safe by construction:
+    - aggregates: the runners execute them in COMPLETE mode, which re-emits
+      the full state on every data batch — the empty batch adds nothing;
+    - stateless maps / stream-static enrichments and INNER stream-stream
+      joins: rows emit on arrival;
+    - applyInPandasWithState with NoTimeout: emission happens only when a
+      later event arrives, never on watermark/clock timeout.
+
+    NOT safe (the final flush IS the output): event/processing-time
+    timeouts in stateful operators, and OUTER stream-stream joins (the
+    unmatched side emits when the watermark closes the window). For those
+    this returns False and the callers keep noDataMicroBatches ENABLED —
+    correct rows, one extra empty batch of cost. Detection is textual over
+    the analyzed plan: conservative on the known-unsafe markers, and the
+    law test (tests/test_streaming.py::test_no_data_batch_contract) pins
+    both directions so a new unsafe operator cannot silently route through
+    the fast path."""
+    try:
+        plan = result._jdf.queryExecution().analyzed().toString()  # type: ignore[union-attr]
+    except Exception:
+        return False  # unknown plan — keep the engine default
+    if "EventTimeTimeout" in plan or "ProcessingTimeTimeout" in plan:
+        return False
+    outer = any(
+        j in plan for j in ("LeftOuter", "RightOuter", "FullOuter")
+    )
+    if outer and plan.count("StreamingRelation") >= 2:
+        return False  # stream-stream outer join: unmatched rows flush on watermark
+    return True
+
+
 class _no_data_batches_off:
     """Scoped disable of the trailing NO-DATA micro-batch for one-shot
     availableNow runs (r16, guide §1.1 measured): after the data batch,
     Structured Streaming schedules an empty batch purely to advance the
     watermark, and that batch RE-COMMITS every state store instance —
     measured 2.4 s of the stream-stream join's 8 s wall at sf0.1 (progress:
-    batch 1, 0 input rows, addBatch 2.2 s). A one-shot run's results never
-    depend on it: complete-mode aggregates re-emit everything each data
-    batch, append inner joins / stateless maps emit on arrival, and the
-    stateful operators here emit on later-event arrival, not on watermark
-    timeout (the open-tail contract) — verified by the full streaming
-    preflight staying hash-exact. Continuous production streams keep the
-    default (the conf is restored on exit)."""
+    batch 1, 0 input rows, addBatch 2.2 s). Since r17 the runners apply it
+    only when :func:`_no_data_batch_safe` proves the plan's output cannot
+    depend on the empty batch; continuous production streams keep the
+    default (the conf is restored on exit). ``enabled=False`` makes the
+    scope a no-op (the engine default stays in force)."""
 
     _KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, enabled: bool = True):
         self._spark = spark
+        self._enabled = enabled
 
     def __enter__(self):
+        if not self._enabled:
+            return
         self._old = self._spark.conf.get(self._KEY, "true")
         self._spark.conf.set(self._KEY, "false")
 
     def __exit__(self, *exc):
-        self._spark.conf.set(self._KEY, self._old)
+        if self._enabled:
+            self._spark.conf.set(self._KEY, self._old)
 
 
 def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
@@ -96,7 +136,9 @@ def run_available_now(result: DataFrame, name: str | None = None) -> DataFrame:
     name = name or f"ehs_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ehs_ckpt_{name}_")
     try:
-        with _no_data_batches_off(result.sparkSession):
+        with _no_data_batches_off(
+            result.sparkSession, enabled=_no_data_batch_safe(result)
+        ):
             q = (
                 result.writeStream.format("memory")
                 .queryName(name)
@@ -182,7 +224,9 @@ def upsert_each_batch(result: DataFrame, warehouse, table: str, key_cols: list[s
             return
         warehouse.upsert(batch_df, table, key_cols)
 
-    with _no_data_batches_off(result.sparkSession):
+    with _no_data_batches_off(
+        result.sparkSession, enabled=_no_data_batch_safe(result)
+    ):
         q = (
             result.writeStream.foreachBatch(_merge)
             .option("checkpointLocation", checkpoint)

@@ -1399,3 +1399,70 @@ def test_refit_serve_matches_fresh_build(spark):
         if d.startswith(base + ".staging-") or d.startswith(base + ".old-")
     ]
     assert not leftovers, leftovers
+
+
+def test_vocab_rank_injective_and_rarest_first(spark):
+    """r17: the distributed (sh → tid) dictionary must stay INJECTIVE (a
+    collision would merge two shingles and corrupt intersection sizes) and
+    MONOTONE in (df, sh) — the rarest-first prefix order the PPJoin
+    losslessness bound is tuned for. Gaps are fine; order is the contract."""
+    from etl_housing_spark.operators.dedup import _vocab_rank
+
+    sh = spark.createDataFrame(
+        [(i, f"tok{j:03d}") for j in range(150) for i in range(j % 5 + 1)],
+        "id long, sh string",
+    )
+    got = {r["sh"]: r["tid"] for r in _vocab_rank(sh).collect()}
+    df_of = {f"tok{j:03d}": j % 5 + 1 for j in range(150)}
+    order = sorted(df_of, key=lambda s: (df_of[s], s))
+    tids = [got[s] for s in order]
+    assert len(set(tids)) == len(tids)  # injective
+    assert all(a < b for a, b in zip(tids, tids[1:]))  # monotone in (df, sh)
+
+
+def test_dedup_clusters_cadence_invariant(spark):
+    """r17 (VERDICT r16 ask #5): the checkpoint cadence moves bytes, never
+    labels — every checkpoint_every (including the old per-round form)
+    yields identical components on a graph needing several propagation
+    rounds."""
+    from etl_housing_spark.operators.dedup import dedup_clusters
+
+    # path 1-…-8 has diameter 7 → min-label needs multiple rounds; plus an
+    # island and a triangle
+    edges = [(i, i + 1) for i in range(1, 8)] + [(20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {r.id: r.cluster_id for r in dedup_clusters(pairs, checkpoint_every=1).collect()}
+    for k in (2, 3, 4):
+        got = {r.id: r.cluster_id for r in dedup_clusters(pairs, checkpoint_every=k).collect()}
+        assert got == want, k
+    assert want[8] == 1 and want[22] == 20 and want[31] == 30
+
+
+def test_concurrent_checkpoints_failed_leg_leaks_no_storage(spark):
+    """r17 (VERDICT r16 ask #9): a detector leg that throws inside the
+    thread pool surfaces as the pool's exception with the OTHER legs'
+    checkpoints already registered — the session registry must drain them,
+    and the poisoned leg must leave no cached blocks behind."""
+    import pytest as _pytest
+
+    from etl_housing_spark.operators._ckpt import (
+        clear_pipeline_cache,
+        concurrent_checkpoints,
+    )
+
+    def _cached_rdd_ids() -> set[int]:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {int(i.id()) for i in infos if int(i.numCachedPartitions()) > 0}
+
+    clear_pipeline_cache(blocking=True)
+    before = _cached_rdd_ids()
+    good1 = spark.range(50).selectExpr("id", "id * 2 AS y")
+    good2 = spark.range(50).selectExpr("id", "id + 7 AS y")
+    poison = spark.range(10).select(
+        F.assert_true(F.col("id") < F.lit(0)).alias("boom")
+    )
+    with _pytest.raises(Exception):
+        concurrent_checkpoints([good1, good2, poison])
+    clear_pipeline_cache(blocking=True)
+    leaked = _cached_rdd_ids() - before
+    assert not leaked, leaked

@@ -1016,3 +1016,16 @@ def test_ann_compact_serve_partition_pruned(spark):
     """q_ann_index_compact serves from the compacted tree — compaction
     must leave the fused serving plan untouched."""
     _assert_fused_serve_plan(_plan(_q(spark, "q_ann_index_compact")))
+
+
+def test_ppjoin_vocab_rank_is_distributed(spark):
+    """r17 (VERDICT r16 'Next round' #1): the shingle-vocab dictionary rank
+    must never be a single-partition window — at 100 TB an n-gram shingle
+    vocabulary is itself corpus-scale, and one task would sort all of it.
+    The distributed form (range exchange + per-partition monotone ids) has
+    no Window node and no SinglePartition exchange anywhere in either
+    prefix-filter operator's plan."""
+    for name in ("q_neardup_ngram", "q_containment_dedup"):
+        plan = _plan(_q(spark, name))
+        assert "Exchange SinglePartition" not in plan, name
+        assert "Window" not in plan, name

@@ -243,3 +243,63 @@ def test_stream_rep_gate_equals_batch_cluster_reps(spark):
         for r in specs["q_dup_cluster_reps"].fn(spark, sf).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_no_data_batch_contract(spark):
+    """r17 (VERDICT r16 ask #8 / ADVICE #2): every plan routed through the
+    one-shot runners must be complete-mode, append-on-arrival, or stateless
+    for the no-data-batch disable to apply; a plan whose FINAL FLUSH is the
+    output (watermark/clock timeouts, outer stream-stream joins) must be
+    detected so the runners keep the trailing batch — correct rows, one
+    empty batch of cost — instead of silently dropping its last rows."""
+    from etl_housing_spark.streaming.jobs import (
+        _no_data_batch_safe,
+        interval_join_streams,
+        sessionize_stream,
+    )
+
+    ev = read_events_stream(spark, SF_SMOKE)
+    # the catalog's shapes: complete-mode agg, arrival-append dedup,
+    # NoTimeout stateful, inner stream-stream join — all provably safe
+    assert _no_data_batch_safe(tumbling_counts(ev))
+    assert _no_data_batch_safe(dedup_events(ev))
+    assert _no_data_batch_safe(sessionize_stream(ev))
+    clicks = ev.filter("event_type = 'click'")
+    views = ev.filter("event_type = 'view'")
+    assert _no_data_batch_safe(interval_join_streams(clicks, views))
+
+    # outer stream-stream join: unmatched rows emit when the watermark
+    # closes the window — the final flush IS output
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    v = views.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    outer = c.join(
+        v,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") <= F.col("cts"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 1 hour")),
+        "leftOuter",
+    )
+    assert not _no_data_batch_safe(outer)
+
+    # event-time timeout stateful operator: emits on watermark advance
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):  # pragma: no cover - never executed
+        yield from ()
+
+    timed = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id BIGINT",
+            stateStructType="n BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    assert not _no_data_batch_safe(timed)
