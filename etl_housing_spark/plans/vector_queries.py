@@ -2257,9 +2257,15 @@ def q_ann_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = tracked_persist(cents)
     cb = pq_residual_codebooks(assigned, cents, n)
     out = _index_dir(sf_dir)
-    assigned.write.mode("overwrite").parquet(out + "/assign")
-    cents.write.mode("overwrite").parquet(out + "/cells")
-    cb.write.mode("overwrite").parquet(out + "/codebooks")
+    # independent destinations over one persisted fit — overlapped
+    # (r17, guide §2.6; the _build_and_write_index rationale)
+    from ..sources.warehouse import concurrent_writes
+
+    concurrent_writes(
+        lambda: assigned.write.mode("overwrite").parquet(out + "/assign"),
+        lambda: cents.write.mode("overwrite").parquet(out + "/cells"),
+        lambda: cb.write.mode("overwrite").parquet(out + "/codebooks"),
+    )
     p_assign = spark.read.parquet(out + "/assign")
     p_cells = spark.read.parquet(out + "/cells")
     p_cb = spark.read.parquet(out + "/codebooks")
@@ -2341,14 +2347,27 @@ def _build_and_write_index(
     # of the dynamic-partition write — each task holds O(1) open parquet
     # writers regardless of how many cell dirs it owns (the r15 sf30 8 g
     # heap OOM was diagnosed as heap ∝ open-writer count)
-    assigned.repartition("cid").sortWithinPartitions("cid").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(dest + "/assign_by_cell")
-    cents.write.mode("overwrite").parquet(dest + "/cells")
-    cb.write.mode("overwrite").parquet(dest + "/codebooks")
-    codes.repartition("cid").sortWithinPartitions("cid").write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(dest + "/codes")
+    # the four writes are INDEPENDENT jobs over one persisted lineage —
+    # submitted concurrently (r17, guide §2.6; sources/warehouse.py::
+    # concurrent_writes): sequential they cost the SUM (measured 7.0 s of
+    # the 12.6 s warm append wall; same shape here), overlapped the wall
+    # approaches the MAX and shared persist fills stay single (block locks)
+    from ..sources.warehouse import concurrent_writes
+
+    concurrent_writes(
+        lambda: assigned.repartition("cid")
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(dest + "/assign_by_cell"),
+        lambda: cents.write.mode("overwrite").parquet(dest + "/cells"),
+        lambda: cb.write.mode("overwrite").parquet(dest + "/codebooks"),
+        lambda: codes.repartition("cid")
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(dest + "/codes"),
+    )
     return kc, nprobe
 
 
@@ -2681,14 +2700,27 @@ def _append_artifacts(
     cents = tracked_persist(cents)
     cb = tracked_persist(pq_residual_codebooks(assigned, cents, n_old))
     codes_old = ivfpq_scaled_codes((assigned, cents, cb, kc, nprobe))
-    assigned.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(out + "/assign_by_cell")
-    cents.write.mode("overwrite").parquet(out + "/cells")
-    cb.write.mode("overwrite").parquet(out + "/codebooks")
-    codes_old.repartition("cid").write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(out + "/codes")
+    # concurrent independent writes (r17, guide §2.6 — the
+    # _build_and_write_index rationale; measured there) with the sorted
+    # single-writer path on the cid-partitioned pair (bytes/layout only,
+    # the r15 open-writer-heap discipline _build_and_write_index already
+    # carries)
+    from ..sources.warehouse import concurrent_writes
+
+    concurrent_writes(
+        lambda: assigned.repartition("cid")
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(out + "/assign_by_cell"),
+        lambda: cents.write.mode("overwrite").parquet(out + "/cells"),
+        lambda: cb.write.mode("overwrite").parquet(out + "/codebooks"),
+        lambda: codes_old.repartition("cid")
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(out + "/codes"),
+    )
     p_cells = spark.read.parquet(out + "/cells")
     p_cb = spark.read.parquet(out + "/codebooks")
     # THE APPEND: the batch is assigned to the frozen cells (broadcast
@@ -2699,12 +2731,19 @@ def _append_artifacts(
     # file per batch per cell until compact_table re-merges them
     ba = tracked_persist(kmeans_assign(batch, p_cells))
     codes_new = ivfpq_scaled_codes((ba, p_cells, p_cb, kc, nprobe))
-    ba.select("vec_id", "v", "cid").repartition("cid").write.mode(
-        "append"
-    ).partitionBy("cid").parquet(out + "/assign_by_cell")
-    codes_new.repartition("cid").write.mode("append").partitionBy(
-        "cid"
-    ).parquet(out + "/codes")
+    # the two appends target disjoint directories and share only the ba
+    # persist — overlapped like the build writes above
+    concurrent_writes(
+        lambda: ba.select("vec_id", "v", "cid")
+        .repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(out + "/assign_by_cell"),
+        lambda: codes_new.repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(out + "/codes"),
+    )
     return p_cells, p_cb, kc, nprobe
 
 

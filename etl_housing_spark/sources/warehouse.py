@@ -55,6 +55,31 @@ def _staged_swap_write(
     swap_directory(staging, path)
 
 
+def concurrent_writes(*thunks) -> None:
+    """Run INDEPENDENT write actions concurrently from a small thread pool
+    (r17, optimization guide §2.6 overlap independent jobs): an artifact
+    build that writes N frames sequentially pays the SUM of the jobs while
+    each job's scan/commit tail leaves most cores idle; submitted together
+    the wall approaches the MAX. Each thunk is a zero-arg callable running
+    one ``.write`` action to its OWN destination (separate directories ⇒
+    separate committers — never point two thunks at one path). Spark job
+    submission is thread-safe, and shared persisted sub-plans fill ONCE
+    under per-partition block locks (a second thread blocks on the lock
+    instead of recomputing — the concurrent_checkpoints argument). The
+    first thunk failure propagates after all threads finish, so no write
+    is abandoned mid-commit by a sibling's error."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) <= 1:
+        for t in thunks:
+            t()
+        return
+    with ThreadPoolExecutor(max_workers=min(4, len(thunks))) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def with_surrogate_key(df: DataFrame, business_cols: list[str], key_col: str = "row_key") -> DataFrame:
     """Stable surrogate key: sha2 over the business columns.
 
