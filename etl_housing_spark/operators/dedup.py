@@ -161,9 +161,15 @@ def ngram_jaccard_pairs(
     encode join costs one vocab-sized dim join, repaid many times over in
     the pair stage.
     """
+    from ._ckpt import tracked_persist
+
     sh = shingles(df, id_col, text_col, n, max_df)
     vocab = _vocab_rank(sh)
-    arr = (
+    # persisted: the encoded frame feeds THREE consumers (the prefix
+    # explode and both attach dims) \u2014 unpersisted, each re-runs the corpus
+    # explode + encode join + collect_list aggregate (the r17 after-plan
+    # showed the subtree 3x)
+    arr = tracked_persist(
         sh.join(vocab, "sh")
         .groupBy("id")
         .agg(F.array_sort(F.collect_list("tid")).alias("toks"))
@@ -247,10 +253,14 @@ def containment_pairs(
     no qualifying directed pair; the true intersection is recomputed in-row
     on int arrays and the BIGINT/BIGINT division is oracle-identical.
     """
+    from ._ckpt import tracked_persist
+
     sh = shingles(df, id_col, text_col, n, max_df)
     vocab = _vocab_rank(sh)
     enc = sh.join(vocab, "sh").select("id", "tid")
-    arr = (
+    # persisted for the same 3-consumer reason as ngram_jaccard_pairs
+    # (prefix explode + both attach dims; measured 8x there)
+    arr = tracked_persist(
         enc.groupBy("id")
         .agg(F.array_sort(F.collect_list("tid")).alias("toks"))
         .select("id", "toks", F.size("toks").alias("n_sh"))

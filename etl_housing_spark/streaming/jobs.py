@@ -84,7 +84,7 @@ def _no_data_batch_safe(result: DataFrame) -> bool:
     this returns False and the callers keep noDataMicroBatches ENABLED —
     correct rows, one extra empty batch of cost. Detection is textual over
     the analyzed plan: conservative on the known-unsafe markers, and the
-    law test (tests/test_streaming.py::test_no_data_batch_contract) pins
+    law test (tests/test_streaming_equiv.py::test_no_data_batch_contract) pins
     both directions so a new unsafe operator cannot silently route through
     the fast path."""
     try:
